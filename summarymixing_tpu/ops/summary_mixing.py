@@ -1,0 +1,224 @@
+"""The SummaryMixing cell — a linear-time replacement for self-attention.
+
+Semantics match the reference `speechbrain/nnet/summary_mixing.py:28-372`
+(https://arxiv.org/abs/2307.07421), re-designed TPU-first:
+
+- Four modes (reference :90-98): "SummaryMixing" (full), "SummaryMixing-lite",
+  "SummaryMixing-fast", "SummaryMixing-expdecay".
+- Full mode (reference `_forward_mixing`, :190-239): per-step local transform
+  f(x) (Eq. 1b), summary transform s(x) (Eq. 1c), length-masked mean over
+  time broadcast back to every step, concat + merge MLP.
+- Fast mode (:241-284): one fused projection split in half.
+- Lite mode (:286-310): broadcast masked mean of s(x) only — no local branch,
+  no merge.
+- Exp-decay (:154-157, :316-365): Laplacian decay matrix
+  exp(|i-j| * log(0.995)) used as the summary weighting.
+
+TPU-first design decisions (differences from the reference, all intentional):
+- Masks are multiplicative floats with 1 = valid (the reference's own
+  convention for this cell), placed on-device by construction — the
+  reference creates its default mask on CPU (summary_mixing.py:175-178, a
+  latent GPU bug we do not replicate).
+- The time-mean is accumulated in float32 even when activations are bfloat16
+  (`jnp.sum(..., dtype=jnp.float32)`): a length-T mean in bf16 loses ~8 bits
+  of mantissa at T≈1000. XLA fuses the cast into the reduction.
+- The sum_mask path contracts [T,T] x [B,T,F] via einsum on the MXU.
+- Everything is shape-static and jit-friendly; no data-dependent branching.
+
+An optional fused Pallas kernel for the full-mode hot path lives in
+`summarymixing_tpu.ops.pallas_summary` and is bit-compatible with this
+module (see tests/test_pallas_summary.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from summarymixing_tpu.ops.linear import SummaryNet, gelu_exact
+
+Array = jax.Array
+
+MODES = (
+    "SummaryMixing",
+    "SummaryMixing-lite",
+    "SummaryMixing-expdecay",
+    "SummaryMixing-fast",
+)
+
+
+def laplace_weights(size: int, decay_constant: float, dtype=jnp.float32) -> Array:
+    """Square matrix with 1 on the diagonal and exponential decay off it:
+    w[i, j] = decay_constant ** |i - j|  (reference summary_mixing.py:316-365,
+    non-normalised — row normalisation happens in the masked-sum path).
+    """
+    idx = jnp.arange(size)
+    dist = jnp.abs(idx[None, :] - idx[:, None]).astype(dtype)
+    return jnp.exp(dist * jnp.log(jnp.asarray(decay_constant, dtype)))
+
+
+def masked_time_mean(x: Array, pad_mask: Array) -> Array:
+    """Mean over the time axis counting only valid steps.
+
+    x: [B, T, F]; pad_mask: [B, T, 1] float (1 = valid). Returns [B, 1, F].
+    Accumulates in float32 regardless of input dtype.
+    """
+    num = jnp.sum((x * pad_mask).astype(jnp.float32), axis=1, keepdims=True)
+    den = jnp.sum(pad_mask.astype(jnp.float32), axis=1, keepdims=True)
+    return (num / den).astype(x.dtype)
+
+
+def summary_matmul(sum_mask: Array, x: Array) -> Array:
+    """Per-step weighted summary: out[b, t] = sum_s mask[t, s] x[b, s] / rowsum.
+
+    sum_mask: [T, T] float (1 = include); x: [B, T, F]. Row-normalised by the
+    mask's own row sums (reference summary_mixing.py:233-235 — padding columns
+    must already be zeroed in the mask by the caller, matching the reference's
+    contract where chunk masks embed padding).
+    """
+    f32 = jnp.float32
+    weighted = jnp.einsum(
+        "ts,bsf->btf", sum_mask.astype(f32), x.astype(f32),
+        preferred_element_type=f32,
+    )
+    rowsum = jnp.sum(sum_mask.astype(f32), axis=1)[None, :, None]
+    return (weighted / rowsum).astype(x.dtype)
+
+
+class SummaryMixing(nn.Module):
+    """SummaryMixing cell. Drop-in replacement for MHSA inside encoder layers.
+
+    Call: ``cell(x, sum_mask=None, pad_mask=None, deterministic=True)`` with
+    x [B, T, F]; returns [B, T, summary_out_dim].
+
+    Attributes mirror the reference constructor (summary_mixing.py:76-159):
+
+    enc_dim: input feature size.
+    nhead: number of mixing heads (head-split projections).
+    local_proj_hid_dim / local_proj_out_dim: hidden sizes and output size of
+        the local branch f().
+    summary_hid_dim / summary_out_dim: hidden sizes and output size of the
+        summary branch s() (and of the cell output).
+    activation: nonlinearity used inside all MLPs (default exact GELU).
+    dropout_rate: dropout on the concatenated [local, summary] features.
+    mode: one of MODES.
+    decay_constant: exp-decay factor for "SummaryMixing-expdecay"
+        (non-trainable, reference :154-157).
+    """
+
+    enc_dim: int
+    nhead: int = 1
+    local_proj_hid_dim: Sequence[int] = (512,)
+    local_proj_out_dim: int = 512
+    summary_hid_dim: Sequence[int] = (512,)
+    summary_out_dim: int = 512
+    activation: Callable = gelu_exact
+    dropout_rate: float = 0.1
+    mode: str = "SummaryMixing"
+    decay_constant: float = 0.995
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        if self.mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}, got {self.mode!r}")
+        common = dict(
+            activation=self.activation,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        local_dims = tuple(self.local_proj_hid_dim) + (self.local_proj_out_dim,)
+        summary_dims = tuple(self.summary_hid_dim) + (self.summary_out_dim,)
+
+        if self.mode in ("SummaryMixing", "SummaryMixing-expdecay"):
+            self.local_proj = SummaryNet(
+                features=local_dims, n_split=self.nhead, name="local_proj", **common
+            )
+            self.summary_proj = SummaryNet(
+                features=summary_dims, n_split=self.nhead, name="summary_proj", **common
+            )
+            self.summary_local_merging = SummaryNet(
+                features=(self.summary_out_dim,), name="summary_local_merging", **common
+            )
+        elif self.mode == "SummaryMixing-fast":
+            # One fused projection producing [local | summary] halves
+            # (reference :129-143). Head-splitting is not used here (n_split=1
+            # in the reference fast path).
+            self.global_proj = SummaryNet(
+                features=(2 * self.local_proj_out_dim,), name="global_proj", **common
+            )
+            self.summary_local_merging = SummaryNet(
+                features=(self.summary_out_dim,), name="summary_local_merging", **common
+            )
+        else:  # lite
+            self.summary_proj = SummaryNet(
+                features=summary_dims, n_split=self.nhead, name="summary_proj", **common
+            )
+        self.dropout = nn.Dropout(rate=self.dropout_rate)
+
+    def __call__(
+        self,
+        x: Array,
+        sum_mask: Optional[Array] = None,
+        pad_mask: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        """x: [B, T, F]. sum_mask: [T, T] float, 1 = include (streaming /
+        limited context). pad_mask: [B, T] or [B, T, 1] float, 1 = valid.
+        """
+        if pad_mask is None:
+            pad_mask = jnp.ones(x.shape[:2] + (1,), dtype=x.dtype)
+        elif pad_mask.ndim == 2:
+            pad_mask = pad_mask[..., None].astype(x.dtype)
+        else:
+            pad_mask = pad_mask.astype(x.dtype)
+        if sum_mask is not None:
+            sum_mask = sum_mask.astype(jnp.float32)
+
+        if self.mode in ("SummaryMixing", "SummaryMixing-expdecay"):
+            return self._mix(x, sum_mask, pad_mask, deterministic)
+        if self.mode == "SummaryMixing-fast":
+            return self._mix_fast(x, sum_mask, pad_mask, deterministic)
+        return self._avg_only(x, pad_mask)
+
+    # -- full / expdecay -----------------------------------------------------
+    def _mix(self, x, sum_mask, pad_mask, deterministic):
+        t = x.shape[1]
+        local = self.local_proj(x) * pad_mask          # f(x), Eq. 1b
+        summary = self.summary_proj(x) * pad_mask      # s(x), Eq. 1c
+
+        if self.mode == "SummaryMixing-expdecay":
+            decay = laplace_weights(t, self.decay_constant)
+            sum_mask = decay if sum_mask is None else decay * sum_mask
+
+        if sum_mask is None:
+            pooled = masked_time_mean(summary, pad_mask)
+            pooled = jnp.broadcast_to(pooled, summary.shape)
+        else:
+            pooled = summary_matmul(sum_mask, summary)
+
+        cat = jnp.concatenate([local, pooled], axis=-1)
+        cat = self.dropout(cat, deterministic=deterministic)
+        return self.summary_local_merging(cat)
+
+    # -- fast ----------------------------------------------------------------
+    def _mix_fast(self, x, sum_mask, pad_mask, deterministic):
+        proj = self.global_proj(x) * pad_mask
+        local, summary = jnp.split(proj, 2, axis=-1)
+        if sum_mask is None:
+            pooled = masked_time_mean(summary, pad_mask)
+            pooled = jnp.broadcast_to(pooled, summary.shape)
+        else:
+            pooled = summary_matmul(sum_mask, summary)
+        cat = jnp.concatenate([local, pooled], axis=-1)
+        cat = self.dropout(cat, deterministic=deterministic)
+        return self.summary_local_merging(cat)
+
+    # -- lite ----------------------------------------------------------------
+    def _avg_only(self, x, pad_mask):
+        summary = self.summary_proj(x) * pad_mask
+        pooled = masked_time_mean(summary, pad_mask)
+        return jnp.broadcast_to(pooled, summary.shape)

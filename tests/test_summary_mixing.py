@@ -1,0 +1,194 @@
+"""SummaryMixing cell tests: torch-oracle parity, shape, and mask properties.
+
+Mirrors and extends the reference test strategy
+(reference tests/unittests/test_summary_mixing.py — shape test :5-57,
+golden-value test :60-153) per SURVEY.md §4.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from summarymixing_tpu.ops.summary_mixing import SummaryMixing, laplace_weights
+
+from torch_oracle import (
+    draw_summary_mixing,
+    summary_mixing_forward,
+    to_flax_params,
+)
+
+MODES = [
+    "SummaryMixing",
+    "SummaryMixing-lite",
+    "SummaryMixing-fast",
+    "SummaryMixing-expdecay",
+]
+
+
+def make_cell(mode, nhead, fea=8, local_out=32, summary_out=None):
+    summary_out = summary_out or fea
+    return SummaryMixing(
+        enc_dim=fea,
+        nhead=nhead,
+        local_proj_hid_dim=(32,),
+        local_proj_out_dim=local_out,
+        summary_hid_dim=(64,),
+        summary_out_dim=summary_out,
+        mode=mode,
+    )
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("nhead", [1, 4])
+def test_shape(mode, nhead, rng):
+    batch, time, fea = 8, 10, 64
+    x = jnp.asarray(rng.standard_normal((batch, time, fea)), jnp.float32)
+    cell = make_cell(mode, nhead, fea=fea)
+    params = cell.init(jax.random.PRNGKey(0), x)
+    out = cell.apply(params, x)
+    assert out.shape == (batch, time, fea)
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("nhead", [1, 2])
+@pytest.mark.parametrize("masked", [False, True])
+def test_torch_oracle_parity(mode, nhead, masked, rng):
+    """JAX forward == independent torch implementation of the published
+    equations, for every mode x head count x (sum_mask present or not)."""
+    batch, time, fea = 3, 7, 8
+    local_out, summary_out = 32, fea
+    x_np = rng.standard_normal((batch, time, fea)).astype(np.float32)
+
+    p = draw_summary_mixing(
+        1234 + nhead, fea, nhead, [32], local_out, [64], summary_out, mode
+    )
+    sum_mask_t = pad_t = sum_mask_j = pad_j = None
+    if masked:
+        # random binary context mask with nonzero rows + padding mask
+        sm = (rng.random((time, time)) < 0.6).astype(np.float32)
+        sm[np.arange(time), np.arange(time)] = 1.0
+        lens = np.array([time, time - 2, time - 4])
+        pm = (np.arange(time)[None, :] < lens[:, None]).astype(np.float32)
+        sum_mask_t, pad_t = torch.tensor(sm), torch.tensor(pm)
+        sum_mask_j, pad_j = jnp.asarray(sm), jnp.asarray(pm)
+
+    want = summary_mixing_forward(
+        torch.tensor(x_np), p, sum_mask=sum_mask_t, pad_mask=pad_t
+    ).numpy()
+
+    cell = make_cell(mode, nhead, fea=fea, local_out=local_out)
+    variables = to_flax_params(p)
+    got = cell.apply(
+        variables, jnp.asarray(x_np), sum_mask=sum_mask_j, pad_mask=pad_j
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["SummaryMixing", "SummaryMixing-lite"])
+def test_padding_invariance(mode, rng):
+    """Outputs at valid steps must not change when trailing padding grows.
+    Critical property: the mean divides by real length
+    (reference summary_mixing.py:218-219); any mask slip silently changes
+    results (SURVEY.md §7 'hard parts')."""
+    batch, time, fea = 2, 6, 8
+    x = rng.standard_normal((batch, time, fea)).astype(np.float32)
+    cell = make_cell(mode, 2, fea=fea)
+    params = cell.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    lens = np.array([time, time - 2])
+    pad = (np.arange(time)[None, :] < lens[:, None]).astype(np.float32)
+    out1 = cell.apply(params, jnp.asarray(x), pad_mask=jnp.asarray(pad))
+
+    extra = 5
+    x_padded = np.concatenate(
+        [x, rng.standard_normal((batch, extra, fea)).astype(np.float32)], axis=1
+    )
+    pad2 = (np.arange(time + extra)[None, :] < lens[:, None]).astype(np.float32)
+    out2 = cell.apply(params, jnp.asarray(x_padded), pad_mask=jnp.asarray(pad2))
+
+    for b in range(batch):
+        np.testing.assert_allclose(
+            np.asarray(out1)[b, : lens[b]],
+            np.asarray(out2)[b, : lens[b]],
+            atol=1e-5,
+            rtol=1e-5,
+        )
+
+
+def test_sum_mask_all_ones_equals_no_mask(rng):
+    """A full-context sum_mask must reproduce the plain masked-mean path
+    (mask-mode equivalence, SURVEY.md §4 item 3). Valid only for unpadded
+    input: the reference sum_mask path normalises by mask rowsum, not by
+    real length (summary_mixing.py:233-235)."""
+    batch, time, fea = 2, 5, 8
+    x = jnp.asarray(rng.standard_normal((batch, time, fea)), jnp.float32)
+    cell = make_cell("SummaryMixing", 2, fea=fea)
+    params = cell.init(jax.random.PRNGKey(0), x)
+    out_none = cell.apply(params, x)
+    out_ones = cell.apply(params, x, sum_mask=jnp.ones((time, time)))
+    np.testing.assert_allclose(
+        np.asarray(out_none), np.asarray(out_ones), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_lite_broadcasts_over_time(rng):
+    """Lite mode output is constant across time (reference golden structure,
+    test_summary_mixing.py:134-141)."""
+    x = jnp.asarray(rng.standard_normal((2, 4, 8)), jnp.float32)
+    cell = make_cell("SummaryMixing-lite", 1)
+    params = cell.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(cell.apply(params, x))
+    for t in range(1, 4):
+        np.testing.assert_allclose(out[:, t], out[:, 0], atol=1e-6)
+
+
+def test_laplace_weights():
+    w = np.asarray(laplace_weights(4, 0.995))
+    idx = np.arange(4)
+    want = 0.995 ** np.abs(idx[None, :] - idx[:, None])
+    np.testing.assert_allclose(w, want, rtol=1e-6)
+
+
+def test_expdecay_matches_explicit_sum_mask(rng):
+    """expdecay == full mode called with the laplace matrix as sum_mask."""
+    batch, time, fea = 2, 6, 8
+    x_np = rng.standard_normal((batch, time, fea)).astype(np.float32)
+    p = draw_summary_mixing(7, fea, 1, [32], 32, [64], fea, "SummaryMixing-expdecay")
+    cell_exp = make_cell("SummaryMixing-expdecay", 1, fea=fea)
+    out_exp = cell_exp.apply(to_flax_params(p), jnp.asarray(x_np))
+
+    p_full = dict(p, mode="SummaryMixing")
+    cell_full = make_cell("SummaryMixing", 1, fea=fea)
+    out_full = cell_full.apply(
+        to_flax_params(p_full),
+        jnp.asarray(x_np),
+        sum_mask=laplace_weights(time, 0.995),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_exp), np.asarray(out_full), atol=1e-6
+    )
+
+
+def test_invalid_mode():
+    with pytest.raises(ValueError):
+        cell = SummaryMixing(enc_dim=8, nhead=1, mode="bogus")
+        cell.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 8)))
+
+
+def test_dropout_active_in_training(rng):
+    x = jnp.asarray(rng.standard_normal((2, 4, 8)), jnp.float32)
+    cell = make_cell("SummaryMixing", 1, fea=8)
+    params = cell.init(jax.random.PRNGKey(0), x)
+    o1 = cell.apply(
+        params, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    o2 = cell.apply(
+        params, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)}
+    )
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    # deterministic path is reproducible
+    o3 = cell.apply(params, x)
+    o4 = cell.apply(params, x)
+    np.testing.assert_allclose(np.asarray(o3), np.asarray(o4))
