@@ -1,0 +1,30 @@
+from summarymixing_tpu.models.branchformer import (
+    BranchformerEncoder,
+    BranchformerEncoderLayer,
+)
+from summarymixing_tpu.models.conformer import (
+    ConformerEncoder,
+    ConformerEncoderLayer,
+)
+from summarymixing_tpu.models.transformer import (
+    NormalizedEmbedding,
+    TransformerDecoder,
+    TransformerDecoderLayer,
+    TransformerEncoder,
+    TransformerEncoderLayer,
+)
+from summarymixing_tpu.models.asr import TransformerASR, EncoderWrapper
+
+__all__ = [
+    "BranchformerEncoder",
+    "BranchformerEncoderLayer",
+    "ConformerEncoder",
+    "ConformerEncoderLayer",
+    "NormalizedEmbedding",
+    "TransformerDecoder",
+    "TransformerDecoderLayer",
+    "TransformerEncoder",
+    "TransformerEncoderLayer",
+    "TransformerASR",
+    "EncoderWrapper",
+]

@@ -1,0 +1,181 @@
+"""Branchformer encoder with SummaryMixing (and MHA / RelPos / HyperMixing /
+cnn-only) token-mixing branch.
+
+Capability parity with reference Branchformer.py:100-491:
+- Two parallel branches on the same input: token mixing (norm_mhsa -> mixer
+  -> dropout) and cgMLP (norm_conv -> ConvolutionBranch -> dropout), merged by
+  a projection and added residually (reference :243-281).
+- With SummaryMixing, the merge projection is a deep trailing-activation MLP
+  (SummaryNet) of dims summary_hid_dim + [d_model] over the concatenated
+  [summary_out_dim + d_model] features (reference :211-226, requires
+  local_proj_out_dim == d_model for the shapes to line up, as in all recipes);
+  for other mixers it is a single Linear(2*d_model -> d_model).
+- Stack applies a final LayerNorm with eps 1e-6 (reference :445).
+- Dynamic Chunk Training is rejected like the reference (:469-471), but a
+  [T, T] sum/attention mask restricting context IS supported.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from summarymixing_tpu.ops.convolution import ConvolutionBranch
+from summarymixing_tpu.ops.linear import SummaryNet, gelu_exact
+from summarymixing_tpu.models.mixers import apply_mixer, make_mixer
+
+Array = jax.Array
+
+
+class BranchformerEncoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    kernel_size: int = 31
+    dropout_rate: float = 0.0
+    attention_type: str = "SummaryMixing"
+    csgu_linear_units: int = 3072
+    gate_activation: Callable = lambda x: x
+    use_linear_after_conv: bool = False
+    local_proj_hid_dim: Sequence[int] = (512,)
+    local_proj_out_dim: int = 512
+    summary_hid_dim: Sequence[int] = (1024,)
+    summary_out_dim: int = 1024
+    mode: str = "SummaryMixing"
+    activation: Callable = gelu_exact
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.attention_type != "cnnonly":
+            self.mixer = make_mixer(
+                self.attention_type,
+                self.d_model,
+                self.nhead,
+                self.dropout_rate,
+                local_proj_hid_dim=self.local_proj_hid_dim,
+                local_proj_out_dim=self.local_proj_out_dim,
+                summary_hid_dim=self.summary_hid_dim,
+                summary_out_dim=self.summary_out_dim,
+                mode=self.mode,
+                activation=self.activation,
+                name="mixer",
+                **common,
+            )
+            if self.attention_type == "SummaryMixing":
+                # Deep merge MLP (reference Branchformer.py:221-226). Shapes
+                # require local_proj_out_dim == d_model (true in all recipes).
+                self.merge_proj = SummaryNet(
+                    features=tuple(self.summary_hid_dim) + (self.d_model,),
+                    activation=self.activation,
+                    name="merge_proj",
+                    **common,
+                )
+            else:
+                self.merge_proj = nn.Dense(self.d_model, name="merge_proj", **common)
+            self.norm_mhsa = nn.LayerNorm(epsilon=1e-5, name="norm_mhsa", **common)
+        self.convolution_branch = ConvolutionBranch(
+            input_size=self.d_model,
+            linear_units=self.csgu_linear_units,
+            kernel_size=self.kernel_size,
+            activation=self.activation,
+            gate_activation=self.gate_activation,
+            dropout_rate=self.dropout_rate,
+            use_linear_after_conv=self.use_linear_after_conv,
+            name="convolution_branch",
+            **common,
+        )
+        self.norm_conv = nn.LayerNorm(epsilon=1e-5, name="norm_conv", **common)
+        self.dropout = nn.Dropout(rate=self.dropout_rate)
+
+    def __call__(
+        self,
+        x: Array,
+        src_mask: Optional[Array] = None,
+        pad_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        if self.attention_type == "cnnonly":
+            x2 = self.dropout(
+                self.convolution_branch(
+                    self.norm_conv(x), pad_mask=pad_mask, deterministic=deterministic
+                ),
+                deterministic=deterministic,
+            )
+            return x + x2
+        x1 = apply_mixer(
+            self.mixer,
+            self.attention_type,
+            self.norm_mhsa(x),
+            attn_mask=src_mask,
+            pad_mask=pad_mask,
+            pos_embs=pos_embs,
+            deterministic=deterministic,
+        )
+        x1 = self.dropout(x1, deterministic=deterministic)
+        x2 = self.dropout(
+            self.convolution_branch(
+                self.norm_conv(x), pad_mask=pad_mask, deterministic=deterministic
+            ),
+            deterministic=deterministic,
+        )
+        merged = self.merge_proj(jnp.concatenate([x1, x2], axis=-1))
+        return x + self.dropout(merged, deterministic=deterministic)
+
+
+class BranchformerEncoder(nn.Module):
+    num_layers: int
+    d_model: int
+    nhead: int
+    kernel_size: int = 31
+    dropout_rate: float = 0.0
+    attention_type: str = "SummaryMixing"
+    csgu_linear_units: int = 3072
+    gate_activation: Callable = lambda x: x
+    use_linear_after_conv: bool = False
+    local_proj_hid_dim: Sequence[int] = (512,)
+    local_proj_out_dim: int = 512
+    summary_hid_dim: Sequence[int] = (1024,)
+    summary_out_dim: int = 1024
+    mode: str = "SummaryMixing"
+    activation: Callable = gelu_exact
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        src_mask: Optional[Array] = None,
+        pad_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        if self.attention_type == "RelPosMHAXL" and pos_embs is None:
+            raise ValueError("RelPosMHAXL requires pos_embs [1, 2T-1, D]")
+        for i in range(self.num_layers):
+            x = BranchformerEncoderLayer(
+                d_model=self.d_model,
+                nhead=self.nhead,
+                kernel_size=self.kernel_size,
+                dropout_rate=self.dropout_rate,
+                attention_type=self.attention_type,
+                csgu_linear_units=self.csgu_linear_units,
+                gate_activation=self.gate_activation,
+                use_linear_after_conv=self.use_linear_after_conv,
+                local_proj_hid_dim=self.local_proj_hid_dim,
+                local_proj_out_dim=self.local_proj_out_dim,
+                summary_hid_dim=self.summary_hid_dim,
+                summary_out_dim=self.summary_out_dim,
+                mode=self.mode,
+                activation=self.activation,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )(x, src_mask, pad_mask, pos_embs, deterministic)
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="norm")(x)

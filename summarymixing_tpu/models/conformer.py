@@ -1,0 +1,190 @@
+"""Conformer encoder (Macaron FFN + mixer + convolution module) with
+SummaryMixing support, dynamic-chunk training, and functional streaming.
+
+Capability parity with reference Conformer.py:336-856:
+- Layer: x += 0.5*ffn1(x); skip; norm1; mixer; +skip; x += conv_module(x);
+  x = norm2(x + 0.5*ffn2(x)) (reference :479-533).
+- SummaryMixing mixer forces summary_out_dim == d_model and shares the layer
+  dropout (reference :436-447); masks are multiplicative 1=valid (the
+  polarity machinery of the reference is deleted globally).
+- Dynamic Chunk Training: the [T, T] chunked mask gates the mixer and a
+  traced chunk_size gates the convolution (Dynamic Chunk Convolution,
+  reference :190-313 — reformulated mask-based for static shapes).
+- Streaming: `forward_streaming`-equivalent is expressed as an explicit
+  carried state (`ConformerStreamingState`) instead of mutable context
+  objects (reference :539-638); see models/streaming.py.
+- Stack final LayerNorm eps 1e-6 (reference :738).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from summarymixing_tpu.ops.attention import PositionalwiseFeedForward
+from summarymixing_tpu.ops.convolution import ConvolutionModule
+from summarymixing_tpu.models.mixers import apply_mixer, make_mixer
+
+Array = jax.Array
+
+
+class ConformerEncoderLayer(nn.Module):
+    d_model: int
+    d_ffn: int
+    nhead: int
+    kernel_size: int = 31
+    use_bias: bool = True
+    dropout_rate: float = 0.0
+    causal: bool = False
+    attention_type: str = "RelPosMHAXL"
+    local_proj_hid_dim: Sequence[int] = (512,)
+    local_proj_out_dim: int = 512
+    summary_hid_dim: Sequence[int] = (1024,)
+    mode: str = "SummaryMixing"
+    activation: Callable = jax.nn.silu  # Swish
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.mixer = make_mixer(
+            self.attention_type,
+            self.d_model,
+            self.nhead,
+            self.dropout_rate,
+            local_proj_hid_dim=self.local_proj_hid_dim,
+            local_proj_out_dim=self.local_proj_out_dim,
+            summary_hid_dim=self.summary_hid_dim,
+            # SummaryMixing output must match d_model here (reference :442)
+            summary_out_dim=self.d_model,
+            mode=self.mode,
+            activation=self.activation
+            if self.attention_type == "SummaryMixing"
+            else None,
+            hypernet_size=self.d_ffn,
+            mask_pos_future=self.causal,
+            name="mixer",
+            **common,
+        )
+        self.convolution_module = ConvolutionModule(
+            input_size=self.d_model,
+            kernel_size=self.kernel_size,
+            use_bias=self.use_bias,
+            activation=self.activation,
+            dropout_rate=self.dropout_rate,
+            causal=self.causal,
+            name="convolution_module",
+            **common,
+        )
+        ffn = lambda name: PositionalwiseFeedForward(  # noqa: E731
+            d_ffn=self.d_ffn,
+            d_model=self.d_model,
+            dropout_rate=self.dropout_rate,
+            activation=self.activation,
+            name=name,
+            **common,
+        )
+        self.ffn1 = ffn("ffn1")
+        self.ffn2 = ffn("ffn2")
+        self.norm_ffn1 = nn.LayerNorm(epsilon=1e-5, name="norm_ffn1", **common)
+        self.norm_ffn2 = nn.LayerNorm(epsilon=1e-5, name="norm_ffn2", **common)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1", **common)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2", **common)
+        self.dropout = nn.Dropout(rate=self.dropout_rate)
+
+    def __call__(
+        self,
+        x: Array,
+        src_mask: Optional[Array] = None,
+        pad_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        chunk_size: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        # Macaron half-FFN 1
+        x = x + 0.5 * self.dropout(
+            self.ffn1(self.norm_ffn1(x), deterministic=deterministic),
+            deterministic=deterministic,
+        )
+        # token mixing
+        skip = x
+        x = apply_mixer(
+            self.mixer,
+            self.attention_type,
+            self.norm1(x),
+            attn_mask=src_mask,
+            pad_mask=pad_mask,
+            pos_embs=pos_embs,
+            deterministic=deterministic,
+        )
+        x = x + skip
+        # convolution module (with optional dynamic chunk convolution)
+        x = x + self.convolution_module(
+            x, pad_mask=pad_mask, chunk_size=chunk_size, deterministic=deterministic
+        )
+        # Macaron half-FFN 2 + norm
+        x = self.norm2(
+            x
+            + 0.5
+            * self.dropout(
+                self.ffn2(self.norm_ffn2(x), deterministic=deterministic),
+                deterministic=deterministic,
+            )
+        )
+        return x
+
+
+class ConformerEncoder(nn.Module):
+    num_layers: int
+    d_model: int
+    d_ffn: int
+    nhead: int
+    kernel_size: int = 31
+    use_bias: bool = True
+    dropout_rate: float = 0.0
+    causal: bool = False
+    attention_type: str = "RelPosMHAXL"
+    local_proj_hid_dim: Sequence[int] = (512,)
+    local_proj_out_dim: int = 512
+    summary_hid_dim: Sequence[int] = (1024,)
+    mode: str = "SummaryMixing"
+    activation: Callable = jax.nn.silu
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        src_mask: Optional[Array] = None,
+        pad_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        chunk_size: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        if self.attention_type == "RelPosMHAXL" and pos_embs is None:
+            raise ValueError("RelPosMHAXL requires pos_embs [1, 2T-1, D]")
+        for i in range(self.num_layers):
+            x = ConformerEncoderLayer(
+                d_model=self.d_model,
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                kernel_size=self.kernel_size,
+                use_bias=self.use_bias,
+                dropout_rate=self.dropout_rate,
+                causal=self.causal,
+                attention_type=self.attention_type,
+                local_proj_hid_dim=self.local_proj_hid_dim,
+                local_proj_out_dim=self.local_proj_out_dim,
+                summary_hid_dim=self.summary_hid_dim,
+                mode=self.mode,
+                activation=self.activation,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )(x, src_mask, pad_mask, pos_embs, chunk_size, deterministic)
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="norm")(x)

@@ -1,0 +1,379 @@
+"""Transformer encoder/decoder and NormalizedEmbedding.
+
+Capability parity with reference Transformer.py:
+- TransformerEncoderLayer (:338-527): pre/post-LN, mixer dispatch (incl.
+  SummaryMixing), ffn_type "regularFFN" or "1dcnn" (two Conv1d with causal or
+  same padding, :439-458). NOTE the reference's SummaryMixing wiring here is
+  broken (constructed without `nhead`, called with a nonexistent
+  `attention_mask=` kwarg, Transformer.py:428-437,499 — crashes upstream);
+  this implementation wires it correctly (sum_mask + pad_mask).
+- TransformerEncoder (:529-690): stack + final LN eps 1e-6 + layerdrop
+  (:670-680). Layerdrop here uses a per-layer Bernoulli and selects
+  layer-out vs identity (same training semantics; the compiled graph is
+  static so no compute is saved, which is the XLA-friendly formulation).
+- TransformerDecoder(Layer) (:693-988): self-attn + cross-attn + FFN,
+  pre/post-LN, per-layer norms eps 1e-6.
+- NormalizedEmbedding (:991-1021): embedding scaled by sqrt(d_model).
+
+Mask convention: float 1=valid/allowed everywhere (see ops/masks.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from summarymixing_tpu.ops.attention import (
+    MultiheadAttention,
+    PositionalwiseFeedForward,
+    RelPosMHAXL,
+)
+from summarymixing_tpu.models.mixers import apply_mixer, make_mixer
+
+Array = jax.Array
+
+
+class Conv1dFFN(nn.Module):
+    """The "1dcnn" ffn_type: Conv1d(d->ffn, k1) -> ReLU -> Conv1d(ffn->d, k2)
+    with causal or same padding (reference Transformer.py:444-458)."""
+
+    d_ffn: int
+    d_model: int
+    kernel_sizes: Sequence[int] = (3, 3)
+    causal: bool = False
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        for i, (feats, k) in enumerate(
+            zip((self.d_ffn, self.d_model), self.kernel_sizes)
+        ):
+            if self.causal:
+                x = jnp.pad(x, ((0, 0), (k - 1, 0), (0, 0)))
+                padding = "VALID"
+            else:
+                padding = "SAME"
+            x = nn.Conv(
+                features=feats,
+                kernel_size=(k,),
+                padding=padding,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"conv_{i}",
+            )(x)
+            if i == 0:
+                x = jax.nn.relu(x)
+        return x
+
+
+class TransformerEncoderLayer(nn.Module):
+    d_model: int
+    d_ffn: int
+    nhead: int
+    dropout_rate: float = 0.0
+    activation: Callable = jax.nn.relu
+    normalize_before: bool = True
+    attention_type: str = "SummaryMixing"
+    ffn_type: str = "regularFFN"
+    ffn_cnn_kernel_size_list: Sequence[int] = (3, 3)
+    causal: bool = False
+    local_proj_hid_dim: Sequence[int] = (512,)
+    local_proj_out_dim: int = 512
+    summary_hid_dim: Sequence[int] = (1024,)
+    summary_out_dim: int = 1024
+    mode: str = "SummaryMixing"
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.mixer = make_mixer(
+            self.attention_type,
+            self.d_model,
+            self.nhead,
+            self.dropout_rate,
+            local_proj_hid_dim=self.local_proj_hid_dim,
+            local_proj_out_dim=self.local_proj_out_dim,
+            summary_hid_dim=self.summary_hid_dim,
+            # Output must flow back into the residual stream: d_model.
+            summary_out_dim=self.d_model,
+            mode=self.mode,
+            hypernet_size=self.d_ffn,
+            mask_pos_future=self.causal,
+            name="self_att",
+            **common,
+        )
+        if self.ffn_type == "regularFFN":
+            self.pos_ffn = PositionalwiseFeedForward(
+                d_ffn=self.d_ffn,
+                d_model=self.d_model,
+                dropout_rate=self.dropout_rate,
+                activation=self.activation,
+                name="pos_ffn",
+                **common,
+            )
+        elif self.ffn_type == "1dcnn":
+            self.pos_ffn = Conv1dFFN(
+                d_ffn=self.d_ffn,
+                d_model=self.d_model,
+                kernel_sizes=tuple(self.ffn_cnn_kernel_size_list),
+                causal=self.causal,
+                name="pos_ffn",
+                **common,
+            )
+        else:
+            raise ValueError(f"unknown ffn_type {self.ffn_type!r}")
+        self.norm1 = nn.LayerNorm(epsilon=1e-6, name="norm1", **common)
+        self.norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2", **common)
+        self.dropout = nn.Dropout(rate=self.dropout_rate)
+
+    def __call__(
+        self,
+        x: Array,
+        src_mask: Optional[Array] = None,
+        pad_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        src1 = self.norm1(x) if self.normalize_before else x
+        out = apply_mixer(
+            self.mixer,
+            self.attention_type,
+            src1,
+            attn_mask=src_mask,
+            pad_mask=pad_mask,
+            pos_embs=pos_embs,
+            deterministic=deterministic,
+        )
+        x = x + self.dropout(out, deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm1(x)
+
+        src1 = self.norm2(x) if self.normalize_before else x
+        out = self.pos_ffn(src1, deterministic=deterministic)
+        x = x + self.dropout(out, deterministic=deterministic)
+        if not self.normalize_before:
+            x = self.norm2(x)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    num_layers: int
+    d_model: int
+    d_ffn: int
+    nhead: int
+    dropout_rate: float = 0.0
+    activation: Callable = jax.nn.relu
+    normalize_before: bool = True
+    causal: bool = False
+    layerdrop_prob: float = 0.0
+    attention_type: str = "regularMHA"
+    ffn_type: str = "regularFFN"
+    ffn_cnn_kernel_size_list: Sequence[int] = (3, 3)
+    local_proj_hid_dim: Sequence[int] = (512,)
+    local_proj_out_dim: int = 512
+    summary_hid_dim: Sequence[int] = (1024,)
+    summary_out_dim: int = 1024
+    mode: str = "SummaryMixing"
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        src_mask: Optional[Array] = None,
+        pad_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        use_layerdrop = self.layerdrop_prob > 0.0 and not deterministic
+        if use_layerdrop:
+            keys = jax.random.uniform(
+                self.make_rng("layerdrop"), (self.num_layers,)
+            )
+        for i in range(self.num_layers):
+            out = TransformerEncoderLayer(
+                d_model=self.d_model,
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                dropout_rate=self.dropout_rate,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                attention_type=self.attention_type,
+                ffn_type=self.ffn_type,
+                ffn_cnn_kernel_size_list=self.ffn_cnn_kernel_size_list,
+                causal=self.causal,
+                local_proj_hid_dim=self.local_proj_hid_dim,
+                local_proj_out_dim=self.local_proj_out_dim,
+                summary_hid_dim=self.summary_hid_dim,
+                summary_out_dim=self.summary_out_dim,
+                mode=self.mode,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )(x, src_mask, pad_mask, pos_embs, deterministic)
+            if use_layerdrop:
+                keep = keys[i] > self.layerdrop_prob
+                x = jnp.where(keep, out, x)
+            else:
+                x = out
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="norm")(x)
+
+
+class TransformerDecoderLayer(nn.Module):
+    d_model: int
+    d_ffn: int
+    nhead: int
+    dropout_rate: float = 0.0
+    activation: Callable = jax.nn.relu
+    normalize_before: bool = True
+    attention_type: str = "regularMHA"
+    causal: bool = True
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.attention_type == "regularMHA":
+            attn = lambda name: MultiheadAttention(  # noqa: E731
+                d_model=self.d_model, nhead=self.nhead,
+                dropout_rate=self.dropout_rate, name=name, **common,
+            )
+        elif self.attention_type == "RelPosMHAXL":
+            attn = lambda name: RelPosMHAXL(  # noqa: E731
+                d_model=self.d_model, nhead=self.nhead,
+                dropout_rate=self.dropout_rate,
+                mask_pos_future=self.causal, name=name, **common,
+            )
+        else:
+            raise ValueError(
+                f"decoder supports regularMHA/RelPosMHAXL, got {self.attention_type!r}"
+            )
+        self.self_attn = attn("self_attn")
+        self.cross_attn = attn("cross_attn")
+        self.pos_ffn = PositionalwiseFeedForward(
+            d_ffn=self.d_ffn,
+            d_model=self.d_model,
+            dropout_rate=self.dropout_rate,
+            activation=self.activation,
+            name="pos_ffn",
+            **common,
+        )
+        self.norm1 = nn.LayerNorm(epsilon=1e-6, name="norm1", **common)
+        self.norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2", **common)
+        self.norm3 = nn.LayerNorm(epsilon=1e-6, name="norm3", **common)
+        self.dropout = nn.Dropout(rate=self.dropout_rate)
+
+    def __call__(
+        self,
+        tgt: Array,
+        memory: Array,
+        tgt_mask: Optional[Array] = None,
+        memory_mask: Optional[Array] = None,
+        tgt_pad_mask: Optional[Array] = None,
+        memory_pad_mask: Optional[Array] = None,
+        pos_embs_tgt: Optional[Array] = None,
+        pos_embs_src: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        t1 = self.norm1(tgt) if self.normalize_before else tgt
+        out, _ = self.self_attn(
+            t1, t1, t1,
+            attn_mask=tgt_mask,
+            pad_mask=tgt_pad_mask,
+            pos_embs=pos_embs_tgt,
+            deterministic=deterministic,
+        )
+        tgt = tgt + self.dropout(out, deterministic=deterministic)
+        if not self.normalize_before:
+            tgt = self.norm1(tgt)
+
+        t1 = self.norm2(tgt) if self.normalize_before else tgt
+        out, _ = self.cross_attn(
+            t1, memory, memory,
+            attn_mask=memory_mask,
+            pad_mask=memory_pad_mask,
+            pos_embs=pos_embs_src,
+            deterministic=deterministic,
+        )
+        tgt = tgt + self.dropout(out, deterministic=deterministic)
+        if not self.normalize_before:
+            tgt = self.norm2(tgt)
+
+        t1 = self.norm3(tgt) if self.normalize_before else tgt
+        out = self.pos_ffn(t1, deterministic=deterministic)
+        tgt = tgt + self.dropout(out, deterministic=deterministic)
+        if not self.normalize_before:
+            tgt = self.norm3(tgt)
+        return tgt
+
+
+class TransformerDecoder(nn.Module):
+    num_layers: int
+    d_model: int
+    d_ffn: int
+    nhead: int
+    dropout_rate: float = 0.0
+    activation: Callable = jax.nn.relu
+    normalize_before: bool = True
+    attention_type: str = "regularMHA"
+    causal: bool = True
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt: Array,
+        memory: Array,
+        tgt_mask: Optional[Array] = None,
+        memory_mask: Optional[Array] = None,
+        tgt_pad_mask: Optional[Array] = None,
+        memory_pad_mask: Optional[Array] = None,
+        pos_embs_tgt: Optional[Array] = None,
+        pos_embs_src: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        for i in range(self.num_layers):
+            tgt = TransformerDecoderLayer(
+                d_model=self.d_model,
+                d_ffn=self.d_ffn,
+                nhead=self.nhead,
+                dropout_rate=self.dropout_rate,
+                activation=self.activation,
+                normalize_before=self.normalize_before,
+                attention_type=self.attention_type,
+                causal=self.causal,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )(
+                tgt, memory, tgt_mask, memory_mask, tgt_pad_mask,
+                memory_pad_mask, pos_embs_tgt, pos_embs_src, deterministic,
+            )
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="norm")(tgt)
+
+
+class NormalizedEmbedding(nn.Module):
+    """Embedding scaled by sqrt(d_model) (reference Transformer.py:991-1021)."""
+
+    d_model: int
+    vocab: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: Array) -> Array:
+        emb = nn.Embed(
+            num_embeddings=self.vocab,
+            features=self.d_model,
+            param_dtype=self.param_dtype,
+            name="emb",
+        )(tokens)
+        return emb * jnp.sqrt(jnp.asarray(self.d_model, emb.dtype))

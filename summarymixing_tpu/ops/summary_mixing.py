@@ -74,17 +74,23 @@ def masked_time_mean(x: Array, pad_mask: Array) -> Array:
 def summary_matmul(sum_mask: Array, x: Array) -> Array:
     """Per-step weighted summary: out[b, t] = sum_s mask[t, s] x[b, s] / rowsum.
 
-    sum_mask: [T, T] float (1 = include); x: [B, T, F]. Row-normalised by the
-    mask's own row sums (reference summary_mixing.py:233-235 — padding columns
-    must already be zeroed in the mask by the caller, matching the reference's
-    contract where chunk masks embed padding).
+    sum_mask: [T, T] or [B, T, T] float (1 = include); x: [B, T, F].
+    Row-normalised by the mask's own row sums (reference
+    summary_mixing.py:233-235). Pass a [B, T, T] mask with padded columns
+    zeroed (ops.masks.combine_padding) to normalise by the true valid count —
+    the reference's [T, T]-only path counts padded frames in the divisor, a
+    bias we fix at the encoder level.
     """
     f32 = jnp.float32
-    weighted = jnp.einsum(
-        "ts,bsf->btf", sum_mask.astype(f32), x.astype(f32),
-        preferred_element_type=f32,
-    )
-    rowsum = jnp.sum(sum_mask.astype(f32), axis=1)[None, :, None]
+    m = sum_mask.astype(f32)
+    if m.ndim == 2:
+        weighted = jnp.einsum("ts,bsf->btf", m, x.astype(f32),
+                              preferred_element_type=f32)
+        rowsum = jnp.sum(m, axis=1)[None, :, None]
+    else:
+        weighted = jnp.einsum("bts,bsf->btf", m, x.astype(f32),
+                              preferred_element_type=f32)
+        rowsum = jnp.sum(m, axis=2)[:, :, None]
     return (weighted / rowsum).astype(x.dtype)
 
 
