@@ -1,0 +1,222 @@
+"""Speech feature frontend: STFT -> power spectrum -> mel filterbank -> log,
+plus global input normalization with running statistics.
+
+Capability parity:
+- Fbank <- speechbrain.lobes.features.Fbank as configured by every recipe
+  (branchformer_summarymixing.yaml:337-341: sr 16000, n_fft 512, win 32 ms,
+  80 mels; hop 10 ms default): hamming-window STFT (center, zero pad),
+  power spectrum, HTK-mel triangular filterbank, 10*log10 with top_db 80.
+- InputNormalization <- speechbrain.processing.features.InputNormalization
+  (yaml:203-206, norm_type: global, update_until_epoch: 4): running global
+  mean/std, frozen after N epochs. Functional: stats are explicit state
+  (NormStats) carried by the train step, not module buffers.
+
+TPU-first notes: the STFT is framed via a strided gather + one real matmul
+against the DFT basis — n_fft 512 frames hit the MXU directly and XLA fuses
+window + matmul + |.|^2; everything static-shaped, jit-differentiable.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def hamming_window(length: int, dtype=jnp.float32) -> Array:
+    # torch.hamming_window(periodic=True) convention
+    n = jnp.arange(length, dtype=jnp.float32)
+    return (0.54 - 0.46 * jnp.cos(2.0 * jnp.pi * n / length)).astype(dtype)
+
+
+def frame_signal(x: Array, frame_length: int, hop: int, center: bool = True) -> Array:
+    """x [B, N] -> frames [B, T, frame_length]; T = 1 + N//hop when centered
+    (constant zero padding of frame_length//2 on both sides, matching the
+    torch STFT used by the reference's Fbank)."""
+    if center:
+        pad = frame_length // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad)))
+    n = x.shape[1]
+    num_frames = 1 + (n - frame_length) // hop
+    starts = jnp.arange(num_frames) * hop
+    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
+    return x[:, idx]
+
+
+def _dft_basis(n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+    k = np.arange(n_fft // 2 + 1)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = -2.0 * np.pi * k * n / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def stft_magnitude(
+    x: Array,
+    n_fft: int = 512,
+    win_length: int = 512,
+    hop: int = 160,
+    power: float = 1.0,
+) -> Array:
+    """x [B, N] audio -> [B, T, n_fft//2+1] spectral magnitude.
+    power=1.0 -> power spectrum |X|^2 (the reference Fbank default,
+    speechbrain spectral_magnitude(power=1)); power=0.5 -> magnitude."""
+    frames = frame_signal(x, win_length, hop)  # [B,T,W]
+    win = hamming_window(win_length, frames.dtype)
+    frames = frames * win
+    if win_length < n_fft:
+        frames = jnp.pad(frames, ((0, 0), (0, 0), (0, n_fft - win_length)))
+    cos_b, sin_b = _dft_basis(n_fft)
+    re = jnp.einsum("btn,fn->btf", frames, jnp.asarray(cos_b),
+                    preferred_element_type=jnp.float32)
+    im = jnp.einsum("btn,fn->btf", frames, jnp.asarray(sin_b),
+                    preferred_element_type=jnp.float32)
+    spec = re * re + im * im
+    if power != 1.0:
+        spec = jnp.power(spec, power)
+    return spec
+
+
+def _hz_to_mel(hz):
+    return 2595.0 * np.log10(1.0 + np.asarray(hz) / 700.0)
+
+
+def _mel_to_hz(mel):
+    return 700.0 * (10.0 ** (np.asarray(mel) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    n_mels: int = 80,
+    n_fft: int = 512,
+    sample_rate: int = 16000,
+    f_min: float = 0.0,
+    f_max: Optional[float] = None,
+) -> np.ndarray:
+    """Triangular HTK-mel filterbank matrix [n_fft//2+1, n_mels]."""
+    f_max = f_max or sample_rate / 2
+    mel_pts = np.linspace(_hz_to_mel(f_min), _hz_to_mel(f_max), n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts)
+    bins = np.linspace(0, sample_rate / 2, n_fft // 2 + 1)
+    fb = np.zeros((n_fft // 2 + 1, n_mels), np.float32)
+    for m in range(n_mels):
+        left, center, right = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (bins - left) / max(center - left, 1e-10)
+        down = (right - bins) / max(right - center, 1e-10)
+        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+    return fb
+
+
+@dataclass(frozen=True)
+class Fbank:
+    """Log-mel filterbank feature extractor (callable, jit-friendly)."""
+
+    sample_rate: int = 16000
+    n_fft: int = 512
+    win_length_ms: float = 32.0
+    hop_length_ms: float = 10.0
+    n_mels: int = 80
+    f_min: float = 0.0
+    f_max: Optional[float] = None
+    top_db: float = 80.0
+    power: float = 1.0
+
+    @property
+    def win_length(self) -> int:
+        return int(round(self.sample_rate * self.win_length_ms / 1000.0))
+
+    @property
+    def hop_length(self) -> int:
+        return int(round(self.sample_rate * self.hop_length_ms / 1000.0))
+
+    def num_frames(self, num_samples: int) -> int:
+        return 1 + num_samples // self.hop_length
+
+    def frame_lengths(self, sample_lengths: Array) -> Array:
+        return 1 + sample_lengths // self.hop_length
+
+    def __call__(self, wav: Array) -> Array:
+        """wav [B, N] -> log-mel features [B, T, n_mels]."""
+        spec = stft_magnitude(
+            wav, self.n_fft, self.win_length, self.hop_length, self.power
+        )
+        fb = jnp.asarray(
+            mel_filterbank(self.n_mels, self.n_fft, self.sample_rate,
+                           self.f_min, self.f_max)
+        )
+        mel = jnp.einsum("btf,fm->btm", spec, fb,
+                         preferred_element_type=jnp.float32)
+        # amplitude_to_DB with clamp, matching the reference Fbank chain
+        db = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+        cap = jnp.max(db, axis=(1, 2), keepdims=True) - self.top_db
+        return jnp.maximum(db, cap)
+
+
+class NormStats:
+    """Running global mean/variance (Welford over masked frames)."""
+
+    @staticmethod
+    def init(dim: int) -> dict:
+        return {
+            "count": jnp.zeros((), jnp.float32),
+            "mean": jnp.zeros((dim,), jnp.float32),
+            "m2": jnp.zeros((dim,), jnp.float32),
+        }
+
+    @staticmethod
+    def update(stats: dict, x: Array, pad_mask: Optional[Array] = None) -> dict:
+        """x [B, T, F]; pad_mask [B, T] 1=valid. Chan-parallel Welford merge."""
+        if pad_mask is None:
+            pad_mask = jnp.ones(x.shape[:2], x.dtype)
+        w = pad_mask[..., None].astype(jnp.float32)
+        n_b = jnp.sum(w)
+        mean_b = jnp.sum(x * w, axis=(0, 1)) / jnp.maximum(n_b, 1.0)
+        m2_b = jnp.sum(((x - mean_b) ** 2) * w, axis=(0, 1))
+        n_a, mean_a, m2_a = stats["count"], stats["mean"], stats["m2"]
+        n = n_a + n_b
+        delta = mean_b - mean_a
+        mean = mean_a + delta * n_b / jnp.maximum(n, 1.0)
+        m2 = m2_a + m2_b + delta * delta * n_a * n_b / jnp.maximum(n, 1.0)
+        return {"count": n, "mean": mean, "m2": m2}
+
+    @staticmethod
+    def mean_std(stats: dict) -> Tuple[Array, Array]:
+        mean = stats["mean"]
+        var = stats["m2"] / jnp.maximum(stats["count"] - 1.0, 1.0)
+        return mean, jnp.sqrt(jnp.maximum(var, 1e-10))
+
+
+@dataclass(frozen=True)
+class InputNormalization:
+    """Global mean/variance normalization with stats frozen after
+    `update_until_epoch` (reference yaml:203-206)."""
+
+    update_until_epoch: int = 4
+    std_norm: bool = True
+
+    def __call__(
+        self,
+        x: Array,
+        stats: dict,
+        pad_mask: Optional[Array] = None,
+        epoch: Optional[Array] = None,
+        update: bool = False,
+    ) -> Tuple[Array, dict]:
+        if update:
+            new_stats = NormStats.update(stats, x, pad_mask)
+            if epoch is not None:
+                keep = epoch < self.update_until_epoch
+                new_stats = jax.tree.map(
+                    lambda new, old: jnp.where(keep, new, old), new_stats, stats
+                )
+            stats = new_stats
+        mean, std = NormStats.mean_std(stats)
+        out = x - mean
+        if self.std_norm:
+            out = out / std
+        return out, stats
