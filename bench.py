@@ -1,0 +1,121 @@
+"""Benchmark: offline decode throughput of the flagship SummaryMixing
+Branchformer (LibriSpeech recipe scale, branchformer_summarymixing.yaml:114-127)
+on one chip.
+
+Metric: audio-seconds decoded per wall-clock second per chip (fbank +
+encoder + CTC greedy decode, bf16, batch of 30 s utterances). North star
+(BASELINE.json): >= 5x the reference's A100 decode throughput per v5e chip.
+The reference publishes no raw RTF numbers (README.md:18 is a plot only;
+SURVEY.md §6), so `vs_baseline` reports value / (5 * 2000 audio-s/s), where
+2000 audio-s/s is an estimate of batched greedy-CTC decode of the same
+~89M-param model on an A100 — i.e. vs_baseline >= 1.0 means the 5x-A100
+north star is met.
+
+Timing methodology (this environment tunnels to a remote TPU where
+block_until_ready can return early and every host fetch costs a ~30 ms
+round trip): iterations are chained through a data dependency inside the
+loop and ONE scalar is fetched at the end, so wall time = k * device_time +
+one round trip.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Persistent compilation cache: the remote-compile path in this environment
+# can take many minutes for the 18-layer graph; cache compilations across
+# bench runs (the driver runs bench.py each round).
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def main():
+    from summarymixing_tpu.frontend.features import Fbank
+    from summarymixing_tpu.models.asr import TransformerASR
+    from summarymixing_tpu.models.speech_recognizer import SpeechRecognizer
+
+    vocab = 5000
+    asr = TransformerASR(
+        tgt_vocab=vocab, input_size=640, d_model=512, nhead=1,
+        num_encoder_layers=18, num_decoder_layers=0, d_ffn=2048,
+        encoder_module="branchformer", attention_type="SummaryMixing",
+        mode="SummaryMixing", causal=False, csgu_linear_units=3072,
+        kernel_size=31, local_proj_hid_dim=(512,), local_proj_out_dim=512,
+        summary_hid_dim=(512,), summary_out_dim=512, dropout_rate=0.0,
+        dtype=jnp.bfloat16,
+    )
+    model = SpeechRecognizer(asr=asr, vocab_size=vocab, dtype=jnp.bfloat16)
+    fbank = Fbank()
+
+    batch_size, secs, sr = 8, 30, 16000
+    n = secs * sr
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((batch_size, n)).astype(np.float32))
+    wav_lens = jnp.full((batch_size,), n, jnp.int32)
+
+    feats0 = fbank(wav[:1])
+    params = model.init(
+        jax.random.PRNGKey(0), feats0, jnp.full((1,), feats0.shape[1], jnp.int32)
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+
+    @jax.jit
+    def decode(params, wav, wav_lens, carry):
+        # carry forces iteration i+1 to depend on iteration i's result
+        feats = fbank(wav + carry * 1e-12)
+        feat_lens = fbank.frame_lengths(wav_lens)
+        out = model.apply(params, feats, feat_lens)
+        ids = jnp.argmax(out["ctc_log_probs"], axis=-1)
+        return jnp.sum(ids).astype(jnp.float32)
+
+    # warmup / compile
+    carry = decode(params, wav, wav_lens, jnp.float32(0.0))
+    float(carry)
+
+    def timed_chain(iters):
+        t0 = time.perf_counter()
+        carry = jnp.float32(0.0)
+        for _ in range(iters):
+            carry = decode(params, wav, wav_lens, carry * 0.0)
+        float(carry)  # single fetch: waits for the whole chain
+        return time.perf_counter() - t0
+
+    # marginal timing cancels the tunnel round-trip / dispatch overhead
+    k_small, k_large = 5, 55
+    t_small = timed_chain(k_small)
+    t_large = timed_chain(k_large)
+    per_iter = (t_large - t_small) / (k_large - k_small)
+    dt = per_iter * k_large
+
+    audio_seconds = batch_size * secs
+    throughput = audio_seconds / per_iter
+    ref_estimate = 2000.0  # est. A100 batched greedy decode, audio-s/s
+    target = 5.0 * ref_estimate
+    print(json.dumps({
+        "metric": "decode_throughput_audio_sec_per_sec_per_chip",
+        "value": round(throughput, 1),
+        "unit": "audio-s/s",
+        "vs_baseline": round(throughput / target, 3),
+        "detail": {
+            "model": "branchformer-summarymixing-18L-d512",
+            "params": n_params,
+            "batch": batch_size,
+            "utt_secs": secs,
+            "dtype": "bfloat16",
+            "iters": k_large,
+            "per_iter_ms": round(per_iter * 1e3, 2),
+            "device": str(jax.devices()[0]),
+            "note": "vs_baseline = value / (5 * 2000 audio-s/s A100 estimate)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

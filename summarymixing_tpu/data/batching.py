@@ -1,0 +1,126 @@
+"""Length-bucketed batching with static padded shapes per bucket — the XLA
+replacement for the reference's DynamicBatchSampler
+(branchformer yaml:75-95: duration bucketing, max_batch_length 500 s,
+num_buckets 200, max_batch_ex 128).
+
+The reference emits variable-shaped batches (fine for eager CUDA, poison for
+XLA: every new shape recompiles). Here each bucket has a FIXED (batch_size,
+max_len) so the whole train step compiles once per bucket; batch size scales
+inversely with length to keep tokens/batch ~constant like the reference's
+duration budget."""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class BucketSpec:
+    max_len: int       # padded length (samples or frames)
+    batch_size: int    # fixed examples per batch
+
+
+def make_buckets(
+    max_batch_length: float,
+    num_buckets: int,
+    min_len: int,
+    max_len: int,
+    max_batch_size: int = 128,
+    batch_multiple: int = 1,
+    growth: str = "exp",
+) -> List[BucketSpec]:
+    """Build bucket boundaries. max_batch_length is the per-batch length
+    budget in the same unit as len (the reference's seconds-of-audio budget);
+    batch_size = clamp(budget / bucket_len, 1, max_batch_size), rounded down
+    to a multiple of `batch_multiple` (e.g. the data-parallel mesh size)."""
+    specs = []
+    if growth == "exp":
+        ratio = (max_len / min_len) ** (1.0 / num_buckets)
+        bounds = [int(round(min_len * ratio ** i)) for i in range(1, num_buckets + 1)]
+    else:
+        step = (max_len - min_len) / num_buckets
+        bounds = [int(round(min_len + step * i)) for i in range(1, num_buckets + 1)]
+    seen = set()
+    for b in bounds:
+        b = max(b, min_len)
+        if b in seen:
+            continue
+        seen.add(b)
+        bs = int(max_batch_length // b)
+        bs = max(1, min(bs, max_batch_size))
+        if batch_multiple > 1:
+            bs = max(batch_multiple, (bs // batch_multiple) * batch_multiple)
+        specs.append(BucketSpec(max_len=b, batch_size=bs))
+    return specs
+
+
+def pad_batch(
+    arrays: Sequence[np.ndarray], max_len: int, pad_value: float = 0.0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack variable-length 1-D/2-D arrays into [B, max_len, ...] + lengths."""
+    b = len(arrays)
+    lengths = np.array([min(len(a), max_len) for a in arrays], np.int32)
+    trailing = arrays[0].shape[1:]
+    out = np.full((b, max_len) + trailing, pad_value, arrays[0].dtype)
+    for i, a in enumerate(arrays):
+        out[i, : lengths[i]] = a[:max_len]
+    return out, lengths
+
+
+class DynamicBucketBatcher:
+    """Groups (index, length) pairs into fixed-shape batches.
+
+    Yields (bucket_spec, indices) where len(indices) == spec.batch_size
+    (short final groups are dropped in training, padded by repetition in
+    eval). Shuffles within buckets per epoch with a seeded RNG."""
+
+    def __init__(
+        self,
+        lengths: Sequence[int],
+        buckets: List[BucketSpec],
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.lengths = np.asarray(lengths)
+        self.buckets = sorted(buckets, key=lambda s: s.max_len)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        bounds = np.array([s.max_len for s in self.buckets])
+        self.assignment = np.searchsorted(bounds, self.lengths, side="left")
+        self.assignment = np.minimum(self.assignment, len(self.buckets) - 1)
+
+    def __iter__(self) -> Iterator[Tuple[BucketSpec, np.ndarray]]:
+        rng = np.random.default_rng(self.seed)
+        batches = []
+        for bi, spec in enumerate(self.buckets):
+            idx = np.where(self.assignment == bi)[0]
+            if len(idx) == 0:
+                continue
+            if self.shuffle:
+                rng.shuffle(idx)
+            bs = spec.batch_size
+            n_full = len(idx) // bs
+            for k in range(n_full):
+                batches.append((spec, idx[k * bs : (k + 1) * bs]))
+            rem = idx[n_full * bs :]
+            if len(rem) and not self.drop_last:
+                fill = rng.choice(idx, bs - len(rem)) if len(idx) >= 1 else rem
+                batches.append((spec, np.concatenate([rem, fill])))
+        if self.shuffle:
+            order = rng.permutation(len(batches))
+            batches = [batches[i] for i in order]
+        yield from batches
+
+    def num_batches(self) -> int:
+        n = 0
+        for bi, spec in enumerate(self.buckets):
+            cnt = int((self.assignment == bi).sum())
+            full, rem = divmod(cnt, spec.batch_size)
+            n += full + (0 if self.drop_last or rem == 0 else 1)
+        return n

@@ -1,0 +1,81 @@
+"""Tokenizers: character-level (AISHELL-style) built in, SentencePiece
+(unigram 5000/1000/350, the LibriSpeech/CommonVoice recipes' tokenizer —
+yaml:193) loaded through the `sentencepiece` package when available.
+
+The reference depends on the SentencePiece C++ library via its Python
+wheel (SURVEY.md §2.3); tokenization is host-side data prep, not model
+code, so the wheel is used as-is when installed and cleanly gated when not
+(this image does not ship it)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+try:  # pragma: no cover - environment dependent
+    import sentencepiece as _spm
+
+    HAS_SENTENCEPIECE = True
+except ImportError:  # pragma: no cover
+    _spm = None
+    HAS_SENTENCEPIECE = False
+
+
+@dataclass
+class CharTokenizer:
+    """Character tokenizer with reserved ids: 0=blank/pad, 1=bos, 2=eos,
+    3=unk (matching the recipes' blank_index/bos_index/eos_index layout)."""
+
+    vocab: Dict[str, int] = field(default_factory=dict)
+    blank_id: int = 0
+    bos_id: int = 1
+    eos_id: int = 2
+    unk_id: int = 3
+
+    @classmethod
+    def build(cls, texts: Sequence[str]) -> "CharTokenizer":
+        chars = sorted({c for t in texts for c in t})
+        vocab = {c: i + 4 for i, c in enumerate(chars)}
+        return cls(vocab=vocab)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab) + 4
+
+    def encode(self, text: str) -> List[int]:
+        return [self.vocab.get(c, self.unk_id) for c in text]
+
+    def decode(self, ids: Sequence[int]) -> str:
+        inv = {i: c for c, i in self.vocab.items()}
+        return "".join(inv.get(i, "") for i in ids if i >= 4)
+
+
+class SentencePieceTokenizer:
+    """Thin wrapper over a trained sentencepiece model (host-side)."""
+
+    def __init__(self, model_path: str):
+        if not HAS_SENTENCEPIECE:
+            raise ImportError(
+                "sentencepiece is not installed; use CharTokenizer or install "
+                "the sentencepiece wheel for BPE/unigram recipes"
+            )
+        self.sp = _spm.SentencePieceProcessor()
+        self.sp.load(model_path)
+
+    @property
+    def vocab_size(self) -> int:
+        return self.sp.get_piece_size()
+
+    def encode(self, text: str) -> List[int]:
+        return self.sp.encode_as_ids(text)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self.sp.decode_ids(list(ids))
+
+
+def load_tokenizer(kind: str, **kwargs):
+    if kind == "char":
+        return CharTokenizer(**kwargs)
+    if kind == "sentencepiece":
+        return SentencePieceTokenizer(**kwargs)
+    raise ValueError(f"unknown tokenizer kind {kind!r}")

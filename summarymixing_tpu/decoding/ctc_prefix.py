@@ -1,0 +1,161 @@
+"""Batched CTC prefix scoring for joint CTC/attention beam search.
+
+Capability parity: speechbrain CTCScorer (branchformer yaml:227-231,
+ctc_weight_decode 0.4) — the hybrid CTC/attention prefix scorer of
+Watanabe et al. (2017), in the batched-over-candidates formulation
+(espnet CTCPrefixScoreTH): for each live hypothesis g and each candidate
+token c, track per-frame probabilities of g+c ending in non-blank (r_nb)
+or blank (r_b):
+
+    r_nb[t, c] = x[t, c]  + logaddexp(r_nb[t-1, c], phi[t-1, c])
+    r_b [t, c] = x[t, blank] + logaddexp(r_nb[t-1, c], r_b[t-1, c])
+    phi[t, c]  = r_b_prev[t] (+ r_nb_prev[t] unless c == last(g))
+    psi[c]     = logsumexp_t( phi[t-1, c] + x[t, c] )   (+ t=0 seed)
+
+The returned score is the *delta* psi(g+c) - psi(g), which beam search adds
+to its running joint score. eos candidates score the full-sequence CTC
+probability logaddexp(r_nb[T-1, g], r_b[T-1, g]) instead.
+
+TPU notes: one lax.scan over T per decode step, vectorised over
+[N hypotheses x K candidates] on the VPU; states are [N, T] (selected
+hypotheses only — beam search gathers them on prune). K is the pruned
+candidate count (partial CTC scoring), keeping the per-step cost
+O(T * N * K) instead of O(T * N * V).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_NEG = -1e5  # finite "log zero" (see losses/transducer.py)
+
+
+class CTCPrefixState(NamedTuple):
+    r_nb: Array      # [N, T] prefix-ends-nonblank log-probs per frame
+    r_b: Array       # [N, T] prefix-ends-blank log-probs per frame
+    psi: Array       # [N] prefix score
+    last: Array      # [N] last token of the prefix (-1 for empty)
+
+
+def ctc_prefix_init(x: Array, input_lengths: Array, blank_id: int = 0) -> CTCPrefixState:
+    """x [N, T, V] CTC log-probs (N = batch*beam, rows repeated per beam).
+    Initial state for the empty prefix: r_b = cumsum of blank lps, r_nb = -inf."""
+    n, t, _ = x.shape
+    blank_lp = x[..., blank_id]  # [N, T]
+    valid = jnp.arange(t)[None, :] < input_lengths[:, None]
+    blank_lp = jnp.where(valid, blank_lp, 0.0)  # padding frames emit nothing
+    r_b = jnp.cumsum(blank_lp, axis=1)
+    r_b = jnp.maximum(r_b, _NEG)
+    r_nb = jnp.full((n, t), _NEG, x.dtype)
+    return CTCPrefixState(
+        r_nb=r_nb,
+        r_b=r_b,
+        psi=jnp.zeros((n,), x.dtype),
+        last=jnp.full((n,), -1, jnp.int32),
+    )
+
+
+def ctc_prefix_score(
+    state: CTCPrefixState,
+    x: Array,
+    input_lengths: Array,
+    cand: Array,
+    blank_id: int = 0,
+    eos_id: Optional[int] = None,
+) -> Tuple[Array, CTCPrefixState]:
+    """Score K candidate extensions for each of N hypotheses.
+
+    x [N, T, V]; cand [N, K] int. Returns (score_delta [N, K],
+    candidate_states) where candidate_states holds r/psi for EVERY candidate
+    ([N, K, T] / [N, K]); beam search gathers the chosen ones via
+    `ctc_prefix_select`."""
+    n, t, v = x.shape
+    k = cand.shape[1]
+    valid = (jnp.arange(t)[None, :] < input_lengths[:, None])  # [N, T]
+
+    x_cand = jnp.take_along_axis(
+        x, cand[:, None, :], axis=2
+    )  # [N, T, K]
+    x_cand = jnp.where(valid[..., None], x_cand, _NEG)
+    x_blank = jnp.where(valid, x[..., blank_id], 0.0)  # [N, T]
+
+    same_as_last = cand == state.last[:, None]  # [N, K]
+    # phi[t, c]: contribution of the parent prefix at frame t
+    phi = jnp.where(
+        same_as_last[:, None, :],
+        state.r_b[..., None],
+        jnp.logaddexp(state.r_b, state.r_nb)[..., None],
+    )  # [N, T, K]
+
+    # scan over frames
+    def step(carry, inputs):
+        r_nb_p, r_b_p, psi_p = carry  # [N, K] each
+        xc_t, xb_t, phi_pm1 = inputs
+        # r at frame t
+        r_nb_t = xc_t + jnp.logaddexp(r_nb_p, phi_pm1)
+        r_b_t = xb_t[:, None] + jnp.logaddexp(r_nb_p, r_b_p)
+        psi_t = jnp.logaddexp(psi_p, phi_pm1 + xc_t)
+        r_nb_t = jnp.maximum(r_nb_t, _NEG)
+        r_b_t = jnp.maximum(r_b_t, _NEG)
+        psi_t = jnp.maximum(psi_t, _NEG)
+        return (r_nb_t, r_b_t, psi_t), (r_nb_t, r_b_t)
+
+    # frame 0: r_nb[0, c] = x[0, c] (only if prefix empty — represented by
+    # phi[-1] seed below); seed phi[-1] = 0 for the empty prefix, else -inf.
+    empty_prefix = state.last < 0  # [N]
+    phi_m1 = jnp.broadcast_to(
+        jnp.where(empty_prefix[:, None], 0.0, _NEG), (n, k)
+    ).astype(x.dtype)  # [N, K] seed
+    phi_shift = jnp.concatenate(
+        [phi_m1[:, None, :], phi[:, :-1, :]], axis=1
+    )  # [N, T, K]: phi at t-1
+
+    init = (
+        jnp.full((n, k), _NEG, x.dtype),
+        jnp.full((n, k), _NEG, x.dtype),
+        jnp.full((n, k), _NEG, x.dtype),
+    )
+    xs = (
+        jnp.moveaxis(x_cand, 1, 0),       # [T, N, K]
+        jnp.moveaxis(x_blank, 1, 0),      # [T, N]
+        jnp.moveaxis(phi_shift, 1, 0),    # [T, N, K]
+    )
+    (_, _, psi), (r_nb_all, r_b_all) = jax.lax.scan(step, init, xs)
+    # [T, N, K] -> [N, K, T]
+    r_nb_all = jnp.moveaxis(r_nb_all, 0, 2)
+    r_b_all = jnp.moveaxis(r_b_all, 0, 2)
+    score = psi - state.psi[:, None]  # [N, K] delta
+
+    if eos_id is not None:
+        # eos candidate: full-prefix CTC probability (no extension)
+        t_idx = jnp.maximum(input_lengths - 1, 0)
+        full_lp = jnp.logaddexp(
+            state.r_nb[jnp.arange(n), t_idx], state.r_b[jnp.arange(n), t_idx]
+        )
+        eos_score = full_lp - state.psi
+        score = jnp.where(cand == eos_id, eos_score[:, None], score)
+
+    cand_states = CTCPrefixState(
+        r_nb=r_nb_all,   # [N, K, T]
+        r_b=r_b_all,
+        psi=psi,
+        last=cand,
+    )
+    return score, cand_states
+
+
+def ctc_prefix_select(cand_states: CTCPrefixState, hyp_idx: Array,
+                      cand_idx: Array) -> CTCPrefixState:
+    """Gather the chosen candidates' states after pruning.
+    hyp_idx, cand_idx: [N'] indices into the N and K axes."""
+    return CTCPrefixState(
+        r_nb=cand_states.r_nb[hyp_idx, cand_idx],
+        r_b=cand_states.r_b[hyp_idx, cand_idx],
+        psi=cand_states.psi[hyp_idx, cand_idx],
+        last=cand_states.last[hyp_idx, cand_idx],
+    )

@@ -1,0 +1,178 @@
+"""Joint CTC/attention beam search with LM shallow fusion, fully batched
+and jit-compiled (fixed beam width, static max length).
+
+Capability parity: speechbrain S2STransformerBeamSearcher + ScorerBuilder
+with CTCScorer and TransformerLMScorer (branchformer yaml:227-269: beams
+10/66, lm_weight 0.6, ctc_weight_decode 0.4, min/max_decode_ratio 0.0/1.0).
+
+Score model (hybrid CTC/attention, Watanabe et al.):
+    score(h) = (1 - ctc_w) * att(h) + ctc_w * ctc_prefix(h) + lm_w * lm(h)
+with partial CTC scoring: per step, the top `ctc_candidates` tokens by
+(att + lm) are CTC-scored, the rest are pruned (espnet's CTC_SCORING_RATIO
+trick) — keeps the step cost O(T * beam * K) instead of O(T * beam * V).
+
+The dynamic hypothesis set of the reference becomes fixed-width tensors
+[B, beam, ...] with a finished mask: finished hypotheses only extend with
+eos at delta 0 and keep competing on their frozen score (standard
+fixed-shape beam bookkeeping; XLA-friendly, zero host sync per step)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from summarymixing_tpu.decoding.ctc_prefix import (
+    CTCPrefixState,
+    ctc_prefix_init,
+    ctc_prefix_score,
+    ctc_prefix_select,
+)
+
+Array = jax.Array
+_NEG = -1e9
+
+
+@dataclass(frozen=True)
+class S2SBeamConfig:
+    beam_size: int = 10
+    ctc_weight: float = 0.4
+    lm_weight: float = 0.0
+    blank_id: int = 0
+    bos_id: int = 1
+    eos_id: int = 2
+    max_length: int = 128     # static decode-length cap
+    min_steps: int = 0        # min_decode_ratio * enc_len equivalent
+    ctc_candidates: int = 0   # 0 -> 2 * beam_size
+    length_norm: bool = True
+
+
+def s2s_beam_search(
+    decode_step_fn: Callable[[Array, Array], Array],
+    enc_out: Array,
+    enc_lengths: Array,
+    ctc_log_probs: Optional[Array],
+    config: S2SBeamConfig,
+    lm_step_fn: Optional[Callable[[Array, Array], Array]] = None,
+) -> Tuple[Array, Array, Array]:
+    """Run beam search.
+
+    decode_step_fn(tokens [N, L], step) -> [N, V] next-token log-probs for
+    the prefix tokens[:, :step+1] (N = batch * beam; enc state must already
+    be tiled to N rows by the caller via `tile_for_beam`).
+    Returns (best_tokens [B, Lmax], best_lengths [B], best_scores [B]) —
+    tokens exclude bos and eos."""
+    beam = config.beam_size
+    batch = enc_lengths.shape[0] // beam
+    n = batch * beam
+    lmax = config.max_length
+    use_ctc = config.ctc_weight > 0.0 and ctc_log_probs is not None
+    k_ctc = config.ctc_candidates or 2 * beam
+    att_w = 1.0 - config.ctc_weight
+
+    tokens = jnp.full((n, lmax + 1), config.eos_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(config.bos_id)
+    # only beam 0 of each batch is live initially (identical hyps otherwise)
+    scores = jnp.where(
+        jnp.arange(n) % beam == 0, 0.0, _NEG
+    ).astype(jnp.float32)
+    lengths = jnp.zeros((n,), jnp.int32)  # decoded tokens so far (excl bos)
+    finished = jnp.zeros((n,), bool)
+
+    if use_ctc:
+        ctc_state = ctc_prefix_init(ctc_log_probs, enc_lengths, config.blank_id)
+    else:
+        t_dim = enc_out.shape[1]
+        ctc_state = ctc_prefix_init(
+            jnp.zeros((n, 1, 2), jnp.float32), jnp.ones((n,), jnp.int32)
+        )
+
+    def step_fn(step, carry):
+        tokens, scores, lengths, finished, ctc_state = carry
+        att_lp = decode_step_fn(tokens, step)          # [N, V]
+        v = att_lp.shape[-1]
+        base_lp = att_w * att_lp
+        if lm_step_fn is not None and config.lm_weight > 0.0:
+            base_lp = base_lp + config.lm_weight * lm_step_fn(tokens, step)
+
+        # suppress eos before min_steps
+        base_lp = jnp.where(
+            (step < config.min_steps) & (jnp.arange(v)[None, :] == config.eos_id),
+            _NEG,
+            base_lp,
+        )
+
+        if use_ctc:
+            cand_lp, cand_ids = jax.lax.top_k(base_lp, k_ctc)  # [N, K]
+            ctc_delta, cand_states = ctc_prefix_score(
+                ctc_state, ctc_log_probs, enc_lengths, cand_ids,
+                config.blank_id, config.eos_id,
+            )
+            step_scores = cand_lp + config.ctc_weight * ctc_delta  # [N, K]
+        else:
+            step_scores, cand_ids = jax.lax.top_k(base_lp, k_ctc)
+            cand_states = None
+
+        # finished hypotheses: only candidate 0 survives, as eos with delta 0
+        k_idx = jnp.arange(k_ctc)[None, :]
+        step_scores = jnp.where(
+            finished[:, None], jnp.where(k_idx == 0, 0.0, _NEG), step_scores
+        )
+        cand_ids = jnp.where(finished[:, None], config.eos_id, cand_ids)
+
+        total = scores[:, None] + step_scores  # [N, K]
+        flat = total.reshape(batch, beam * k_ctc)
+        top_scores, top_idx = jax.lax.top_k(flat, beam)  # [batch, beam]
+        parent = top_idx // k_ctc + (jnp.arange(batch) * beam)[:, None]
+        cand = top_idx % k_ctc
+        parent = parent.reshape(-1)   # [N]
+        cand = cand.reshape(-1)
+
+        new_tokens = tokens[parent]
+        chosen_ids = cand_ids[parent, cand]
+        new_tokens = new_tokens.at[:, step + 1].set(chosen_ids)
+        was_finished = finished[parent]
+        now_finished = was_finished | (chosen_ids == config.eos_id)
+        # eos does not count toward the decoded length
+        new_lengths = jnp.where(now_finished, lengths[parent],
+                                lengths[parent] + 1)
+        new_scores = top_scores.reshape(-1)
+        if use_ctc:
+            new_ctc = ctc_prefix_select(cand_states, parent, cand)
+            # finished rows keep parent state (frozen)
+            new_ctc = CTCPrefixState(
+                r_nb=jnp.where(was_finished[:, None],
+                               ctc_state.r_nb[parent], new_ctc.r_nb),
+                r_b=jnp.where(was_finished[:, None],
+                              ctc_state.r_b[parent], new_ctc.r_b),
+                psi=jnp.where(was_finished, ctc_state.psi[parent], new_ctc.psi),
+                last=jnp.where(was_finished, ctc_state.last[parent],
+                               new_ctc.last),
+            )
+        else:
+            new_ctc = ctc_state
+        return new_tokens, new_scores, new_lengths, now_finished, new_ctc
+
+    carry = (tokens, scores, lengths, finished, ctc_state)
+    carry = jax.lax.fori_loop(0, lmax, step_fn, carry)
+    tokens, scores, lengths, finished, _ = carry
+
+    # unfinished hypotheses count full length; length-normalise if configured
+    final = scores
+    if config.length_norm:
+        # eos counts toward length (SB convention: score / (len + 1))
+        final = scores / (lengths.astype(jnp.float32) + 1.0)
+    final = final.reshape(batch, beam)
+    best = jnp.argmax(final, axis=1)  # [batch]
+    best_flat = best + jnp.arange(batch) * beam
+    best_tokens = tokens[best_flat][:, 1:]  # drop bos
+    best_lengths = lengths[best_flat]
+    best_scores = final[jnp.arange(batch), best]
+    return best_tokens, best_lengths, best_scores
+
+
+def tile_for_beam(x: Array, beam: int) -> Array:
+    """[B, ...] -> [B*beam, ...] with each row repeated beam times."""
+    return jnp.repeat(x, beam, axis=0)

@@ -1,0 +1,132 @@
+"""Language models for shallow fusion.
+
+Capability parity:
+- TransformerLM <- speechbrain TransformerLM as configured by
+  branchformer_summarymixing.yaml:183-191 (768d, 12 heads, 12 encoder
+  layers, d_ffn 3072, GELU, normalize_before False, causal self-attention,
+  no decoder) used by TransformerLMScorer (yaml:233-246, lm_weight 0.6).
+- RNNLM <- speechbrain RNNLM (transducer yaml:339-348: emb 128, 2x2048 LSTM,
+  1x512 DNN block) fused by TransducerBeamSearcher.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from summarymixing_tpu.ops.linear import gelu_exact
+from summarymixing_tpu.ops.masks import lookahead_mask
+from summarymixing_tpu.ops.positional import positional_encoding
+from summarymixing_tpu.models.transformer import (
+    NormalizedEmbedding,
+    TransformerEncoder,
+)
+
+Array = jax.Array
+
+
+class TransformerLM(nn.Module):
+    vocab: int
+    d_model: int = 768
+    nhead: int = 12
+    num_layers: int = 12
+    d_ffn: int = 3072
+    dropout_rate: float = 0.0
+    activation: Callable = gelu_exact
+    normalize_before: bool = False
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: Array,
+        pad_mask: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        """tokens [B, U] -> logits [B, U, vocab] (next-token)."""
+        u = tokens.shape[1]
+        x = NormalizedEmbedding(
+            d_model=self.d_model, vocab=self.vocab,
+            param_dtype=self.param_dtype, name="emb",
+        )(tokens)
+        x = x + positional_encoding(u, self.d_model, x.dtype)
+        x = TransformerEncoder(
+            num_layers=self.num_layers,
+            d_model=self.d_model,
+            d_ffn=self.d_ffn,
+            nhead=self.nhead,
+            dropout_rate=self.dropout_rate,
+            activation=self.activation,
+            normalize_before=self.normalize_before,
+            attention_type="regularMHA",
+            name="encoder",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x, src_mask=lookahead_mask(u), pad_mask=pad_mask,
+          deterministic=deterministic)
+        return nn.Dense(self.vocab, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="out")(x)
+
+
+class RNNLM(nn.Module):
+    """Embedding -> LSTM stack -> DNN -> logits, with explicit carried state
+    for step-wise fusion in transducer search."""
+
+    vocab: int
+    embedding_dim: int = 128
+    rnn_layers: int = 2
+    rnn_neurons: int = 2048
+    dnn_neurons: int = 512
+    dropout_rate: float = 0.0
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.emb = nn.Embed(self.vocab, self.embedding_dim,
+                            param_dtype=self.param_dtype, name="emb")
+        self.cells = [
+            nn.OptimizedLSTMCell(self.rnn_neurons, param_dtype=self.param_dtype,
+                                 name=f"lstm_{i}")
+            for i in range(self.rnn_layers)
+        ]
+        self.dnn = nn.Dense(self.dnn_neurons, param_dtype=self.param_dtype,
+                            name="dnn")
+        self.out = nn.Dense(self.vocab, param_dtype=self.param_dtype, name="out")
+
+    def initial_state(self, batch: int):
+        rng = jax.random.PRNGKey(0)
+        return [
+            cell.initialize_carry(rng, (batch, self.embedding_dim))
+            for cell in self.cells
+        ]
+
+    def step(self, carry, token: Array) -> Tuple[list, Array]:
+        """One token step: carry (list of LSTM states), token [B] ->
+        (new_carry, logits [B, vocab])."""
+        x = self.emb(token)
+        new_carry = []
+        for cell, c in zip(self.cells, carry):
+            c2, x = cell(c, x)
+            new_carry.append(c2)
+        x = jax.nn.leaky_relu(self.dnn(x))
+        return new_carry, self.out(x)
+
+    def __call__(self, tokens: Array) -> Array:
+        """tokens [B, U] -> logits [B, U, vocab] via scan over steps."""
+        b = tokens.shape[0]
+        carry = self.initial_state(b)
+
+        def f(carry, tok):
+            carry, logits = self.step(carry, tok)
+            return carry, logits
+
+        _, logits = nn.scan(
+            lambda mdl, c, t: mdl.step(c, t),
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1, out_axes=1,
+        )(self, carry, tokens)
+        return logits

@@ -1,0 +1,49 @@
+"""Device mesh + sharding helpers — the communication backend.
+
+The reference scales with torch DDP over NCCL (data parallel only; implied
+by branchformer yaml:49-52 "batch_size * n_gpus * grad_accumulation" and
+transducer yaml:112-114). The TPU-native equivalent (SURVEY.md §2.4): a
+1-D `Mesh(("data",))` over ICI, batch sharded with NamedSharding, the whole
+train step one jit — XLA inserts the gradient all-reduce over ICI
+collectives; multi-slice runs ride DCN automatically. No hand-written
+collectives are needed for DP; model sharding axes ("model") are plumbed
+through for larger-than-chip models."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ("data", "model") mesh. Defaults to all devices on the data
+    axis (pure DP, matching the reference's parallelism)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def data_parallel_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for batch-leading arrays: batch split over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding (params, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a pytree of batch arrays with the leading axis sharded
+    over the data axis (host -> ICI-distributed HBM)."""
+    sharding = data_parallel_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

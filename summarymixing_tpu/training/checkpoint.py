@@ -1,0 +1,93 @@
+"""Checkpointing: orbax save/restore of the full train state + checkpoint
+averaging for evaluation.
+
+Capability parity with speechbrain Checkpointer (branchformer yaml:286-295:
+recoverables model/scheduler/normalizer/epoch-counter; interval-minutes
+checkpointing, transducer yaml:42) and `avg_checkpoints: 10` averaging
+(yaml:61). The train state here already bundles params, opt state,
+normalizer stats, step and epoch, so one save covers every recoverable."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper with keep-last-N and interval-minutes gating."""
+
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 10,
+        interval_minutes: Optional[float] = None,
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+        self.interval_minutes = interval_minutes
+        self._last_save = 0.0
+
+    def should_save(self) -> bool:
+        if self.interval_minutes is None:
+            return True
+        return (time.time() - self._last_save) >= self.interval_minutes * 60
+
+    def save(self, step: int, state: Dict[str, Any], force: bool = False) -> bool:
+        if not force and not self.should_save():
+            return False
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+        self._last_save = time.time()
+        return True
+
+    def restore(self, state_like: Dict[str, Any], step: Optional[int] = None):
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_like)
+        )
+
+    def all_steps(self) -> List[int]:
+        return sorted(self._mgr.all_steps())
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+
+def average_checkpoints(
+    manager: CheckpointManager,
+    state_like: Dict[str, Any],
+    num: int = 10,
+) -> Dict[str, Any]:
+    """Average the `params` of the last `num` checkpoints (reference
+    avg_checkpoints eval trick, yaml:61). Other state comes from the
+    latest checkpoint."""
+    steps = manager.all_steps()[-num:]
+    if not steps:
+        raise ValueError("no checkpoints to average")
+    acc = None
+    for s in steps:
+        st = manager.restore(state_like, step=s)
+        p = st["params"]
+        if acc is None:
+            acc = jax.tree.map(lambda x: np.asarray(x, np.float64), p)
+        else:
+            acc = jax.tree.map(lambda a, x: a + np.asarray(x, np.float64), acc, p)
+    avg = jax.tree.map(lambda a: (a / len(steps)).astype(np.float32), acc)
+    latest = manager.restore(state_like, step=steps[-1])
+    latest["params"] = jax.tree.map(
+        lambda a, ref: np.asarray(a, np.asarray(ref).dtype), avg, latest["params"]
+    )
+    return latest

@@ -1,0 +1,104 @@
+"""Optimizers and LR schedules (optax).
+
+Capability parity:
+- AdamW betas (0.9, 0.98), eps 1e-9/1e-8 + NoamScheduler
+  (branchformer_summarymixing.yaml:220-224,282-284).
+- WarmAndExpDecayLRSchedule (transducer yaml:401-405: warmup, then
+  exponential decay to decay_factor * lr at total_steps).
+- Two-stage Adam -> SGD switch at stage_one_epochs (AISHELL yaml:59,168-178;
+  CommonVoice yaml:50,168) via optax.multi_transform-style step gating.
+- Gradient clipping max_grad_norm 5.0 and gradient accumulation
+  (yaml:53-61) belong to the train step (optax.MultiSteps / clip wrapper
+  here).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def noam_schedule(lr_peak: float, warmup_steps: int):
+    """SpeechBrain NoamScheduler semantics: lr(step) =
+    lr_peak * warmup^0.5 * min(step^-0.5, step * warmup^-1.5) — peaks at
+    exactly lr_peak when step == warmup_steps."""
+
+    def schedule(step):
+        s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
+        w = jnp.asarray(warmup_steps, jnp.float32)
+        return lr_peak * jnp.sqrt(w) * jnp.minimum(s ** -0.5, s * w ** -1.5)
+
+    return schedule
+
+
+def warm_and_exp_decay_schedule(
+    lr: float, warmup_steps: int, total_steps: int, decay_factor: float = 0.05
+):
+    """Linear warmup 0 -> lr over warmup_steps, then exponential decay
+    reaching lr * decay_factor at total_steps."""
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32)
+        w = float(warmup_steps)
+        warm = lr * s / jnp.maximum(w, 1.0)
+        frac = jnp.clip((s - w) / jnp.maximum(total_steps - w, 1.0), 0.0, 1.0)
+        decayed = lr * decay_factor ** frac
+        return jnp.where(s < w, warm, decayed)
+
+    return schedule
+
+
+def make_adamw(
+    schedule,
+    weight_decay: float = 0.0,
+    betas=(0.9, 0.98),
+    eps: float = 1e-9,
+    max_grad_norm: Optional[float] = 5.0,
+    accum_steps: int = 1,
+) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm) if max_grad_norm else optax.identity(),
+        optax.adamw(schedule, b1=betas[0], b2=betas[1], eps=eps,
+                    weight_decay=weight_decay),
+    )
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
+
+
+def make_two_stage_adam_sgd(
+    adam_schedule,
+    sgd_lr: float,
+    switch_step: int,
+    weight_decay: float = 0.0,
+    betas=(0.9, 0.98),
+    eps: float = 1e-8,
+    max_grad_norm: Optional[float] = 5.0,
+) -> optax.GradientTransformation:
+    """Adam for steps < switch_step, plain SGD afterwards (the two-stage
+    optimisation of the AISHELL / CommonVoice recipes, expressed as a
+    step-gated combination so the whole run stays one compiled program)."""
+    adam = optax.adamw(adam_schedule, b1=betas[0], b2=betas[1], eps=eps,
+                       weight_decay=weight_decay)
+    sgd = optax.sgd(sgd_lr)
+
+    def init(params):
+        return {"adam": adam.init(params), "sgd": sgd.init(params),
+                "step": jnp.zeros((), jnp.int32)}
+
+    def update(grads, state, params=None):
+        a_up, a_st = adam.update(grads, state["adam"], params)
+        s_up, s_st = sgd.update(grads, state["sgd"], params)
+        use_adam = state["step"] < switch_step
+        updates = jax.tree.map(
+            lambda a, s: jnp.where(use_adam, a, s), a_up, s_up
+        )
+        return updates, {"adam": a_st, "sgd": s_st, "step": state["step"] + 1}
+
+    tx = optax.GradientTransformation(init, update)
+    if max_grad_norm:
+        tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    return tx

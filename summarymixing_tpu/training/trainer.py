@@ -1,0 +1,210 @@
+"""Training orchestration: a single jitted train step (feature extraction ->
+augmentation -> model -> joint CTC/attention loss -> optimizer update) with
+data-parallel batch sharding, plus the fit/eval loops.
+
+Capability parity with the reference's L6 (SURVEY.md §1): sb.Brain fit loop,
+grad accumulation, max_grad_norm clipping, InputNormalization freezing,
+bf16/fp32 precision — rebuilt as one functional step:
+
+- the WHOLE step (fbank, SpecAugment, CNN, encoder, decoder, losses, grads,
+  optimizer, normalizer stats) is one jit with donated state, so there is a
+  single host->device transfer per step and zero Python in the hot loop;
+- batch arrays are sharded over the mesh "data" axis; XLA inserts the
+  gradient all-reduce over ICI (replaces DDP/NCCL, SURVEY.md §2.4);
+- randomness is an explicit PRNG key in the state (replaces torch globals).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from summarymixing_tpu.data.batching import pad_batch
+from summarymixing_tpu.decoding.ctc import collapse_ctc, ctc_greedy_decode
+from summarymixing_tpu.frontend.augment import SpecAugmentConfig, spec_augment
+from summarymixing_tpu.frontend.features import Fbank, InputNormalization, NormStats
+from summarymixing_tpu.losses import ctc_loss, kldiv_loss
+from summarymixing_tpu.parallel.mesh import (
+    data_parallel_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class TrainerConfig:
+    ctc_weight: float = 0.3
+    label_smoothing: float = 0.1
+    blank_id: int = 0
+    pad_id: int = 0
+    bos_id: int = 1
+    eos_id: int = 2
+    augment: Optional[SpecAugmentConfig] = SpecAugmentConfig()
+    normalize_update_until_epoch: int = 4
+
+
+class ASRTrainer:
+    """Joint CTC/attention (or CTC-only when the model has no decoder)."""
+
+    def __init__(
+        self,
+        model,                      # SpeechRecognizer
+        tx: optax.GradientTransformation,
+        fbank: Fbank = Fbank(),
+        config: TrainerConfig = TrainerConfig(),
+        mesh=None,
+    ):
+        self.model = model
+        self.tx = tx
+        self.fbank = fbank
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.normalize = InputNormalization(
+            update_until_epoch=config.normalize_update_until_epoch
+        )
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, rng: Array, example_batch: Dict[str, Array]) -> Dict:
+        feats = self.fbank(example_batch["wav"][:1])
+        feat_len = self.fbank.frame_lengths(example_batch["wav_lens"][:1])
+        tokens_bos = self._add_bos(example_batch["tokens"][:1])
+        params = self.model.init(
+            {"params": rng}, feats, feat_len, tokens_bos
+        )["params"]
+        state = {
+            "params": params,
+            "opt_state": self.tx.init(params),
+            "norm_stats": NormStats.init(self.fbank.n_mels),
+            "step": jnp.zeros((), jnp.int32),
+            "epoch": jnp.zeros((), jnp.int32),
+            "rng": jax.random.PRNGKey(0),
+        }
+        # replicate over the mesh
+        rep = replicate(self.mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+    def _add_bos(self, tokens: Array) -> Array:
+        b = tokens.shape[0]
+        bos = jnp.full((b, 1), self.config.bos_id, tokens.dtype)
+        return jnp.concatenate([bos, tokens], axis=1)
+
+    def _add_eos(self, tokens: Array, token_lens: Array) -> Array:
+        b, u = tokens.shape
+        padded = jnp.concatenate(
+            [tokens, jnp.full((b, 1), self.config.pad_id, tokens.dtype)], axis=1
+        )
+        pos = jnp.arange(u + 1)[None, :]
+        return jnp.where(
+            pos == token_lens[:, None],
+            jnp.asarray(self.config.eos_id, tokens.dtype),
+            padded,
+        )
+
+    # -- steps ---------------------------------------------------------------
+    def _forward_loss(self, params, norm_stats, batch, rng, deterministic, epoch):
+        cfg = self.config
+        feats = self.fbank(batch["wav"])
+        feat_len = self.fbank.frame_lengths(batch["wav_lens"])
+        pad_mask = (
+            jnp.arange(feats.shape[1])[None, :] < feat_len[:, None]
+        ).astype(feats.dtype)
+
+        feats, norm_stats = self.normalize(
+            feats, norm_stats, pad_mask,
+            epoch=epoch, update=not deterministic,
+        )
+        if not deterministic and cfg.augment is not None:
+            rng, k = jax.random.split(rng)
+            feats = spec_augment(k, feats, pad_mask, cfg.augment)
+
+        tokens = batch["tokens"]
+        token_lens = batch["token_lens"]
+        tokens_bos = self._add_bos(tokens) if self._has_decoder() else None
+
+        rngs = {"dropout": rng} if not deterministic else {}
+        out = self.model.apply(
+            {"params": params},
+            feats, feat_len, tokens_bos,
+            pad_idx=cfg.pad_id,
+            deterministic=deterministic,
+            rngs=rngs,
+        )
+
+        losses = {}
+        loss = 0.0
+        if cfg.ctc_weight > 0.0:
+            l_ctc = ctc_loss(
+                out["ctc_log_probs"], out["enc_lengths"], tokens, token_lens,
+                blank_id=cfg.blank_id,
+            )
+            losses["ctc"] = l_ctc
+            loss += cfg.ctc_weight * l_ctc
+        if self._has_decoder() and cfg.ctc_weight < 1.0:
+            tokens_eos = self._add_eos(tokens, token_lens)
+            l_att = kldiv_loss(
+                out["seq_log_probs"], tokens_eos, token_lens + 1,
+                label_smoothing=cfg.label_smoothing,
+            )
+            losses["att"] = l_att
+            loss += (1.0 - cfg.ctc_weight) * l_att
+        losses["loss"] = loss
+        return loss, (losses, norm_stats, out)
+
+    def _has_decoder(self) -> bool:
+        return self.model.asr.num_decoder_layers > 0
+
+    def _train_step_impl(self, state, batch):
+        rng, step_rng = jax.random.split(state["rng"])
+        grad_fn = jax.value_and_grad(self._forward_loss, has_aux=True)
+        (_, (losses, norm_stats, _)), grads = grad_fn(
+            state["params"], state["norm_stats"], batch, step_rng,
+            False, state["epoch"],
+        )
+        updates, opt_state = self.tx.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "norm_stats": norm_stats,
+            "step": state["step"] + 1,
+            "epoch": state["epoch"],
+            "rng": rng,
+        }
+        metrics = {k: v for k, v in losses.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    def _eval_step_impl(self, state, batch):
+        loss, (losses, _, out) = self._forward_loss(
+            state["params"], state["norm_stats"], batch,
+            jax.random.PRNGKey(0), True, state["epoch"],
+        )
+        ids, keep = ctc_greedy_decode(
+            out["ctc_log_probs"], out["enc_lengths"], self.config.blank_id
+        )
+        return losses, ids, keep
+
+    # -- public --------------------------------------------------------------
+    def train_step(self, state, batch):
+        return self._train_step(state, shard_batch(batch, self.mesh))
+
+    def eval_step(self, state, batch):
+        losses, ids, keep = self._eval_step(state, shard_batch(batch, self.mesh))
+        return losses, collapse_ctc(ids, keep)
+
+    def next_epoch(self, state):
+        state["epoch"] = state["epoch"] + 1
+        return state

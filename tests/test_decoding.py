@@ -1,0 +1,165 @@
+"""Decoding tests: CTC prefix scorer vs CTC forward probability, beam
+search on an overfit joint model, LM modules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from summarymixing_tpu.decoding.ctc_prefix import (
+    ctc_prefix_init,
+    ctc_prefix_score,
+    ctc_prefix_select,
+)
+from summarymixing_tpu.decoding.s2s_beam import (
+    S2SBeamConfig,
+    s2s_beam_search,
+    tile_for_beam,
+)
+from summarymixing_tpu.losses import ctc_loss
+from summarymixing_tpu.models.lm import RNNLM, TransformerLM
+
+
+def test_ctc_prefix_scorer_sums_to_ctc_forward(rng):
+    """Rolling the prefix scorer over the tokens of y and finishing with
+    eos must reproduce log p_ctc(y) from the CTC loss — the strongest
+    end-to-end check of the scorer recursions."""
+    t_len, v = 8, 6
+    blank, eos = 0, 5
+    y = [2, 3, 3, 1]
+    logits = rng.standard_normal((1, t_len, v)).astype(np.float32)
+    lp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    lens = jnp.asarray([t_len])
+
+    state = ctc_prefix_init(lp, lens, blank)
+    total = 0.0
+    for tok in y:
+        cand = jnp.asarray([[tok, 4]])  # include a distractor candidate
+        delta, cand_states = ctc_prefix_score(state, lp, lens, cand, blank, eos)
+        total += float(delta[0, 0])
+        state = ctc_prefix_select(
+            cand_states, jnp.asarray([0]), jnp.asarray([0])
+        )
+    # eos step: delta = full-sequence ctc prob minus prefix psi
+    cand = jnp.asarray([[eos, 4]])
+    delta, _ = ctc_prefix_score(state, lp, lens, cand, blank, eos)
+    total += float(delta[0, 0])
+
+    want = -float(ctc_loss(
+        lp, lens, jnp.asarray([y]), jnp.asarray([len(y)]),
+        blank_id=blank, reduction="none",
+    )[0])
+    np.testing.assert_allclose(total, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ctc_prefix_scorer_repeat_vs_distinct(rng):
+    """Extending with the same token as last requires an intervening blank,
+    so p(aa) must be <= p(ab) when emissions are symmetric-ish; sanity check
+    that the same/distinct branches differ."""
+    t_len, v = 6, 4
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((1, t_len, v)), jnp.float32), axis=-1
+    )
+    lens = jnp.asarray([t_len])
+    state = ctc_prefix_init(lp, lens, 0)
+    d1, cs = ctc_prefix_score(state, lp, lens, jnp.asarray([[1, 2]]), 0)
+    state1 = ctc_prefix_select(cs, jnp.asarray([0]), jnp.asarray([0]))
+    d2, _ = ctc_prefix_score(state1, lp, lens, jnp.asarray([[1, 2]]), 0)
+    assert not np.allclose(float(d2[0, 0]), float(d2[0, 1]))
+
+
+def _train_tiny_joint(rng, steps=220):
+    from tests.test_train_e2e import make_trainer, synth_batch
+    from summarymixing_tpu.parallel.mesh import make_mesh
+    trainer = make_trainer(
+        num_decoder_layers=1, mesh=make_mesh(devices=jax.devices()[:1])
+    )
+    batch = synth_batch(rng, b=8)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    for _ in range(steps):
+        state, m = trainer.train_step(state, batch)
+    return trainer, state, batch, m
+
+
+def test_beam_search_decodes_overfit_model(rng):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    trainer, state, batch, metrics = _train_tiny_joint(rng)
+    model = trainer.model
+    cfg = trainer.config
+
+    feats = trainer.fbank(batch["wav"])
+    feat_lens = trainer.fbank.frame_lengths(batch["wav_lens"])
+    feats, _ = trainer.normalize(feats, state["norm_stats"])
+    enc_out, enc_lens = model.apply(
+        {"params": state["params"]}, feats, feat_lens, method=model.encode
+    )
+    ctc_lp = model.apply(
+        {"params": state["params"]}, enc_out, method=model.ctc_head
+    )
+
+    beam = 4
+    enc_t = tile_for_beam(enc_out, beam)
+    len_t = tile_for_beam(enc_lens, beam)
+    ctc_t = tile_for_beam(ctc_lp, beam)
+
+    def decode_step(tokens, step):
+        return model.apply(
+            {"params": state["params"]}, tokens, enc_t, len_t, step,
+            method=model.decode_position,
+        )
+
+    config = S2SBeamConfig(
+        beam_size=beam, ctc_weight=0.4, lm_weight=0.0,
+        bos_id=cfg.bos_id, eos_id=cfg.eos_id, blank_id=cfg.blank_id,
+        max_length=6, min_steps=1,
+    )
+    toks, lens, scores = s2s_beam_search(
+        decode_step, enc_t, len_t, ctc_t, config
+    )
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    refs = np.asarray(batch["tokens"])
+    correct = 0
+    for i in range(refs.shape[0]):
+        hyp = list(toks[i, : lens[i]])
+        if hyp == list(refs[i]):
+            correct += 1
+    # overfit tiny model: beam search should recover most training labels
+    assert correct >= refs.shape[0] // 2, (
+        correct, toks[:4], lens[:4], refs[:4], float(metrics["loss"])
+    )
+
+
+def test_transformer_lm_shapes(rng):
+    lm = TransformerLM(vocab=20, d_model=32, nhead=2, num_layers=2, d_ffn=64)
+    toks = jnp.asarray(rng.integers(0, 20, (2, 7)), jnp.int32)
+    params = lm.init(jax.random.PRNGKey(0), toks)
+    out = lm.apply(params, toks)
+    assert out.shape == (2, 7, 20)
+    # causality
+    toks2 = toks.at[:, 5].set(3)
+    out2 = lm.apply(params, toks2)
+    np.testing.assert_allclose(np.asarray(out)[:, :5], np.asarray(out2)[:, :5],
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_rnnlm_step_matches_full(rng):
+    lm = RNNLM(vocab=12, embedding_dim=8, rnn_layers=2, rnn_neurons=16,
+               dnn_neurons=8)
+    toks = jnp.asarray(rng.integers(0, 12, (3, 5)), jnp.int32)
+    params = lm.init(jax.random.PRNGKey(0), toks)
+    full = lm.apply(params, toks)
+    assert full.shape == (3, 5, 12)
+
+    def run_steps(params, toks):
+        mdl = lm.bind(params)
+        carry = mdl.initial_state(3)
+        outs = []
+        for i in range(5):
+            carry, lg = mdl.step(carry, toks[:, i])
+            outs.append(lg)
+        return jnp.stack(outs, axis=1)
+
+    stepped = run_steps(params, toks)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(stepped),
+                               atol=1e-5, rtol=1e-5)

@@ -1,0 +1,134 @@
+"""Tests for batching, metrics, schedules, checkpointing, logger."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from summarymixing_tpu.data.batching import (
+    BucketSpec,
+    DynamicBucketBatcher,
+    make_buckets,
+    pad_batch,
+)
+from summarymixing_tpu.data.tokenizer import CharTokenizer
+from summarymixing_tpu.training.checkpoint import CheckpointManager, average_checkpoints
+from summarymixing_tpu.training.logger import EpochCounter, FileTrainLogger
+from summarymixing_tpu.training.metrics import AccuracyStats, ErrorRateStats, edit_distance
+from summarymixing_tpu.training.optim import (
+    make_two_stage_adam_sgd,
+    noam_schedule,
+    warm_and_exp_decay_schedule,
+)
+
+
+def test_edit_distance():
+    d = edit_distance("abc", "abc")
+    assert d == {"ins": 0, "del": 0, "sub": 0, "num_ref": 3}
+    d = edit_distance(list("kitten"), list("sitting"))
+    assert d["sub"] + d["ins"] + d["del"] == 3
+
+
+def test_wer_cer():
+    stats = ErrorRateStats()
+    stats.append(["the cat sat".split()], ["the cat sit".split()])
+    s = stats.summarize()
+    assert abs(s["WER"] - 100.0 / 3) < 1e-6
+    cer = ErrorRateStats(split_tokens=True)
+    cer.append([["ab", "cd"]], [["ab", "ce"]])
+    assert abs(cer.summarize()["WER"] - 25.0) < 1e-6
+
+
+def test_accuracy():
+    acc = AccuracyStats()
+    lp = np.zeros((1, 3, 4))
+    lp[0, :, 2] = 1.0
+    acc.append(lp, np.array([[2, 2, 0]]), np.array([3]))
+    assert abs(acc.summarize() - 2 / 3) < 1e-6
+
+
+def test_noam_schedule():
+    s = noam_schedule(1e-3, 100)
+    peak = float(s(100))
+    assert abs(peak - 1e-3) / 1e-3 < 1e-5
+    assert float(s(10)) < peak and float(s(1000)) < peak
+
+
+def test_warm_exp_decay():
+    s = warm_and_exp_decay_schedule(1e-3, 100, 1000, decay_factor=0.05)
+    assert float(s(50)) == pytest.approx(5e-4)
+    assert float(s(100)) == pytest.approx(1e-3, rel=1e-5)
+    assert float(s(1000)) == pytest.approx(5e-5, rel=1e-4)
+
+
+def test_two_stage_optimizer():
+    tx = make_two_stage_adam_sgd(1e-3, sgd_lr=1e-2, switch_step=2,
+                                 max_grad_norm=None)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    u1, state = tx.update(g, state, params)
+    u2, state = tx.update(g, state, params)
+    u3, state = tx.update(g, state, params)  # now SGD
+    np.testing.assert_allclose(np.asarray(u3["w"]), -1e-2 * np.ones(3), rtol=1e-6)
+    assert not np.allclose(np.asarray(u1["w"]), np.asarray(u3["w"]))
+
+
+def test_buckets_and_batcher():
+    buckets = make_buckets(
+        max_batch_length=1000, num_buckets=5, min_len=50, max_len=800,
+        batch_multiple=2,
+    )
+    assert all(b.batch_size % 2 == 0 or b.batch_size == 2 for b in buckets)
+    lengths = np.concatenate([
+        np.random.default_rng(0).integers(50, 790, 100), [60] * 20])
+    batcher = DynamicBucketBatcher(lengths, buckets, seed=1)
+    seen = 0
+    for spec, idx in batcher:
+        assert len(idx) == spec.batch_size
+        assert (lengths[idx] <= spec.max_len).all()
+        seen += 1
+    assert seen == batcher.num_batches() and seen > 0
+
+
+def test_pad_batch():
+    arrays = [np.ones(5), np.ones(9) * 2]
+    out, lens = pad_batch(arrays, max_len=8)
+    assert out.shape == (2, 8)
+    assert list(lens) == [5, 8]
+    assert out[0, 5:].sum() == 0 and out[1].sum() == 16
+
+
+def test_char_tokenizer():
+    tok = CharTokenizer.build(["hello", "world"])
+    ids = tok.encode("hello")
+    assert tok.decode(ids) == "hello"
+    assert tok.encode("z")[0] == tok.unk_id
+
+
+def test_checkpoint_roundtrip_and_averaging(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=5)
+    state = {
+        "params": {"w": np.ones((2, 2), np.float32)},
+        "step": np.asarray(0, np.int32),
+    }
+    for step in range(3):
+        state["params"]["w"] = np.full((2, 2), float(step + 1), np.float32)
+        state["step"] = np.asarray(step, np.int32)
+        assert mgr.save(step, state, force=True)
+    restored = mgr.restore(state)
+    assert float(restored["params"]["w"][0, 0]) == 3.0
+    avg = average_checkpoints(mgr, state, num=3)
+    assert float(avg["params"]["w"][0, 0]) == pytest.approx(2.0)
+    assert int(avg["step"]) == 2
+
+
+def test_logger(tmp_path):
+    log = FileTrainLogger(str(tmp_path / "train_log.txt"))
+    log.log_stats({"epoch": 1, "lr": 1e-4}, {"loss": 3.2}, {"WER": 12.5})
+    text = open(tmp_path / "train_log.txt").read()
+    assert "epoch: 1" in text and "valid WER: 12.5" in text
+    assert os.path.exists(tmp_path / "train_log.jsonl")
+    assert list(EpochCounter(3)) == [1, 2, 3]
