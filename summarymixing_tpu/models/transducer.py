@@ -92,20 +92,22 @@ class TransducerJoint(nn.Module):
     activation: Callable = gelu_exact
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.transducer_lin = nn.Dense(
+            self.vocab, use_bias=False, param_dtype=self.param_dtype,
+            name="transducer_lin",
+        )
+
     def __call__(self, enc_proj: Array, dec_proj: Array) -> Array:
         """enc_proj [B, T, J]; dec_proj [B, U+1, J] -> [B, T, U+1, V]."""
         joint = self.activation(
             enc_proj[:, :, None, :] + dec_proj[:, None, :, :]
         )
-        return nn.Dense(self.vocab, use_bias=False,
-                        param_dtype=self.param_dtype, name="transducer_lin")(joint)
+        return self.transducer_lin(joint)
 
     def step(self, enc_frame: Array, dec_step: Array) -> Array:
         """enc_frame [B, J]; dec_step [B, J] -> [B, V] logits."""
-        joint = self.activation(enc_frame + dec_step)
-        return nn.Dense(self.vocab, use_bias=False,
-                        param_dtype=self.param_dtype, name="transducer_lin")(joint)
+        return self.transducer_lin(self.activation(enc_frame + dec_step))
 
 
 class TransducerModel(nn.Module):
@@ -149,6 +151,11 @@ class TransducerModel(nn.Module):
         enc_proj = self.proj_enc(enc_out)
         dec_proj = self.predictor(tokens_bos, deterministic=deterministic)
         return self.joint(enc_proj, dec_proj)
+
+    def init_all(self, enc_out: Array, tokens_bos: Array):
+        """Touches every submodule so flax init creates all params
+        (ctc_head is not reached by __call__)."""
+        return self(enc_out, tokens_bos), self.ctc_head(enc_out)
 
     def ctc_head(self, enc_out: Array) -> Array:
         """CTC aux log-probs from the projected encoder (transducer

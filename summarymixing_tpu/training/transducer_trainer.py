@@ -111,7 +111,8 @@ class TransducerTrainer:
         )
         tokens_bos = self._add_blank_bos(example_batch["tokens"][:1])
         td_params = self.transducer_model.init(
-            {"params": r2}, enc_out, tokens_bos
+            {"params": r2}, enc_out, tokens_bos,
+            method=self.transducer_model.init_all,
         )["params"]
         params = {"encoder": enc_params, "transducer": td_params}
         state = {

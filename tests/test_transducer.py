@@ -1,0 +1,170 @@
+"""Transducer model + search + trainer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from summarymixing_tpu.decoding.transducer_search import (
+    transducer_beam_search,
+    transducer_greedy_decode,
+)
+from summarymixing_tpu.models.transducer import (
+    TransducerModel,
+    one_hot_no_blank,
+)
+
+VOCAB = 11
+
+
+def test_one_hot_no_blank():
+    toks = jnp.asarray([[0, 3, 10]])
+    oh = one_hot_no_blank(toks, VOCAB, blank_id=0)
+    assert oh.shape == (1, 3, 10)
+    assert float(oh[0, 0].sum()) == 0.0  # blank -> all zeros
+    assert float(oh[0, 1, 2]) == 1.0     # token 3 -> index 2 after removal
+
+
+def make_model():
+    return TransducerModel(vocab=VOCAB, enc_dim=16, dec_dim=12, joint_dim=20)
+
+
+def test_transducer_model_shapes(rng):
+    m = make_model()
+    enc = jnp.asarray(rng.standard_normal((2, 7, 16)), jnp.float32)
+    toks_bos = jnp.asarray(rng.integers(0, VOCAB, (2, 4)), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), enc, toks_bos, method=m.init_all)
+    logits = m.apply(params, enc, toks_bos)
+    assert logits.shape == (2, 7, 4, VOCAB)
+    ctc = m.apply(params, enc, method=m.ctc_head)
+    assert ctc.shape == (2, 7, VOCAB)
+
+
+def test_predictor_step_matches_full(rng):
+    m = make_model()
+    enc = jnp.asarray(rng.standard_normal((2, 3, 16)), jnp.float32)
+    toks = jnp.asarray(rng.integers(0, VOCAB, (2, 5)), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), enc, toks, method=m.init_all)
+    full = m.apply(params, toks, method=lambda mdl, t: mdl.predictor(t))
+    bound = m.bind(params)
+    carry = bound.predictor_init(2)
+    outs = []
+    for i in range(5):
+        carry, proj = bound.predictor_step(carry, toks[:, i])
+        outs.append(proj)
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(stepped),
+                               atol=1e-5, rtol=1e-5)
+
+
+def _greedy(bound, enc_proj, enc_lens, **kw):
+    return transducer_greedy_decode(
+        enc_proj, enc_lens,
+        bound.predictor_init, bound.predictor_step, bound.joint_step, **kw,
+    )
+
+
+def test_greedy_decode_runs_and_respects_length(rng):
+    m = make_model()
+    enc = jnp.asarray(rng.standard_normal((3, 9, 16)), jnp.float32)
+    toks = jnp.asarray(rng.integers(0, VOCAB, (3, 4)), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), enc, toks, method=m.init_all)
+    bound = m.bind(params)
+    enc_proj = bound.encode_proj(enc)
+    lens = jnp.asarray([9, 5, 1])
+    tokens, out_lens = jax.jit(
+        lambda ep, el: _greedy(bound, ep, el, max_symbols_per_frame=2)
+    )(enc_proj, lens)
+    tokens, out_lens = np.asarray(tokens), np.asarray(out_lens)
+    assert (out_lens <= 2 * np.asarray(lens)).all()
+    for i in range(3):
+        assert (tokens[i, out_lens[i]:] == 0).all()
+
+
+def test_greedy_matches_stepwise_reference(rng):
+    """Batched scan greedy == a straightforward per-utterance python greedy."""
+    m = make_model()
+    enc = jnp.asarray(rng.standard_normal((2, 6, 16)), jnp.float32)
+    toks = jnp.asarray(rng.integers(0, VOCAB, (2, 3)), jnp.int32)
+    params = m.init(jax.random.PRNGKey(7), enc, toks, method=m.init_all)
+    bound = m.bind(params)
+    enc_proj = bound.encode_proj(enc)
+    lens = jnp.asarray([6, 4])
+    tokens, out_lens = _greedy(bound, enc_proj, lens, max_symbols_per_frame=3,
+                               max_tokens=40)
+
+    for b in range(2):
+        state = bound.predictor_init(1)
+        state, proj = bound.predictor_step(state, jnp.asarray([0]))
+        hyp = []
+        for t in range(int(lens[b])):
+            for _ in range(3):
+                lg = bound.joint_step(enc_proj[b : b + 1, t], proj)
+                k = int(jnp.argmax(lg, -1)[0])
+                if k == 0:
+                    break
+                hyp.append(k)
+                state, proj = bound.predictor_step(state, jnp.asarray([k]))
+        got = list(np.asarray(tokens)[b, : int(out_lens[b])])
+        assert got == hyp, (b, got, hyp)
+
+
+def test_beam_search_beats_or_matches_greedy_score(rng):
+    m = make_model()
+    enc = jnp.asarray(rng.standard_normal((1, 5, 16)), jnp.float32)
+    toks = jnp.asarray(rng.integers(0, VOCAB, (1, 3)), jnp.int32)
+    params = m.init(jax.random.PRNGKey(3), enc, toks, method=m.init_all)
+    bound = m.bind(params)
+    enc_proj = np.asarray(bound.encode_proj(enc))[0]
+    nbest = transducer_beam_search(
+        enc_proj, 5,
+        bound.predictor_init, bound.predictor_step, bound.joint_step,
+        beam_size=4, nbest=2,
+    )
+    assert len(nbest) == 2
+    assert nbest[0][1] >= nbest[1][1]
+    assert all(tok != 0 for tok in nbest[0][0])
+
+
+def test_transducer_trainer_overfits(rng):
+    from summarymixing_tpu.frontend.features import Fbank
+    from summarymixing_tpu.models.asr import TransformerASR
+    from summarymixing_tpu.models.speech_recognizer import SpeechRecognizer
+    from summarymixing_tpu.parallel.mesh import make_mesh
+    from summarymixing_tpu.training.optim import make_adamw
+    from summarymixing_tpu.training.transducer_trainer import (
+        TransducerTrainer,
+        TransducerTrainerConfig,
+    )
+    from tests.test_train_e2e import synth_batch
+
+    asr = TransformerASR(
+        tgt_vocab=VOCAB, input_size=80, d_model=16, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=0, d_ffn=32,
+        encoder_module="conformer", attention_type="SummaryMixing",
+        mode="SummaryMixing-fast", causal=False, kernel_size=5,
+        local_proj_hid_dim=(16,), local_proj_out_dim=16,
+        summary_hid_dim=(16,), dropout_rate=0.0,
+    )
+    enc_model = SpeechRecognizer(
+        asr=asr, vocab_size=VOCAB, frontend_channels=(4, 4),
+        frontend_dropout=0.0,
+    )
+    td_model = TransducerModel(
+        vocab=VOCAB, enc_dim=16, dec_dim=12, joint_dim=20,
+        emb_dropout=0.0, dec_dropout=0.0,
+    )
+    trainer = TransducerTrainer(
+        enc_model, td_model, make_adamw(3e-3),
+        config=TransducerTrainerConfig(ctc_weight=0.3),
+        mesh=make_mesh(devices=jax.devices()[:1]),
+    )
+    batch = synth_batch(rng, b=4, n=3200)
+    batch["tokens"] = jnp.asarray(
+        np.random.default_rng(1).integers(1, VOCAB, (4, 3)).astype(np.int32))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, m0 = trainer.train_step(state, batch)
+    for _ in range(40):
+        state, metrics = trainer.train_step(state, batch)
+    assert float(metrics["loss"]) < float(m0["loss"])
+    assert np.isfinite(float(metrics["transducer"]))
