@@ -28,6 +28,7 @@ from typing import Callable, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax import struct
 
 from summarymixing_tpu.ops.linear import gelu_exact
 from summarymixing_tpu.ops.masks import (
@@ -68,6 +69,15 @@ class DynChunkTrainConfig:
         if self.left_context_size is None:
             raise ValueError("infinite left context has no frame count")
         return self.left_context_size * self.chunk_size
+
+
+@struct.dataclass
+class ASRStreamingState:
+    """Functional replacement for the reference's mutable
+    TransformerASRStreamingContext (TransformerASR.py:35-48)."""
+
+    encoder: object          # ConformerStreamingState
+    frame_offset: jax.Array  # absolute position of the next chunk's frame 0
 
 
 class TransformerASR(nn.Module):
@@ -318,6 +328,47 @@ class TransformerASR(nn.Module):
         if enc_len is not None:
             enc_pad_mask = length_to_mask(enc_len, enc_out.shape[1])
         return self._decode_inner(tgt, enc_out, enc_pad_mask, None, True)
+
+    # -- streaming (functional reference TransformerASR.py:562-679) ---------
+    def init_streaming_state(
+        self, batch: int, dynchunk: DynChunkTrainConfig, dtype=jnp.float32
+    ):
+        """Carried state for chunked inference. Requires the conformer
+        encoder (like the reference). Unlike the reference's per-chunk
+        positional-encoding restart (TransformerASR.py:634-640, a known
+        hack), positions here are absolute via a carried frame offset."""
+        if self.encoder_module != "conformer":
+            raise ValueError("streaming requires encoder_module='conformer'")
+        left = dynchunk.left_context_size_frames()
+        return ASRStreamingState(
+            encoder=self.encoder.init_streaming_state(batch, left, dtype),
+            frame_offset=jnp.zeros((), jnp.int32),
+        )
+
+    def encode_streaming(self, src: Array, state: "ASRStreamingState"):
+        """Encode one chunk [B, chunk, F] -> ([B, chunk, D], new state)."""
+        if src.ndim == 4:
+            b, t, f, c = src.shape
+            src = src.reshape(b, t, f * c)
+        chunk = src.shape[1]
+        src = self.src_proj(src)
+        if (
+            self.positional_encoding == "fixed_abs_sine"
+            and self.attention_type not in ("hypermixing", "RelPosMHAXL")
+        ):
+            table = positional_encoding(self.max_length, self.d_model, src.dtype)
+            pe = jax.lax.dynamic_slice(
+                table, (0, state.frame_offset, 0), (1, chunk, self.d_model)
+            )
+            src = src + pe
+        pos_embs = None
+        if self.attention_type == "RelPosMHAXL":
+            total = chunk + state.encoder.layers[0].mha_left.shape[1]
+            pos_embs = relpos_xl_table(total, self.d_model, src.dtype)
+        out, enc_state = self.encoder.streaming_step(src, state.encoder, pos_embs)
+        return out, ASRStreamingState(
+            encoder=enc_state, frame_offset=state.frame_offset + chunk
+        )
 
 
 class EncoderASR(nn.Module):

@@ -18,17 +18,34 @@ Capability parity with reference Conformer.py:336-856:
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax import struct
 
 from summarymixing_tpu.ops.attention import PositionalwiseFeedForward
 from summarymixing_tpu.ops.convolution import ConvolutionModule
 from summarymixing_tpu.models.mixers import apply_mixer, make_mixer
 
 Array = jax.Array
+
+
+@struct.dataclass
+class ConformerLayerStreamingState:
+    """Functional replacement for the reference's mutable
+    ConformerEncoderLayerStreamingContext (Conformer.py:30-59): fixed-size
+    left-context ring buffers + a valid-frame count, carried explicitly."""
+
+    mha_left: Array        # [B, left_frames, D] post-ffn1 inputs to the mixer
+    conv_left: Array       # [B, kernel//2, D] inputs to the conv module
+    frames_seen: Array     # scalar int32: total frames processed so far
+
+
+@struct.dataclass
+class ConformerStreamingState:
+    layers: Tuple[ConformerLayerStreamingState, ...]
 
 
 class ConformerEncoderLayer(nn.Module):
@@ -136,6 +153,73 @@ class ConformerEncoderLayer(nn.Module):
         )
         return x
 
+    def init_streaming_state(
+        self, batch: int, left_context_frames: int, dtype=jnp.float32
+    ) -> ConformerLayerStreamingState:
+        pad = (self.kernel_size - 1) // 2
+        return ConformerLayerStreamingState(
+            mha_left=jnp.zeros((batch, left_context_frames, self.d_model), dtype),
+            conv_left=jnp.zeros((batch, pad, self.d_model), dtype),
+            frames_seen=jnp.zeros((), jnp.int32),
+        )
+
+    def streaming_step(
+        self,
+        x: Array,
+        state: ConformerLayerStreamingState,
+        pos_embs: Optional[Array] = None,
+    ) -> Tuple[Array, ConformerLayerStreamingState]:
+        """One chunk through the layer with carried left context
+        (functional reference Conformer.py:539-620). Chunk-boundary
+        semantics match Dynamic Chunk Training: the mixer sees
+        [left buffer | chunk]; the depthwise conv sees the last kernel//2
+        real frames as left context and zeros beyond the chunk (the
+        valid-mask in ConvolutionModule emulates the zero padding exactly,
+        including for the partially-filled first chunks)."""
+        orig = x.shape[1]
+        l_buf = state.mha_left.shape[1]
+        pad = (self.kernel_size - 1) // 2
+
+        x = x + 0.5 * self.ffn1(self.norm_ffn1(x), deterministic=True)
+
+        # mixer over [left | chunk] with buffer-validity mask
+        xcat = jnp.concatenate([state.mha_left, x], axis=1)
+        buf_valid = (
+            jnp.arange(l_buf) >= l_buf - jnp.minimum(state.frames_seen, l_buf)
+        )
+        valid = jnp.concatenate(
+            [buf_valid, jnp.ones((orig,), bool)]
+        ).astype(x.dtype)[None, :].repeat(x.shape[0], axis=0)
+        new_mha_left = xcat[:, xcat.shape[1] - l_buf:] if l_buf > 0 else state.mha_left
+
+        skip = xcat
+        mixed = apply_mixer(
+            self.mixer, self.attention_type, self.norm1(xcat),
+            pad_mask=valid, pos_embs=pos_embs, deterministic=True,
+        )
+        x = (mixed + skip)[:, -orig:]
+
+        # convolution over [conv_left | chunk]
+        conv_in = jnp.concatenate([state.conv_left, x], axis=1)
+        conv_buf_valid = (
+            jnp.arange(pad) >= pad - jnp.minimum(state.frames_seen, pad)
+        )
+        conv_valid = jnp.concatenate(
+            [conv_buf_valid, jnp.ones((orig,), bool)]
+        ).astype(x.dtype)[None, :].repeat(x.shape[0], axis=0)
+        conv_out = self.convolution_module(
+            conv_in, pad_mask=conv_valid, deterministic=True
+        )[:, -orig:]
+        new_conv_left = conv_in[:, conv_in.shape[1] - pad:] if pad > 0 else state.conv_left
+        x = x + conv_out
+
+        x = self.norm2(x + 0.5 * self.ffn2(self.norm_ffn2(x), deterministic=True))
+        return x, ConformerLayerStreamingState(
+            mha_left=new_mha_left,
+            conv_left=new_conv_left,
+            frames_seen=state.frames_seen + orig,
+        )
+
 
 class ConformerEncoder(nn.Module):
     num_layers: int
@@ -155,20 +239,9 @@ class ConformerEncoder(nn.Module):
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self,
-        x: Array,
-        src_mask: Optional[Array] = None,
-        pad_mask: Optional[Array] = None,
-        pos_embs: Optional[Array] = None,
-        chunk_size: Optional[Array] = None,
-        deterministic: bool = True,
-    ) -> Array:
-        if self.attention_type == "RelPosMHAXL" and pos_embs is None:
-            raise ValueError("RelPosMHAXL requires pos_embs [1, 2T-1, D]")
-        for i in range(self.num_layers):
-            x = ConformerEncoderLayer(
+    def setup(self):
+        self.layers = [
+            ConformerEncoderLayer(
                 d_model=self.d_model,
                 d_ffn=self.d_ffn,
                 nhead=self.nhead,
@@ -185,6 +258,49 @@ class ConformerEncoder(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer_{i}",
-            )(x, src_mask, pad_mask, pos_embs, chunk_size, deterministic)
-        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                            param_dtype=self.param_dtype, name="norm")(x)
+            )
+            for i in range(self.num_layers)
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="norm")
+
+    def __call__(
+        self,
+        x: Array,
+        src_mask: Optional[Array] = None,
+        pad_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        chunk_size: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        if self.attention_type == "RelPosMHAXL" and pos_embs is None:
+            raise ValueError("RelPosMHAXL requires pos_embs [1, 2T-1, D]")
+        for layer in self.layers:
+            x = layer(x, src_mask, pad_mask, pos_embs, chunk_size, deterministic)
+        return self.norm(x)
+
+    def init_streaming_state(
+        self, batch: int, left_context_frames: int, dtype=jnp.float32
+    ) -> ConformerStreamingState:
+        """Blank carried state (functional reference
+        Conformer.py:835-856 make_streaming_context)."""
+        return ConformerStreamingState(
+            layers=tuple(
+                layer.init_streaming_state(batch, left_context_frames, dtype)
+                for layer in self.layers
+            )
+        )
+
+    def streaming_step(
+        self,
+        x: Array,
+        state: ConformerStreamingState,
+        pos_embs: Optional[Array] = None,
+    ) -> Tuple[Array, ConformerStreamingState]:
+        """One chunk through the stack (functional reference
+        Conformer.py:788-833 forward_streaming)."""
+        new_states = []
+        for layer, lstate in zip(self.layers, state.layers):
+            x, new = layer.streaming_step(x, lstate, pos_embs)
+            new_states.append(new)
+        return self.norm(x), ConformerStreamingState(layers=tuple(new_states))
