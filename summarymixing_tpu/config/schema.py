@@ -1,0 +1,145 @@
+"""Recipe configuration schema — the dataclass-tree replacement for the
+reference's HyperPyYAML object graphs (SURVEY.md §5 "Config/flag system").
+Hyperparameter names and defaults mirror the reference YAMLs so a user of
+the reference recipes finds the same knobs with the same meanings."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class FeaturesConfig:
+    sample_rate: int = 16000
+    n_fft: int = 512
+    win_length: int = 32       # ms (reference yaml:71)
+    hop_length: int = 10       # ms
+    n_mels: int = 80
+    normalize_update_until_epoch: int = 4
+
+
+@dataclass
+class AugmentConfig:
+    speed_perturb: bool = True
+    speeds: Tuple[int, ...] = (95, 100, 105)
+    time_drop_length_low: int = 15
+    time_drop_length_high: int = 25
+    time_drop_count: int = 4
+    freq_drop_length_low: int = 10
+    freq_drop_length_high: int = 20
+    freq_drop_count: int = 4
+    time_warp_window: int = 5
+    drop_replace: str = "mean"
+
+
+@dataclass
+class ModelConfig:
+    # Transformer/encoder block (reference yaml:112-133)
+    attention_type: str = "SummaryMixing"
+    mode: str = "SummaryMixing"
+    encoder_module: str = "branchformer"
+    d_model: int = 512
+    nhead: int = 1
+    num_encoder_layers: int = 18
+    num_decoder_layers: int = 6
+    d_ffn: int = 2048
+    transformer_dropout: float = 0.1
+    activation: str = "gelu"
+    csgu_linear_units: int = 3072
+    csgu_kernel_size: int = 31
+    local_proj_hid_dim: Tuple[int, ...] = (512,)
+    local_proj_out_dim: int = 512
+    summary_hid_dim: Tuple[int, ...] = (512,)
+    summary_out_dim: int = 512
+    causal: bool = False
+    # frontend (reference yaml:147-154)
+    input_size: int = 640
+    frontend_channels: Tuple[int, ...] = (64, 32)
+    frontend_strides: Tuple[int, ...] = (2, 2)
+    # vocabulary (reference yaml:133-139)
+    output_neurons: int = 5000
+    blank_index: int = 0
+    pad_index: int = 0
+    bos_index: int = 1
+    eos_index: int = 2
+
+
+@dataclass
+class TransducerConfig:
+    joint_dim: int = 640
+    dec_dim: int = 512
+    dec_emb_dropout: float = 0.2
+    dec_dropout: float = 0.1
+    # DCT sampler (transducer yaml:74-99)
+    chunkwise_prob: float = 0.6
+    chunk_size_min: int = 8
+    chunk_size_max: int = 32
+    limited_left_context_prob: float = 0.75
+    left_context_chunks_min: int = 2
+    left_context_chunks_max: int = 32
+
+
+@dataclass
+class TrainingConfig:
+    number_of_epochs: int = 120
+    batch_size: int = 16
+    grad_accumulation_factor: int = 2
+    max_grad_norm: float = 5.0
+    loss_reduction: str = "batchmean"
+    precision: str = "bf16"
+    ctc_weight: float = 0.3
+    label_smoothing: float = 0.0
+    lr_adam: float = 0.0008
+    adam_betas: Tuple[float, float] = (0.9, 0.98)
+    adam_eps: float = 1e-9
+    weight_decay: float = 0.01
+    scheduler: str = "noam"            # noam | warm_exp_decay | two_stage
+    n_warmup_steps: int = 30000
+    optimizer_step_limit: Optional[int] = None
+    decay_factor: float = 0.05
+    stage_one_epochs: Optional[int] = None   # two-stage Adam->SGD switch
+    lr_sgd: float = 0.000025
+    # dynamic batching (reference yaml:75-95)
+    dynamic_batching: bool = True
+    max_batch_length: float = 500.0     # seconds of audio per batch
+    num_buckets: int = 200
+    max_batch_ex: int = 128
+    # checkpointing
+    ckpt_interval_minutes: float = 15.0
+    avg_checkpoints: int = 10
+
+
+@dataclass
+class DecodingConfig:
+    valid_search_interval: int = 10
+    valid_beam_size: int = 10
+    test_beam_size: int = 66
+    lm_weight: float = 0.60
+    ctc_weight_decode: float = 0.40
+    min_decode_ratio: float = 0.0
+    max_decode_ratio: float = 1.0
+    # transducer beam (transducer yaml:150-156)
+    beam_size: int = 10
+    nbest: int = 1
+    state_beam: float = 2.3
+    expand_beam: float = 2.3
+
+
+@dataclass
+class RecipeConfig:
+    name: str = "librispeech_branchformer_summarymixing"
+    seed: int = 3407
+    output_folder: str = "results"
+    tokenizer_type: str = "sentencepiece"   # or "char"
+    token_type: str = "unigram"
+    character_coverage: float = 1.0
+    features: FeaturesConfig = field(default_factory=FeaturesConfig)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    transducer: Optional[TransducerConfig] = None
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    decoding: DecodingConfig = field(default_factory=DecodingConfig)
+    # metrics
+    error_rate: str = "wer"    # "wer" | "cer" (AISHELL: cer, remove_spaces)
+    remove_spaces: bool = False

@@ -1,0 +1,90 @@
+"""Dataset IO: SpeechBrain-style CSV/JSON manifests and wav loading.
+
+Capability parity with the reference's dataio pipeline (SURVEY.md §2.3
+"CSV/dataio pipeline"): manifests are CSVs with columns
+(ID, duration, wav, spk_id, wrd) as produced by the SpeechBrain data-prep
+scripts the recipes rely on. Audio loading is host-side (16-bit PCM WAV via
+the stdlib; other formats via scipy.io.wavfile fallback)."""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import wave
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class Utterance:
+    utt_id: str
+    wav_path: str
+    duration: float
+    text: str
+    speaker: str = ""
+
+
+def read_manifest_csv(path: str) -> List[Utterance]:
+    out = []
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            out.append(Utterance(
+                utt_id=row.get("ID") or row.get("id", ""),
+                wav_path=row.get("wav", ""),
+                duration=float(row.get("duration", 0.0) or 0.0),
+                text=row.get("wrd") or row.get("words", "") or row.get("text", ""),
+                speaker=row.get("spk_id", ""),
+            ))
+    return out
+
+
+def read_manifest_json(path: str) -> List[Utterance]:
+    with open(path) as f:
+        data = json.load(f)
+    out = []
+    for utt_id, entry in data.items():
+        out.append(Utterance(
+            utt_id=utt_id,
+            wav_path=entry.get("wav", ""),
+            duration=float(entry.get("duration", 0.0)),
+            text=entry.get("wrd") or entry.get("words", "") or entry.get("text", ""),
+            speaker=entry.get("spk_id", ""),
+        ))
+    return out
+
+
+def load_wav(path: str, expected_rate: Optional[int] = None) -> np.ndarray:
+    """Load a wav file to float32 [-1, 1]."""
+    try:
+        with wave.open(path, "rb") as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            width = w.getsampwidth()
+            channels = w.getnchannels()
+            raw = w.readframes(n)
+        if width == 2:
+            audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        elif width == 4:
+            audio = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported sample width {width}")
+        if channels > 1:
+            audio = audio.reshape(-1, channels)
+    except wave.Error:
+        from scipy.io import wavfile
+
+        rate, audio = wavfile.read(path)
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
+        elif audio.dtype == np.int32:
+            audio = audio.astype(np.float32) / 2147483648.0
+        else:
+            audio = audio.astype(np.float32)
+    if audio.ndim > 1:
+        audio = audio.mean(axis=1)
+    if expected_rate is not None and rate != expected_rate:
+        raise ValueError(f"{path}: sample rate {rate} != expected {expected_rate}")
+    return audio

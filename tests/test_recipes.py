@@ -1,0 +1,135 @@
+"""Recipe config loading + full recipe-runner smoke test on a synthetic
+on-disk dataset (wav files + CSV manifest), exercising dataio, tokenizer,
+bucketing, training loop, checkpointing, logging, and greedy-decode eval."""
+
+import csv
+import os
+import subprocess
+import sys
+import wave
+
+import numpy as np
+import pytest
+
+from summarymixing_tpu.config import build_model, load_recipe
+
+RECIPES = [
+    "recipes/LibriSpeech/branchformer_summarymixing.yaml",
+    "recipes/LibriSpeech/conformer_summarymixing_transducer.yaml",
+    "recipes/AISHELL-1/branchformer_summarymixing.yaml",
+    "recipes/CommonVoice/branchformer_summarymixing.yaml",
+    "recipes/VoxPopuli/conformer_summarymixing_transducer.yaml",
+]
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("path", RECIPES)
+def test_recipe_configs_load_and_build(path):
+    cfg = load_recipe(os.path.join(REPO, path))
+    model, fbank, transducer = build_model(cfg)
+    assert fbank.n_mels == cfg.features.n_mels
+    assert model.asr.d_model == cfg.model.d_model
+    if "transducer" in path:
+        assert transducer is not None
+        assert transducer.joint_dim == cfg.transducer.joint_dim
+        assert cfg.model.mode == "SummaryMixing-fast"
+    else:
+        assert transducer is None
+    # key reference hyperparameters preserved
+    assert cfg.model.d_model == 512
+    assert cfg.model.local_proj_out_dim == 512
+
+
+def _write_wav(path, audio, sr=16000):
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((audio * 32767).astype(np.int16).tobytes())
+
+
+def _make_dataset(root, n=16, sr=16000):
+    rng = np.random.default_rng(0)
+    words = ["ba", "do", "ki", "lu"]
+    rows = []
+    for i in range(n):
+        labels = rng.integers(0, 4, 2)
+        text = " ".join(words[k] for k in labels)
+        dur = 0.4
+        t = np.arange(int(dur * sr)) / sr
+        audio = np.concatenate([
+            0.5 * np.sin(2 * np.pi * (400 + 150 * k) * t[: len(t) // 2])
+            for k in labels
+        ])
+        path = os.path.join(root, f"utt{i}.wav")
+        _write_wav(path, audio, sr)
+        rows.append({"ID": f"utt{i}", "duration": dur, "wav": path,
+                     "spk_id": "spk0", "wrd": text})
+    manifest = os.path.join(root, "manifest.csv")
+    with open(manifest, "w", newline="") as f:
+        wtr = csv.DictWriter(f, fieldnames=["ID", "duration", "wav",
+                                            "spk_id", "wrd"])
+        wtr.writeheader()
+        wtr.writerows(rows)
+    return manifest
+
+
+def test_train_script_smoke(tmp_path):
+    manifest = _make_dataset(str(tmp_path))
+    recipe = tmp_path / "tiny.yaml"
+    recipe.write_text(
+        """
+name: tiny_smoke
+seed: 1
+tokenizer_type: char
+model:
+  attention_type: SummaryMixing
+  mode: SummaryMixing-lite
+  encoder_module: branchformer
+  d_model: 32
+  nhead: 2
+  num_encoder_layers: 1
+  num_decoder_layers: 0
+  d_ffn: 32
+  csgu_linear_units: 32
+  csgu_kernel_size: 5
+  local_proj_hid_dim: [16]
+  local_proj_out_dim: 32
+  summary_hid_dim: [16]
+  summary_out_dim: 16
+  input_size: 80
+  output_neurons: 40
+  frontend_channels: [4, 4]
+training:
+  number_of_epochs: 1
+  precision: fp32
+  ctc_weight: 1.0
+  lr_adam: 0.001
+  n_warmup_steps: 10
+  grad_accumulation_factor: 1
+  max_batch_length: 10.0
+  num_buckets: 2
+  max_batch_ex: 8
+  ckpt_interval_minutes: 999
+augment:
+  speed_perturb: false
+"""
+    )
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes/train.py"), str(recipe),
+         "--train-manifest", manifest, "--valid-manifest", manifest,
+         "--output", str(out), "--steps", "4"],
+        capture_output=True, text=True, timeout=560, env=env,
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    log = (out / "train_log.txt").read_text()
+    assert "epoch: 1" in log and "valid" in log
+    assert (out / "save").exists()
