@@ -110,6 +110,95 @@ def batches(manifest, tokenizer, cfg, mesh, shuffle, seed, fbank):
         }, idx
 
 
+def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
+                   tokenizer, train_set, valid_set):
+    """Transducer recipe path: RNN-T loss + DCT sampling + greedy decode."""
+    from summarymixing_tpu.decoding.transducer_search import (
+        transducer_greedy_decode,
+    )
+    from summarymixing_tpu.training.transducer_trainer import (
+        DynChunkTrainSamplerConfig,
+        TransducerTrainer,
+        TransducerTrainerConfig,
+    )
+
+    out_dir = args.output or os.path.join(cfg.output_folder, cfg.name)
+    t_cfg = cfg.transducer
+    trainer = TransducerTrainer(
+        enc_model, td_model, tx, fbank,
+        TransducerTrainerConfig(
+            ctc_weight=cfg.training.ctc_weight,
+            blank_id=cfg.model.blank_index,
+            dct=DynChunkTrainSamplerConfig(
+                chunkwise_prob=t_cfg.chunkwise_prob,
+                chunk_size_min=t_cfg.chunk_size_min,
+                chunk_size_max=t_cfg.chunk_size_max,
+                limited_left_context_prob=t_cfg.limited_left_context_prob,
+                left_context_chunks_min=t_cfg.left_context_chunks_min,
+                left_context_chunks_max=t_cfg.left_context_chunks_max,
+            ),
+        ),
+        mesh=mesh,
+    )
+    logger = FileTrainLogger(os.path.join(out_dir, "train_log.txt"))
+    ckpt = CheckpointManager(os.path.join(out_dir, "save"),
+                             max_to_keep=cfg.training.avg_checkpoints,
+                             interval_minutes=cfg.training.ckpt_interval_minutes)
+    state, step = None, 0
+    for epoch in EpochCounter(cfg.training.number_of_epochs):
+        t0 = time.time()
+        train_losses = []
+        for batch, _ in batches(train_set, tokenizer, cfg, mesh, True,
+                                cfg.seed + epoch, fbank):
+            if state is None:
+                state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
+                restored = ckpt.restore(jax.tree.map(np.asarray, state))
+                if restored is not None:
+                    state, step = restored, int(restored["step"])
+            state, metrics = trainer.train_step(state, batch)
+            step += 1
+            train_losses.append(float(metrics["loss"]))
+            if args.steps and step >= args.steps:
+                break
+
+        stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
+                               remove_spaces=cfg.remove_spaces)
+        val_losses = []
+        for batch, _ in batches(valid_set, tokenizer, cfg, mesh, False, 0,
+                                fbank):
+            losses, (enc_out, enc_lens) = trainer.eval_step(state, batch)
+            val_losses.append(float(losses["loss"]))
+            bound = td_model.bind(
+                {"params": jax.tree.map(np.asarray,
+                                        state["params"])["transducer"]}
+            )
+            enc_proj = bound.encode_proj(enc_out)
+            toks, lens = transducer_greedy_decode(
+                enc_proj, enc_lens, bound.predictor_init,
+                bound.predictor_step, bound.joint_step,
+                blank_id=cfg.model.blank_index,
+            )
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            refs = [tokenizer.decode(
+                np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
+            ).split() for i in range(toks.shape[0])]
+            hyps = [tokenizer.decode(toks[i, : lens[i]]).split()
+                    for i in range(toks.shape[0])]
+            stats.append(refs, hyps)
+        summary = stats.summarize()
+        logger.log_stats(
+            {"epoch": epoch, "steps": step,
+             "epoch_s": round(time.time() - t0, 1)},
+            {"loss": float(np.mean(train_losses)) if train_losses else 0.0},
+            {"loss": float(np.mean(val_losses)) if val_losses else 0.0,
+             cfg.error_rate.upper(): summary["WER"]},
+        )
+        ckpt.save(step, jax.tree.map(np.asarray, state), force=True)
+        if args.steps and step >= args.steps:
+            break
+    print("training done:", step, "steps")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("recipe")
@@ -141,10 +230,14 @@ def main():
             print("sentencepiece unavailable/missing model; using char tokenizer")
             tokenizer = CharTokenizer.build([u.text for u in train_set])
 
-    model, fbank, _ = build_model(cfg)
+    model, fbank, transducer_model = build_model(cfg)
     mesh = make_mesh()
     tx = build_tx(cfg)
     a = cfg.augment
+    if transducer_model is not None:
+        run_transducer(cfg, args, model, transducer_model, fbank, tx, mesh,
+                       tokenizer, train_set, valid_set)
+        return
     trainer = ASRTrainer(
         model, tx, fbank,
         TrainerConfig(

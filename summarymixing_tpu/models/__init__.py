@@ -3,6 +3,8 @@ from summarymixing_tpu.models.branchformer import (
     BranchformerEncoderLayer,
 )
 from summarymixing_tpu.models.conformer import (
+    ConformerDecoder,
+    ConformerDecoderLayer,
     ConformerEncoder,
     ConformerEncoderLayer,
 )
@@ -18,6 +20,8 @@ from summarymixing_tpu.models.asr import TransformerASR, EncoderWrapper
 __all__ = [
     "BranchformerEncoder",
     "BranchformerEncoderLayer",
+    "ConformerDecoder",
+    "ConformerDecoderLayer",
     "ConformerEncoder",
     "ConformerEncoderLayer",
     "NormalizedEmbedding",

@@ -48,6 +48,137 @@ class ConformerStreamingState:
     layers: Tuple[ConformerLayerStreamingState, ...]
 
 
+class ConformerDecoderLayer(nn.Module):
+    """Cross-attention Conformer decoder layer (reference
+    Conformer.py:859-1013): Macaron half-FFN -> cross-attention over the
+    encoder memory -> causal convolution module -> half-FFN + norm. Not used
+    by the five recipes but part of the reference surface."""
+
+    d_model: int
+    d_ffn: int
+    nhead: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dropout_rate: float = 0.0
+    causal: bool = True
+    attention_type: str = "regularMHA"
+    activation: Callable = jax.nn.silu
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        from summarymixing_tpu.ops.attention import (
+            MultiheadAttention,
+            RelPosMHAXL,
+        )
+
+        common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.attention_type == "regularMHA":
+            self.mha_layer = MultiheadAttention(
+                d_model=self.d_model, nhead=self.nhead,
+                dropout_rate=self.dropout_rate, name="mha_layer", **common,
+            )
+        elif self.attention_type == "RelPosMHAXL":
+            self.mha_layer = RelPosMHAXL(
+                d_model=self.d_model, nhead=self.nhead,
+                dropout_rate=self.dropout_rate, mask_pos_future=self.causal,
+                name="mha_layer", **common,
+            )
+        else:
+            raise ValueError(
+                f"ConformerDecoder supports regularMHA/RelPosMHAXL, got "
+                f"{self.attention_type!r}"
+            )
+        self.convolution_module = ConvolutionModule(
+            input_size=self.d_model, kernel_size=self.kernel_size,
+            use_bias=self.use_bias, activation=self.activation,
+            dropout_rate=self.dropout_rate, causal=self.causal,
+            name="convolution_module", **common,
+        )
+        ffn = lambda name: PositionalwiseFeedForward(  # noqa: E731
+            d_ffn=self.d_ffn, d_model=self.d_model,
+            dropout_rate=self.dropout_rate, activation=self.activation,
+            name=name, **common,
+        )
+        self.ffn1 = ffn("ffn1")
+        self.ffn2 = ffn("ffn2")
+        self.norm_ffn1 = nn.LayerNorm(epsilon=1e-5, name="norm_ffn1", **common)
+        self.norm_ffn2 = nn.LayerNorm(epsilon=1e-5, name="norm_ffn2", **common)
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1", **common)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2", **common)
+        self.dropout = nn.Dropout(rate=self.dropout_rate)
+
+    def __call__(
+        self,
+        tgt: Array,
+        memory: Array,
+        memory_mask: Optional[Array] = None,
+        memory_pad_mask: Optional[Array] = None,
+        pos_embs_src: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        x = tgt + 0.5 * self.dropout(
+            self.ffn1(self.norm_ffn1(tgt), deterministic=deterministic),
+            deterministic=deterministic,
+        )
+        skip = x
+        out, _ = self.mha_layer(
+            self.norm1(x), memory, memory,
+            attn_mask=memory_mask, pad_mask=memory_pad_mask,
+            pos_embs=pos_embs_src, deterministic=deterministic,
+        )
+        x = out + skip
+        x = x + self.convolution_module(x, deterministic=deterministic)
+        x = self.norm2(
+            x + 0.5 * self.dropout(
+                self.ffn2(self.norm_ffn2(x), deterministic=deterministic),
+                deterministic=deterministic,
+            )
+        )
+        return x
+
+
+class ConformerDecoder(nn.Module):
+    """Stack of ConformerDecoderLayer + final LayerNorm eps 1e-6
+    (reference Conformer.py:1016-1151)."""
+
+    num_layers: int
+    d_model: int
+    d_ffn: int
+    nhead: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dropout_rate: float = 0.0
+    causal: bool = True
+    attention_type: str = "regularMHA"
+    activation: Callable = jax.nn.silu
+    dtype: jnp.dtype | None = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt: Array,
+        memory: Array,
+        memory_mask: Optional[Array] = None,
+        memory_pad_mask: Optional[Array] = None,
+        pos_embs_src: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        for i in range(self.num_layers):
+            tgt = ConformerDecoderLayer(
+                d_model=self.d_model, d_ffn=self.d_ffn, nhead=self.nhead,
+                kernel_size=self.kernel_size, use_bias=self.use_bias,
+                dropout_rate=self.dropout_rate, causal=self.causal,
+                attention_type=self.attention_type, activation=self.activation,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )(tgt, memory, memory_mask, memory_pad_mask, pos_embs_src,
+              deterministic)
+        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="norm")(tgt)
+
+
 class ConformerEncoderLayer(nn.Module):
     d_model: int
     d_ffn: int

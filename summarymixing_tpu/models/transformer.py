@@ -227,6 +227,13 @@ class TransformerEncoder(nn.Module):
 
 
 class TransformerDecoderLayer(nn.Module):
+    """Decoder layer. attention_type selects the SELF-attention mixer:
+    regularMHA / RelPosMHAXL (reference behaviour, Transformer.py:744-760),
+    or "SummaryMixing" — the paper's Summary Decoder variant (README.md:35,
+    arXiv:2307.07421 §4.4), which this reference branch dropped (its decoder
+    is hardwired to regularMHA, Transformer.py:274). Causality is enforced
+    with a lookahead sum_mask; cross-attention stays regularMHA."""
+
     d_model: int
     d_ffn: int
     nhead: int
@@ -235,11 +242,42 @@ class TransformerDecoderLayer(nn.Module):
     normalize_before: bool = True
     attention_type: str = "regularMHA"
     causal: bool = True
+    local_proj_hid_dim: Sequence[int] = (512,)
+    local_proj_out_dim: int = 512
+    summary_hid_dim: Sequence[int] = (1024,)
+    mode: str = "SummaryMixing"
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        from summarymixing_tpu.models.mixers import make_mixer
+
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if self.attention_type == "SummaryMixing":
+            self.self_attn = make_mixer(
+                "SummaryMixing", self.d_model, self.nhead, self.dropout_rate,
+                local_proj_hid_dim=self.local_proj_hid_dim,
+                local_proj_out_dim=self.local_proj_out_dim,
+                summary_hid_dim=self.summary_hid_dim,
+                summary_out_dim=self.d_model,
+                mode=self.mode,
+                name="self_attn",
+                **common,
+            )
+            self.cross_attn = MultiheadAttention(
+                d_model=self.d_model, nhead=self.nhead,
+                dropout_rate=self.dropout_rate, name="cross_attn", **common,
+            )
+            self.pos_ffn = PositionalwiseFeedForward(
+                d_ffn=self.d_ffn, d_model=self.d_model,
+                dropout_rate=self.dropout_rate, activation=self.activation,
+                name="pos_ffn", **common,
+            )
+            self.norm1 = nn.LayerNorm(epsilon=1e-6, name="norm1", **common)
+            self.norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2", **common)
+            self.norm3 = nn.LayerNorm(epsilon=1e-6, name="norm3", **common)
+            self.dropout = nn.Dropout(rate=self.dropout_rate)
+            return
         if self.attention_type == "regularMHA":
             attn = lambda name: MultiheadAttention(  # noqa: E731
                 d_model=self.d_model, nhead=self.nhead,
@@ -283,13 +321,22 @@ class TransformerDecoderLayer(nn.Module):
         deterministic: bool = True,
     ) -> Array:
         t1 = self.norm1(tgt) if self.normalize_before else tgt
-        out, _ = self.self_attn(
-            t1, t1, t1,
-            attn_mask=tgt_mask,
-            pad_mask=tgt_pad_mask,
-            pos_embs=pos_embs_tgt,
-            deterministic=deterministic,
-        )
+        if self.attention_type == "SummaryMixing":
+            from summarymixing_tpu.models.mixers import apply_mixer
+
+            out = apply_mixer(
+                self.self_attn, "SummaryMixing", t1,
+                attn_mask=tgt_mask, pad_mask=tgt_pad_mask,
+                deterministic=deterministic,
+            )
+        else:
+            out, _ = self.self_attn(
+                t1, t1, t1,
+                attn_mask=tgt_mask,
+                pad_mask=tgt_pad_mask,
+                pos_embs=pos_embs_tgt,
+                deterministic=deterministic,
+            )
         tgt = tgt + self.dropout(out, deterministic=deterministic)
         if not self.normalize_before:
             tgt = self.norm1(tgt)
@@ -324,6 +371,10 @@ class TransformerDecoder(nn.Module):
     normalize_before: bool = True
     attention_type: str = "regularMHA"
     causal: bool = True
+    local_proj_hid_dim: Sequence[int] = (512,)
+    local_proj_out_dim: int = 512
+    summary_hid_dim: Sequence[int] = (1024,)
+    mode: str = "SummaryMixing"
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -350,6 +401,10 @@ class TransformerDecoder(nn.Module):
                 normalize_before=self.normalize_before,
                 attention_type=self.attention_type,
                 causal=self.causal,
+                local_proj_hid_dim=self.local_proj_hid_dim,
+                local_proj_out_dim=self.local_proj_out_dim,
+                summary_hid_dim=self.summary_hid_dim,
+                mode=self.mode,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer_{i}",

@@ -17,6 +17,16 @@ Training uses a custom VJP whose backward evaluates the pure-jnp reference
 path (bit-identical math), so the kernel needs no hand-written gradient and
 the jnp implementation remains the correctness oracle
 (tests/test_pallas_summary.py).
+
+MEASURED (v5e, B=8 T=768 D=512 bf16): kernel 0.87 ms vs XLA 0.34 ms — the
+XLA path hits ~47 TFLOPS here and the cell is MXU-bound, not HBM-bound
+(total intermediate traffic ~9 MB ≈ 11 us at HBM bw), so the naive
+single-block dots in this kernel lose to XLA's matmul tiling. The jnp path
+therefore REMAINS THE DEFAULT; this kernel is kept as a correctness-tested
+foundation for whole-layer fusion (where the CSGU branch's [B,T,3072]
+intermediates make fusion genuinely profitable) and for very long T where
+per-row VMEM residency wins. Revisit with pl.dot tiling + a (B, T-block)
+grid if the cell ever dominates the profile.
 """
 
 from __future__ import annotations
@@ -32,8 +42,23 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def _erf(x):
+    # Mosaic TC has no erf/erfc lowering; Abramowitz & Stegun 7.1.26
+    # rational approximation (max abs error 1.5e-7 — far below the bf16
+    # quantisation step and the fp32 test tolerance).
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    # exact-GELU form 0.5*x*(1 + erf(x/sqrt(2))) with the in-kernel erf
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
 def _kernel(x_ref, pad_ref, w1_ref, b1_ref, w2_ref, b2_ref,

@@ -237,3 +237,34 @@ def test_transformer_decoder_causality(rng):
     o2 = dec.apply(params, tgt2, mem, tgt_mask=lookahead_mask(u))
     np.testing.assert_allclose(np.asarray(o1)[:, :4], np.asarray(o2)[:, :4],
                                atol=1e-5, rtol=1e-5)
+
+
+def test_conformer_decoder_shapes(rng):
+    from summarymixing_tpu.models import ConformerDecoder
+    tgt = _x(rng, b=2, t=6)
+    mem = _x(rng, b=2, t=9)
+    dec = ConformerDecoder(num_layers=2, d_model=D, d_ffn=64, nhead=2,
+                           kernel_size=3, attention_type="regularMHA")
+    params = dec.init(jax.random.PRNGKey(0), tgt, mem)
+    out = dec.apply(params, tgt, mem)
+    assert out.shape == tgt.shape
+
+
+def test_summary_decoder_variant(rng):
+    """The paper's Summary Decoder (README.md:35): SummaryMixing replaces
+    decoder self-attention; causality must hold."""
+    from summarymixing_tpu.ops.masks import lookahead_mask
+    tgt = _x(rng, b=1, t=6)
+    mem = _x(rng, b=1, t=8)
+    dec = TransformerDecoder(
+        num_layers=2, d_model=D, d_ffn=64, nhead=2,
+        normalize_before=True, attention_type="SummaryMixing",
+        local_proj_hid_dim=(16,), local_proj_out_dim=D, summary_hid_dim=(24,),
+    )
+    params = dec.init(jax.random.PRNGKey(0), tgt, mem,
+                      tgt_mask=lookahead_mask(6))
+    o1 = dec.apply(params, tgt, mem, tgt_mask=lookahead_mask(6))
+    tgt2 = tgt.at[:, 4].set(55.0)
+    o2 = dec.apply(params, tgt2, mem, tgt_mask=lookahead_mask(6))
+    np.testing.assert_allclose(np.asarray(o1)[:, :4], np.asarray(o2)[:, :4],
+                               atol=1e-5, rtol=1e-5)
