@@ -76,8 +76,13 @@ def measure(model, fbank, batch, secs):
         float(c)
         return time.perf_counter() - t0
 
-    t_small, t_large = chain(3), chain(13)
-    per_iter = (t_large - t_small) / 10
+    # calibrate, then size the chains so the measured work dominates the
+    # tunnel's multi-ms jitter (~2 s of device work per measurement)
+    est = max(chain(10) / 10, 1e-4)
+    k_small = max(3, int(0.3 / est))
+    k_large = k_small + max(10, int(2.0 / est))
+    t_small, t_large = chain(k_small), chain(k_large)
+    per_iter = (t_large - t_small) / (k_large - k_small)
     rtf = per_iter / (batch * secs)
     return per_iter, rtf
 

@@ -57,7 +57,7 @@ from summarymixing_tpu.training.trainer import ASRTrainer, TrainerConfig
 from summarymixing_tpu.frontend.augment import SpecAugmentConfig
 
 
-def build_tx(cfg):
+def build_tx(cfg, steps_per_epoch=None):
     t = cfg.training
     if t.scheduler == "noam":
         sched = noam_schedule(t.lr_adam, t.n_warmup_steps)
@@ -67,8 +67,15 @@ def build_tx(cfg):
             t.decay_factor,
         )
     elif t.scheduler == "two_stage":
-        # switch-step approximated per epoch by the caller
+        # AISHELL/CommonVoice: Adam+Noam until stage_one_epochs, SGD after
+        # (reference AISHELL yaml:59,168-178)
         sched = noam_schedule(t.lr_adam, t.n_warmup_steps)
+        switch = (t.stage_one_epochs or 1) * (steps_per_epoch or 1000)
+        return make_two_stage_adam_sgd(
+            sched, sgd_lr=t.lr_sgd, switch_step=switch,
+            weight_decay=t.weight_decay, betas=tuple(t.adam_betas),
+            eps=t.adam_eps, max_grad_norm=t.max_grad_norm,
+        )
     else:
         raise ValueError(f"unknown scheduler {t.scheduler!r}")
     return make_adamw(
@@ -79,6 +86,20 @@ def build_tx(cfg):
         max_grad_norm=t.max_grad_norm,
         accum_steps=t.grad_accumulation_factor,
     )
+
+
+def estimate_steps_per_epoch(manifest, cfg, mesh):
+    sr = cfg.features.sample_rate
+    lengths = [int(u.duration * sr) for u in manifest]
+    buckets = make_buckets(
+        max_batch_length=cfg.training.max_batch_length * sr,
+        num_buckets=min(cfg.training.num_buckets, 40),
+        min_len=max(min(lengths), sr // 4),
+        max_len=max(lengths),
+        max_batch_size=cfg.training.max_batch_ex,
+        batch_multiple=int(mesh.devices.size),
+    )
+    return max(DynamicBucketBatcher(lengths, buckets).num_batches(), 1)
 
 
 def batches(manifest, tokenizer, cfg, mesh, shuffle, seed, fbank):
@@ -95,9 +116,13 @@ def batches(manifest, tokenizer, cfg, mesh, shuffle, seed, fbank):
     batcher = DynamicBucketBatcher(
         lengths, buckets, shuffle=shuffle, seed=seed, drop_last=shuffle
     )
+    from summarymixing_tpu.data.native_loader import load_wav_batch
+
     for spec, idx in batcher:
-        wavs = [load_wav(manifest[i].wav_path, sr) for i in idx]
-        wav, wav_lens = pad_batch(wavs, spec.max_len)
+        # native threaded C++ decode when available, python fallback inside
+        wav, wav_lens = load_wav_batch(
+            [manifest[i].wav_path for i in idx], spec.max_len, sr
+        )
         toks = [np.asarray(tokenizer.encode(manifest[i].text), np.int32)
                 for i in idx]
         umax = max(max(len(t) for t in toks), 1)
@@ -128,6 +153,7 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
         enc_model, td_model, tx, fbank,
         TransducerTrainerConfig(
             ctc_weight=cfg.training.ctc_weight,
+            ce_weight=getattr(cfg.training, "ce_weight", 0.0),
             blank_id=cfg.model.blank_index,
             dct=DynChunkTrainSamplerConfig(
                 chunkwise_prob=t_cfg.chunkwise_prob,
@@ -232,7 +258,7 @@ def main():
 
     model, fbank, transducer_model = build_model(cfg)
     mesh = make_mesh()
-    tx = build_tx(cfg)
+    tx = build_tx(cfg, estimate_steps_per_epoch(train_set, cfg, mesh))
     a = cfg.augment
     if transducer_model is not None:
         run_transducer(cfg, args, model, transducer_model, fbank, tx, mesh,

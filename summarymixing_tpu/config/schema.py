@@ -89,6 +89,7 @@ class TrainingConfig:
     loss_reduction: str = "batchmean"
     precision: str = "bf16"
     ctc_weight: float = 0.3
+    ce_weight: float = 0.0   # transducer CE aux (yaml:319-320, optional MTL)
     label_smoothing: float = 0.0
     lr_adam: float = 0.0008
     adam_betas: Tuple[float, float] = (0.9, 0.98)

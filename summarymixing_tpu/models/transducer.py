@@ -139,6 +139,10 @@ class TransducerModel(nn.Module):
         )
         self.proj_ctc = nn.Dense(self.vocab, param_dtype=self.param_dtype,
                                  name="proj_ctc")
+        # CE aux head over the prediction network (transducer yaml:312-315
+        # dec_lin, "MTL with LM over the decoder")
+        self.dec_lin = nn.Dense(self.vocab, use_bias=False,
+                                param_dtype=self.param_dtype, name="dec_lin")
 
     def __call__(
         self,
@@ -154,8 +158,15 @@ class TransducerModel(nn.Module):
 
     def init_all(self, enc_out: Array, tokens_bos: Array):
         """Touches every submodule so flax init creates all params
-        (ctc_head is not reached by __call__)."""
-        return self(enc_out, tokens_bos), self.ctc_head(enc_out)
+        (ctc_head / ce_head are not reached by __call__)."""
+        return (self(enc_out, tokens_bos), self.ctc_head(enc_out),
+                self.ce_head(tokens_bos))
+
+    def ce_head(self, tokens_bos: Array) -> Array:
+        """Next-token log-probs from the prediction network alone
+        ([B, U+1, V]); position u predicts target u."""
+        dec_proj = self.predictor(tokens_bos, deterministic=True)
+        return jax.nn.log_softmax(self.dec_lin(dec_proj), axis=-1)
 
     def ctc_head(self, enc_out: Array) -> Array:
         """CTC aux log-probs from the projected encoder (transducer

@@ -184,6 +184,15 @@ class TransducerTrainer:
                              blank_id=cfg.blank_id)
             losses["ctc"] = l_ctc
             loss = loss + cfg.ctc_weight * l_ctc
+        if cfg.ce_weight > 0.0:
+            # CE over the prediction network: position u predicts tokens[u]
+            ce_lp = self.transducer_model.apply(
+                {"params": params["transducer"]}, tokens_bos,
+                method=self.transducer_model.ce_head,
+            )[:, :-1]
+            l_ce = nll_loss(ce_lp, tokens, token_lens)
+            losses["ce"] = l_ce
+            loss = loss + cfg.ce_weight * l_ce
         losses["loss"] = loss
         return loss, (losses, norm_stats, (enc_out, enc_lens))
 

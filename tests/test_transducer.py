@@ -168,3 +168,15 @@ def test_transducer_trainer_overfits(rng):
         state, metrics = trainer.train_step(state, batch)
     assert float(metrics["loss"]) < float(m0["loss"])
     assert np.isfinite(float(metrics["transducer"]))
+
+
+def test_ce_aux_loss(rng):
+    from summarymixing_tpu.losses import nll_loss
+    m = make_model()
+    enc = jnp.asarray(rng.standard_normal((2, 4, 16)), jnp.float32)
+    toks_bos = jnp.asarray(rng.integers(0, VOCAB, (2, 4)), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), enc, toks_bos, method=m.init_all)
+    ce_lp = m.apply(params, toks_bos, method=m.ce_head)
+    assert ce_lp.shape == (2, 4, VOCAB)
+    l = nll_loss(ce_lp[:, :-1], toks_bos[:, 1:], jnp.asarray([3, 3]))
+    assert np.isfinite(float(l))
