@@ -163,3 +163,41 @@ def test_rnnlm_step_matches_full(rng):
     stepped = run_steps(params, toks)
     np.testing.assert_allclose(np.asarray(full), np.asarray(stepped),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_beam_search_with_lm_fusion(rng):
+    """LM shallow fusion: beam search must run with an lm_step_fn and the
+    LM weight must influence the chosen hypotheses."""
+    from summarymixing_tpu.models.lm import TransformerLM
+
+    batch, beam, t, d, vocab = 2, 3, 6, 16, 12
+    enc_out = jnp.asarray(rng.standard_normal((batch * beam, t, d)), jnp.float32)
+    enc_lens = jnp.full((batch * beam,), t, jnp.int32)
+
+    # a fake acoustic decode_step: logits from a fixed projection of enc mean
+    proj = jnp.asarray(rng.standard_normal((d, vocab)) * 0.5, jnp.float32)
+
+    def decode_step(tokens, step):
+        ctx = jnp.mean(enc_out, axis=1) @ proj
+        return jax.nn.log_softmax(ctx, axis=-1)
+
+    lm = TransformerLM(vocab=vocab, d_model=16, nhead=2, num_layers=1, d_ffn=32)
+    toks0 = jnp.zeros((batch * beam, 7), jnp.int32)
+    lm_params = lm.init(jax.random.PRNGKey(0), toks0)
+
+    def lm_step(tokens, step):
+        logits = lm.apply(lm_params, tokens)
+        return jax.nn.log_softmax(logits[:, step], axis=-1)
+
+    cfg0 = S2SBeamConfig(beam_size=beam, ctc_weight=0.0, lm_weight=0.0,
+                         max_length=6, min_steps=1)
+    cfg1 = S2SBeamConfig(beam_size=beam, ctc_weight=0.0, lm_weight=5.0,
+                         max_length=6, min_steps=1)
+    t0, l0, s0 = s2s_beam_search(decode_step, enc_out, enc_lens, None, cfg0,
+                                 lm_step_fn=lm_step)
+    t1, l1, s1 = s2s_beam_search(decode_step, enc_out, enc_lens, None, cfg1,
+                                 lm_step_fn=lm_step)
+    assert t0.shape == t1.shape
+    assert np.isfinite(np.asarray(s0)).all() and np.isfinite(np.asarray(s1)).all()
+    # a heavy LM weight should change at least one decoded sequence
+    assert not np.array_equal(np.asarray(t0), np.asarray(t1))

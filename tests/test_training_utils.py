@@ -132,3 +132,18 @@ def test_logger(tmp_path):
     assert "epoch: 1" in text and "valid WER: 12.5" in text
     assert os.path.exists(tmp_path / "train_log.jsonl")
     assert list(EpochCounter(3)) == [1, 2, 3]
+
+
+def test_pretrainer(tmp_path):
+    from summarymixing_tpu.utils.pretrained import Pretrainer
+    np.savez(tmp_path / "lm.npz", w=np.ones((2, 2)))
+    pt = Pretrainer(collect_in=str(tmp_path), loadables={"lm": "lm.npz"})
+    out = pt.collect()
+    assert np.allclose(out["lm"]["w"], 1.0)
+    pt2 = Pretrainer(collect_in=str(tmp_path),
+                     loadables={"lm": "https://hf.co/x/lm.ckpt"})
+    with pytest.raises(RuntimeError):
+        pt2.load("lm")
+    pt3 = Pretrainer(collect_in=str(tmp_path), loadables={"x": "missing.npz"})
+    with pytest.raises(FileNotFoundError):
+        pt3.load("x")
