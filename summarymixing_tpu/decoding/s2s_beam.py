@@ -56,12 +56,19 @@ def s2s_beam_search(
     ctc_log_probs: Optional[Array],
     config: S2SBeamConfig,
     lm_step_fn: Optional[Callable[[Array, Array], Array]] = None,
+    cache=None,
 ) -> Tuple[Array, Array, Array]:
     """Run beam search.
 
     decode_step_fn(tokens [N, L], step) -> [N, V] next-token log-probs for
     the prefix tokens[:, :step+1] (N = batch * beam; enc state must already
     be tiled to N rows by the caller via `tile_for_beam`).
+
+    KV-cached mode: pass `cache` (from the model's decode_cache_init, tiled
+    per beam) and a decode_step_fn(last_tokens [N], step, cache) ->
+    (log-probs [N, V], cache). The cache is gathered on beam pruning, making
+    each step O(step) instead of O(max_length^2).
+
     Returns (best_tokens [B, Lmax], best_lengths [B], best_scores [B]) —
     tokens exclude bos and eos."""
     beam = config.beam_size
@@ -90,8 +97,11 @@ def s2s_beam_search(
         )
 
     def step_fn(step, carry):
-        tokens, scores, lengths, finished, ctc_state = carry
-        att_lp = decode_step_fn(tokens, step)          # [N, V]
+        tokens, scores, lengths, finished, ctc_state, dec_cache = carry
+        if dec_cache is not None:
+            att_lp, dec_cache = decode_step_fn(tokens[:, step], step, dec_cache)
+        else:
+            att_lp = decode_step_fn(tokens, step)      # [N, V]
         v = att_lp.shape[-1]
         base_lp = att_w * att_lp
         if lm_step_fn is not None and config.lm_weight > 0.0:
@@ -153,11 +163,14 @@ def s2s_beam_search(
             )
         else:
             new_ctc = ctc_state
-        return new_tokens, new_scores, new_lengths, now_finished, new_ctc
+        if dec_cache is not None:
+            dec_cache = jax.tree.map(lambda c: c[parent], dec_cache)
+        return (new_tokens, new_scores, new_lengths, now_finished, new_ctc,
+                dec_cache)
 
-    carry = (tokens, scores, lengths, finished, ctc_state)
+    carry = (tokens, scores, lengths, finished, ctc_state, cache)
     carry = jax.lax.fori_loop(0, lmax, step_fn, carry)
-    tokens, scores, lengths, finished, _ = carry
+    tokens, scores, lengths, finished, _, _ = carry
 
     # unfinished hypotheses count full length; length-normalise if configured
     final = scores

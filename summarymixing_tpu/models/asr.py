@@ -329,6 +329,27 @@ class TransformerASR(nn.Module):
             enc_pad_mask = length_to_mask(enc_len, enc_out.shape[1])
         return self._decode_inner(tgt, enc_out, enc_pad_mask, None, True)
 
+    # -- KV-cached incremental decoding -------------------------------------
+    def decode_cache_init(self, enc_out: Array, max_len: int):
+        """Per-layer KV caches for incremental decoding (beam search):
+        precomputes cross-attention K/V from enc_out once."""
+        return self.decoder.init_cache(enc_out, max_len)
+
+    def decode_step_cached(
+        self,
+        tok_t: Array,
+        pos,
+        cache,
+        enc_pad_mask: Optional[Array] = None,
+    ):
+        """One token step: tok_t [B] int -> (hidden [B, D], cache').
+        O(pos) attention instead of re-running the full prefix."""
+        x = self.tgt_emb(tok_t[:, None])[:, 0]
+        table = positional_encoding(self.max_length, self.d_model, x.dtype)
+        pe = jax.lax.dynamic_slice(table, (0, pos, 0), (1, 1, self.d_model))
+        x = x + pe[0, 0]
+        return self.decoder.step(x, pos, cache, enc_pad_mask)
+
     # -- streaming (functional reference TransformerASR.py:562-679) ---------
     def init_streaming_state(
         self, batch: int, dynchunk: DynChunkTrainConfig, dtype=jnp.float32

@@ -360,6 +360,50 @@ class TransformerDecoderLayer(nn.Module):
             tgt = self.norm3(tgt)
         return tgt
 
+    # -- incremental decoding (KV cache; regularMHA only) --------------------
+    def init_cache(self, memory: Array, max_len: int) -> dict:
+        if self.attention_type != "regularMHA":
+            raise ValueError("KV-cached decoding supports regularMHA only")
+        mem_k, mem_v = self.cross_attn.kv(memory)
+        b = memory.shape[0]
+        h, hd = self.nhead, self.d_model // self.nhead
+        return {
+            "self_k": jnp.zeros((b, max_len, h, hd), mem_k.dtype),
+            "self_v": jnp.zeros((b, max_len, h, hd), mem_v.dtype),
+            "mem_k": mem_k,
+            "mem_v": mem_v,
+        }
+
+    def step(
+        self,
+        x_t: Array,
+        pos,
+        cache: dict,
+        memory_pad_mask: Optional[Array] = None,
+    ):
+        """One decoding position: x_t [B, D] -> ([B, D], cache')."""
+        t1 = self.norm1(x_t) if self.normalize_before else x_t
+        out, sk, sv = self.self_attn.step(
+            t1, cache["self_k"], cache["self_v"], pos, append=True
+        )
+        x = x_t + out
+        if not self.normalize_before:
+            x = self.norm1(x)
+        t1 = self.norm2(x) if self.normalize_before else x
+        out, _, _ = self.cross_attn.step(
+            t1, cache["mem_k"], cache["mem_v"], pos,
+            pad_mask=memory_pad_mask, append=False,
+        )
+        x = x + out
+        if not self.normalize_before:
+            x = self.norm2(x)
+        t1 = self.norm3(x) if self.normalize_before else x
+        out = self.pos_ffn(t1[:, None], deterministic=True)[:, 0]
+        x = x + out
+        if not self.normalize_before:
+            x = self.norm3(x)
+        return x, dict(cache, self_k=sk, self_v=sv)
+
 
 class TransformerDecoder(nn.Module):
     num_layers: int
@@ -378,21 +422,9 @@ class TransformerDecoder(nn.Module):
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self,
-        tgt: Array,
-        memory: Array,
-        tgt_mask: Optional[Array] = None,
-        memory_mask: Optional[Array] = None,
-        tgt_pad_mask: Optional[Array] = None,
-        memory_pad_mask: Optional[Array] = None,
-        pos_embs_tgt: Optional[Array] = None,
-        pos_embs_src: Optional[Array] = None,
-        deterministic: bool = True,
-    ) -> Array:
-        for i in range(self.num_layers):
-            tgt = TransformerDecoderLayer(
+    def setup(self):
+        self.layers = [
+            TransformerDecoderLayer(
                 d_model=self.d_model,
                 d_ffn=self.d_ffn,
                 nhead=self.nhead,
@@ -408,12 +440,48 @@ class TransformerDecoder(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer_{i}",
-            )(
+            )
+            for i in range(self.num_layers)
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="norm")
+
+    def __call__(
+        self,
+        tgt: Array,
+        memory: Array,
+        tgt_mask: Optional[Array] = None,
+        memory_mask: Optional[Array] = None,
+        tgt_pad_mask: Optional[Array] = None,
+        memory_pad_mask: Optional[Array] = None,
+        pos_embs_tgt: Optional[Array] = None,
+        pos_embs_src: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        for layer in self.layers:
+            tgt = layer(
                 tgt, memory, tgt_mask, memory_mask, tgt_pad_mask,
                 memory_pad_mask, pos_embs_tgt, pos_embs_src, deterministic,
             )
-        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                            param_dtype=self.param_dtype, name="norm")(tgt)
+        return self.norm(tgt)
+
+    # -- incremental decoding ------------------------------------------------
+    def init_cache(self, memory: Array, max_len: int):
+        return tuple(layer.init_cache(memory, max_len) for layer in self.layers)
+
+    def step(
+        self,
+        x_t: Array,
+        pos,
+        cache,
+        memory_pad_mask: Optional[Array] = None,
+    ):
+        """x_t [B, D] at position pos -> (normed hidden [B, D], cache')."""
+        new_cache = []
+        for layer, c in zip(self.layers, cache):
+            x_t, c = layer.step(x_t, pos, c, memory_pad_mask)
+            new_cache.append(c)
+        return self.norm(x_t), tuple(new_cache)
 
 
 class NormalizedEmbedding(nn.Module):

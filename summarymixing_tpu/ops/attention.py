@@ -59,7 +59,8 @@ def _merge_masks(
 
 
 class MultiheadAttention(nn.Module):
-    """Standard scaled-dot-product multi-head attention ("regularMHA")."""
+    """Standard scaled-dot-product multi-head attention ("regularMHA"),
+    with incremental (KV-cached) step methods for O(1)-per-token decoding."""
 
     d_model: int
     nhead: int
@@ -69,7 +70,21 @@ class MultiheadAttention(nn.Module):
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        dense = lambda name: nn.Dense(  # noqa: E731
+            self.d_model, dtype=self.dtype, param_dtype=self.param_dtype,
+            name=name,
+        )
+        self.q_proj = dense("q_proj")
+        self.k_proj = dense("k_proj")
+        self.v_proj = dense("v_proj")
+        self.out_proj = dense("out_proj")
+        self.attn_dropout = nn.Dropout(rate=self.dropout_rate)
+
+    def _heads(self, x: Array) -> Array:
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.nhead, self.d_model // self.nhead)
+
     def __call__(
         self,
         query: Array,
@@ -85,12 +100,9 @@ class MultiheadAttention(nn.Module):
         hd = d // h
         b, t, _ = query.shape
         s = key.shape[1]
-        dense = lambda name, feats: nn.Dense(  # noqa: E731
-            feats, dtype=self.dtype, param_dtype=self.param_dtype, name=name
-        )
-        q = dense("q_proj", d)(query).reshape(b, t, h, hd)
-        k = dense("k_proj", d)(key).reshape(b, s, h, hd)
-        v = dense("v_proj", d)(value).reshape(b, s, h, hd)
+        q = self._heads(self.q_proj(query))
+        k = self._heads(self.k_proj(key))
+        v = self._heads(self.v_proj(value))
 
         scores = jnp.einsum(
             "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
@@ -99,13 +111,64 @@ class MultiheadAttention(nn.Module):
         if bias is not None:
             scores = scores + bias.astype(scores.dtype)
         probs = jax.nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(rate=self.dropout_rate)(probs, deterministic=deterministic)
+        probs = self.attn_dropout(probs, deterministic=deterministic)
         ctx = jnp.einsum(
             "bhts,bshd->bthd", probs.astype(v.dtype), v,
             preferred_element_type=jnp.float32,
         ).astype(v.dtype)
-        out = dense("out_proj", d)(ctx.reshape(b, t, d))
+        out = self.out_proj(ctx.reshape(b, t, d))
         return out, (probs if return_attn else None)
+
+    # -- incremental decoding -------------------------------------------------
+    def kv(self, x: Array) -> Tuple[Array, Array]:
+        """Precompute K/V heads for a static memory: [B, S, H, hd] each."""
+        return self._heads(self.k_proj(x)), self._heads(self.v_proj(x))
+
+    def step(
+        self,
+        x_t: Array,
+        k_cache: Array,
+        v_cache: Array,
+        pos,
+        pad_mask: Optional[Array] = None,
+        append: bool = True,
+    ):
+        """One-position attention. x_t [B, D]; k/v_cache [B, S, H, hd].
+        With append=True (self-attention), writes this position's K/V at
+        `pos` and attends over cache[:pos+1]; with append=False
+        (cross-attention), attends over the full cache (use pad_mask).
+        Returns (out [B, D], k_cache, v_cache)."""
+        d, h = self.d_model, self.nhead
+        hd = d // h
+        b = x_t.shape[0]
+        q = self.q_proj(x_t).reshape(b, h, hd)
+        if append:
+            k_t = self.k_proj(x_t).reshape(b, 1, h, hd)
+            v_t = self.v_proj(x_t).reshape(b, 1, h, hd)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_t.astype(k_cache.dtype), (0, pos, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_t.astype(v_cache.dtype), (0, pos, 0, 0)
+            )
+        s = k_cache.shape[1]
+        scores = jnp.einsum(
+            "bhd,bshd->bhs", q, k_cache, preferred_element_type=jnp.float32
+        ) / math.sqrt(hd)
+        if append:
+            valid = jnp.arange(s)[None, None, :] <= pos
+            scores = jnp.where(valid, scores, jnp.finfo(scores.dtype).min)
+        if pad_mask is not None:
+            scores = jnp.where(
+                pad_mask[:, None, :] > 0, scores, jnp.finfo(scores.dtype).min
+            )
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum(
+            "bhs,bshd->bhd", probs.astype(v_cache.dtype), v_cache,
+            preferred_element_type=jnp.float32,
+        ).astype(x_t.dtype)
+        out = self.out_proj(ctx.reshape(b, d))
+        return out, k_cache, v_cache
 
 
 def rel_shift(x: Array) -> Array:

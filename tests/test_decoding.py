@@ -201,3 +201,72 @@ def test_beam_search_with_lm_fusion(rng):
     assert np.isfinite(np.asarray(s0)).all() and np.isfinite(np.asarray(s1)).all()
     # a heavy LM weight should change at least one decoded sequence
     assert not np.array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_cached_decoder_step_matches_prefix(rng):
+    """KV-cached incremental decoding must reproduce the full-prefix
+    decoder exactly (position by position)."""
+    from summarymixing_tpu.models.transformer import TransformerDecoder
+    from summarymixing_tpu.ops.masks import lookahead_mask
+
+    b, u, t, d = 2, 5, 7, 16
+    dec = TransformerDecoder(num_layers=2, d_model=d, d_ffn=32, nhead=2,
+                             normalize_before=True)
+    tgt = jnp.asarray(rng.standard_normal((b, u, d)), jnp.float32)
+    mem = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    params = dec.init(jax.random.PRNGKey(0), tgt, mem)
+    full = dec.apply(params, tgt, mem, tgt_mask=lookahead_mask(u))
+
+    bound = dec.bind(params)
+    cache = bound.init_cache(mem, max_len=u)
+    outs = []
+    for pos in range(u):
+        h, cache = bound.step(tgt[:, pos], pos, cache)
+        outs.append(h)
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(stepped),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_cached_beam_matches_uncached(rng):
+    """Beam search with KV cache == beam search recomputing full prefixes."""
+    trainer, state, batch, _ = _train_tiny_joint(rng, steps=60)
+    model = trainer.model
+    cfg = trainer.config
+    feats = trainer.fbank(batch["wav"])
+    feat_lens = trainer.fbank.frame_lengths(batch["wav_lens"])
+    feats, _ = trainer.normalize(feats, state["norm_stats"])
+    enc_out, enc_lens = model.apply(
+        {"params": state["params"]}, feats, feat_lens, method=model.encode
+    )
+    ctc_lp = model.apply({"params": state["params"]}, enc_out,
+                         method=model.ctc_head)
+    beam = 3
+    enc_t = tile_for_beam(enc_out, beam)
+    len_t = tile_for_beam(enc_lens, beam)
+    ctc_t = tile_for_beam(ctc_lp, beam)
+    from summarymixing_tpu.ops.masks import length_to_mask
+    enc_pad = length_to_mask(len_t, enc_t.shape[1])
+
+    config = S2SBeamConfig(beam_size=beam, ctc_weight=0.4, lm_weight=0.0,
+                           bos_id=cfg.bos_id, eos_id=cfg.eos_id,
+                           blank_id=cfg.blank_id, max_length=6, min_steps=1)
+
+    def step_plain(tokens, step):
+        return model.apply({"params": state["params"]}, tokens, enc_t, len_t,
+                           step, method=model.decode_position)
+
+    t0, l0, s0 = s2s_beam_search(step_plain, enc_t, len_t, ctc_t, config)
+
+    cache = model.apply({"params": state["params"]}, enc_t,
+                        config.max_length + 1, method=model.decode_cache_init)
+
+    def step_cached(last_tok, step, cache):
+        return model.apply({"params": state["params"]}, last_tok, step, cache,
+                           enc_pad, method=model.decode_step_cached)
+
+    t1, l1, s1 = s2s_beam_search(step_cached, enc_t, len_t, ctc_t, config,
+                                 cache=cache)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-4)
