@@ -54,6 +54,13 @@ def laplace_weights(size: int, decay_constant: float, dtype=jnp.float32) -> Arra
     """Square matrix with 1 on the diagonal and exponential decay off it:
     w[i, j] = decay_constant ** |i - j|  (reference summary_mixing.py:316-365,
     non-normalised — row normalisation happens in the masked-sum path).
+
+    Example
+    -------
+    >>> import numpy as np
+    >>> w = laplace_weights(3, 0.5)
+    >>> np.round(np.asarray(w), 3).tolist()
+    [[1.0, 0.5, 0.25], [0.5, 1.0, 0.5], [0.25, 0.5, 1.0]]
     """
     idx = jnp.arange(size)
     dist = jnp.abs(idx[None, :] - idx[:, None]).astype(dtype)
@@ -99,6 +106,18 @@ class SummaryMixing(nn.Module):
 
     Call: ``cell(x, sum_mask=None, pad_mask=None, deterministic=True)`` with
     x [B, T, F]; returns [B, T, summary_out_dim].
+
+    Example
+    -------
+    >>> import jax, jax.numpy as jnp
+    >>> from summarymixing_tpu import SummaryMixing
+    >>> cell = SummaryMixing(enc_dim=8, nhead=2, local_proj_hid_dim=(16,),
+    ...                      local_proj_out_dim=8, summary_hid_dim=(16,),
+    ...                      summary_out_dim=8)
+    >>> x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8))
+    >>> params = cell.init(jax.random.PRNGKey(1), x)
+    >>> cell.apply(params, x).shape
+    (2, 4, 8)
 
     Attributes mirror the reference constructor (summary_mixing.py:76-159):
 
