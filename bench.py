@@ -87,11 +87,18 @@ def main():
         float(carry)  # single fetch: waits for the whole chain
         return time.perf_counter() - t0
 
-    # marginal timing cancels the tunnel round-trip / dispatch overhead
+    # marginal timing cancels the tunnel round-trip / dispatch overhead;
+    # repeat 3x and take the best estimate (the chip is shared — observed
+    # 3x run-to-run variance from co-tenants)
     k_small, k_large = 5, 55
-    t_small = timed_chain(k_small)
-    t_large = timed_chain(k_large)
-    per_iter = (t_large - t_small) / (k_large - k_small)
+    estimates = []
+    for _ in range(3):
+        t_small = timed_chain(k_small)
+        t_large = timed_chain(k_large)
+        estimates.append((t_large - t_small) / (k_large - k_small))
+    per_iter = min(e for e in estimates if e > 0) if any(
+        e > 0 for e in estimates
+    ) else max(estimates)
     dt = per_iter * k_large
 
     audio_seconds = batch_size * secs
@@ -111,6 +118,7 @@ def main():
             "dtype": "bfloat16",
             "iters": k_large,
             "per_iter_ms": round(per_iter * 1e3, 2),
+            "per_iter_ms_all_estimates": [round(e * 1e3, 2) for e in estimates],
             "device": str(jax.devices()[0]),
             "note": "vs_baseline = value / (5 * 2000 audio-s/s A100 estimate)",
         },

@@ -1,0 +1,165 @@
+"""Evaluation entry: WER/CER on a test manifest with greedy CTC or joint
+CTC/attention beam search, optionally on checkpoint-averaged weights.
+
+Usage:
+  python recipes/evaluate.py recipes/LibriSpeech/branchformer_summarymixing.yaml \
+      --test-manifest test-clean.csv --ckpt results/.../save \
+      [--beam] [--avg 10] [--output results/eval]
+
+Replaces the reference's Brain.evaluate + test_search stage (SURVEY.md §3.2:
+beam 66, ctc_weight_decode 0.4, avg_checkpoints 10)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+import jax.numpy as jnp
+import numpy as np
+
+from summarymixing_tpu.config import build_model, load_recipe
+from summarymixing_tpu.data.dataio import read_manifest_csv
+from summarymixing_tpu.data.tokenizer import CharTokenizer
+from summarymixing_tpu.decoding.s2s_beam import (
+    S2SBeamConfig,
+    s2s_beam_search,
+    tile_for_beam,
+)
+from summarymixing_tpu.frontend.features import InputNormalization, NormStats
+from summarymixing_tpu.ops.masks import length_to_mask
+from summarymixing_tpu.parallel.mesh import make_mesh
+from summarymixing_tpu.training.checkpoint import CheckpointManager, average_checkpoints
+from summarymixing_tpu.training.metrics import ErrorRateStats
+from summarymixing_tpu.training.optim import make_adamw
+from summarymixing_tpu.training.trainer import ASRTrainer, TrainerConfig
+
+from train import batches  # noqa: E402  (same directory)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("recipe")
+    ap.add_argument("--test-manifest", required=True)
+    ap.add_argument("--ckpt", required=True, help="checkpoint directory")
+    ap.add_argument("--beam", action="store_true",
+                    help="joint CTC/attention beam search (decoder models)")
+    ap.add_argument("--avg", type=int, default=0,
+                    help="average the last N checkpoints (reference "
+                         "avg_checkpoints)")
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args()
+
+    cfg = load_recipe(args.recipe)
+    test_set = read_manifest_csv(args.test_manifest)
+    tokenizer = CharTokenizer.build([u.text for u in test_set]) \
+        if cfg.tokenizer_type == "char" else None
+    if tokenizer is None:
+        try:
+            from summarymixing_tpu.data.tokenizer import SentencePieceTokenizer
+
+            tokenizer = SentencePieceTokenizer(
+                os.path.join(os.path.dirname(args.ckpt), "tokenizer.model"))
+        except Exception:
+            tokenizer = CharTokenizer.build([u.text for u in test_set])
+
+    model, fbank, _ = build_model(cfg)
+    mesh = make_mesh()
+    trainer = ASRTrainer(
+        model, make_adamw(1e-4), fbank,
+        TrainerConfig(ctc_weight=cfg.training.ctc_weight, augment=None,
+                      blank_id=cfg.model.blank_index,
+                      bos_id=cfg.model.bos_index, eos_id=cfg.model.eos_index),
+        mesh=mesh,
+    )
+
+    example = next(iter(batches(test_set, tokenizer, cfg, mesh, False, 0,
+                                fbank)))[0]
+    state = trainer.init_state(jax.random.PRNGKey(0), example)
+    mgr = CheckpointManager(args.ckpt)
+    # restore only the evaluation-relevant subtrees; the training optimizer
+    # state may have any structure
+    subset = {k: np.asarray(v) if not isinstance(v, dict) else v
+              for k, v in jax.tree.map(np.asarray, state).items()
+              if k in ("params", "norm_stats", "step", "epoch")}
+    if args.avg > 1:
+        restored = average_checkpoints(mgr, subset, num=args.avg)
+    else:
+        restored = mgr.restore(subset, partial=True)
+        if restored is None:
+            raise SystemExit(f"no checkpoints in {args.ckpt}")
+    state = dict(state)
+    state.update({k: restored[k] for k in subset})
+
+    stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
+                           remove_spaces=cfg.remove_spaces)
+    params = {"params": state["params"]}
+    t0 = time.time()
+    n_utts = 0
+    for batch, _ in batches(test_set, tokenizer, cfg, mesh, False, 0, fbank):
+        if args.beam:
+            feats = fbank(batch["wav"])
+            feat_lens = fbank.frame_lengths(batch["wav_lens"])
+            feats, _ = trainer.normalize(feats, state["norm_stats"])
+            enc_out, enc_lens = model.apply(params, feats, feat_lens,
+                                            method=model.encode)
+            ctc_lp = model.apply(params, enc_out, method=model.ctc_head)
+            beam = cfg.decoding.test_beam_size
+            enc_t = tile_for_beam(enc_out, beam)
+            len_t = tile_for_beam(enc_lens, beam)
+            ctc_t = tile_for_beam(ctc_lp, beam)
+            enc_pad = length_to_mask(len_t, enc_t.shape[1])
+            bc = S2SBeamConfig(
+                beam_size=beam,
+                ctc_weight=cfg.decoding.ctc_weight_decode,
+                bos_id=cfg.model.bos_index, eos_id=cfg.model.eos_index,
+                blank_id=cfg.model.blank_index,
+                max_length=min(int(enc_t.shape[1]
+                                   * cfg.decoding.max_decode_ratio) or 64,
+                               256),
+            )
+            cache = model.apply(params, enc_t, bc.max_length + 1,
+                                method=model.decode_cache_init)
+
+            def step(last_tok, step_i, cache):
+                return model.apply(params, last_tok, step_i, cache, enc_pad,
+                                   method=model.decode_step_cached)
+
+            toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t, bc,
+                                            cache=cache)
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            hyps = [list(toks[i, : lens[i]]) for i in range(toks.shape[0])]
+        else:
+            _, hyps = trainer.eval_step(state, batch)
+        refs = [tokenizer.decode(
+            np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
+        ).split() for i in range(len(hyps))]
+        hyp_text = [tokenizer.decode(h).split() for h in hyps]
+        stats.append(refs, hyp_text)
+        n_utts += len(hyps)
+
+    summary = stats.summarize()
+    summary["utterances"] = n_utts
+    summary["wall_s"] = round(time.time() - t0, 1)
+    summary["decode"] = "beam" if args.beam else "greedy_ctc"
+    print(json.dumps(summary))
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "eval.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

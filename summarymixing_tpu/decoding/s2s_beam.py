@@ -77,6 +77,8 @@ def s2s_beam_search(
     lmax = config.max_length
     use_ctc = config.ctc_weight > 0.0 and ctc_log_probs is not None
     k_ctc = config.ctc_candidates or 2 * beam
+    if ctc_log_probs is not None:
+        k_ctc = min(k_ctc, ctc_log_probs.shape[-1])
     att_w = 1.0 - config.ctc_weight
 
     tokens = jnp.full((n, lmax + 1), config.eos_id, jnp.int32)
@@ -103,6 +105,7 @@ def s2s_beam_search(
         else:
             att_lp = decode_step_fn(tokens, step)      # [N, V]
         v = att_lp.shape[-1]
+        k = min(k_ctc, v)  # static at trace time
         base_lp = att_w * att_lp
         if lm_step_fn is not None and config.lm_weight > 0.0:
             base_lp = base_lp + config.lm_weight * lm_step_fn(tokens, step)
@@ -115,28 +118,28 @@ def s2s_beam_search(
         )
 
         if use_ctc:
-            cand_lp, cand_ids = jax.lax.top_k(base_lp, k_ctc)  # [N, K]
+            cand_lp, cand_ids = jax.lax.top_k(base_lp, k)  # [N, K]
             ctc_delta, cand_states = ctc_prefix_score(
                 ctc_state, ctc_log_probs, enc_lengths, cand_ids,
                 config.blank_id, config.eos_id,
             )
             step_scores = cand_lp + config.ctc_weight * ctc_delta  # [N, K]
         else:
-            step_scores, cand_ids = jax.lax.top_k(base_lp, k_ctc)
+            step_scores, cand_ids = jax.lax.top_k(base_lp, k)
             cand_states = None
 
         # finished hypotheses: only candidate 0 survives, as eos with delta 0
-        k_idx = jnp.arange(k_ctc)[None, :]
+        k_idx = jnp.arange(k)[None, :]
         step_scores = jnp.where(
             finished[:, None], jnp.where(k_idx == 0, 0.0, _NEG), step_scores
         )
         cand_ids = jnp.where(finished[:, None], config.eos_id, cand_ids)
 
         total = scores[:, None] + step_scores  # [N, K]
-        flat = total.reshape(batch, beam * k_ctc)
+        flat = total.reshape(batch, beam * k)
         top_scores, top_idx = jax.lax.top_k(flat, beam)  # [batch, beam]
-        parent = top_idx // k_ctc + (jnp.arange(batch) * beam)[:, None]
-        cand = top_idx % k_ctc
+        parent = top_idx // k + (jnp.arange(batch) * beam)[:, None]
+        cand = top_idx % k
         parent = parent.reshape(-1)   # [N]
         cand = cand.reshape(-1)
 

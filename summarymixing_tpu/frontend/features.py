@@ -77,7 +77,10 @@ def stft_magnitude(
         raise ValueError("win_length > n_fft")
     cos_b, sin_b = _dft_basis(n_fft)  # [F, n_fft] each
     win = np.zeros(n_fft, np.float32)
-    win[:win_length] = np.asarray(hamming_window(win_length))
+    n_idx = np.arange(win_length)
+    win[:win_length] = (
+        0.54 - 0.46 * np.cos(2.0 * np.pi * n_idx / win_length)
+    ).astype(np.float32)
     filt = np.concatenate([cos_b, sin_b], axis=0) * win[None, :]  # [2F, n_fft]
     kernel = jnp.asarray(filt.T[:, None, :])  # HIO: [taps, 1, 2F]
 

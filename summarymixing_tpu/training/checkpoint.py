@@ -51,10 +51,23 @@ class CheckpointManager:
         self._last_save = time.time()
         return True
 
-    def restore(self, state_like: Dict[str, Any], step: Optional[int] = None):
+    def restore(
+        self,
+        state_like: Dict[str, Any],
+        step: Optional[int] = None,
+        partial: bool = False,
+    ):
+        """Restore the latest (or given) step. With partial=True, state_like
+        may be a subset of the saved tree (e.g. params + norm_stats only, for
+        evaluation where the training optimizer state is unknown)."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
+        if partial:
+            # raw restore (no structure template), then take the requested
+            # subtrees — robust to unknown optimizer-state structure
+            raw = self._mgr.restore(step, args=ocp.args.StandardRestore())
+            return {k: raw[k] for k in state_like}
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_like)
         )
@@ -79,14 +92,14 @@ def average_checkpoints(
         raise ValueError("no checkpoints to average")
     acc = None
     for s in steps:
-        st = manager.restore(state_like, step=s)
+        st = manager.restore(state_like, step=s, partial=True)
         p = st["params"]
         if acc is None:
             acc = jax.tree.map(lambda x: np.asarray(x, np.float64), p)
         else:
             acc = jax.tree.map(lambda a, x: a + np.asarray(x, np.float64), acc, p)
     avg = jax.tree.map(lambda a: (a / len(steps)).astype(np.float32), acc)
-    latest = manager.restore(state_like, step=steps[-1])
+    latest = manager.restore(state_like, step=steps[-1], partial=True)
     latest["params"] = jax.tree.map(
         lambda a, ref: np.asarray(a, np.asarray(ref).dtype), avg, latest["params"]
     )
