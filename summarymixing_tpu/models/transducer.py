@@ -85,29 +85,41 @@ class TransducerPredictor(nn.Module):
 
 
 class TransducerJoint(nn.Module):
-    """Sum-joint: act(enc[:, :, None] + dec[:, None, :]) -> vocab logits
-    (speechbrain Transducer_joint joint="sum" + transducer_lin)."""
+    """Joint network (speechbrain Transducer_joint + transducer_lin):
+    joint="sum" -> act(enc + dec); joint="concat" -> act(cat[enc, dec])
+    (both reference options, transducer yaml:322-324)."""
 
     vocab: int
     activation: Callable = gelu_exact
+    joint: str = "sum"
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        if self.joint not in ("sum", "concat"):
+            raise ValueError(f"joint must be sum|concat, got {self.joint!r}")
         self.transducer_lin = nn.Dense(
             self.vocab, use_bias=False, param_dtype=self.param_dtype,
             name="transducer_lin",
         )
 
+    def _combine(self, enc: Array, dec: Array) -> Array:
+        if self.joint == "sum":
+            return self.activation(enc + dec)
+        return self.activation(jnp.concatenate(
+            [jnp.broadcast_to(enc, jnp.broadcast_shapes(enc.shape, dec.shape)),
+             jnp.broadcast_to(dec, jnp.broadcast_shapes(enc.shape, dec.shape))],
+            axis=-1,
+        ))
+
     def __call__(self, enc_proj: Array, dec_proj: Array) -> Array:
         """enc_proj [B, T, J]; dec_proj [B, U+1, J] -> [B, T, U+1, V]."""
-        joint = self.activation(
-            enc_proj[:, :, None, :] + dec_proj[:, None, :, :]
+        return self.transducer_lin(
+            self._combine(enc_proj[:, :, None, :], dec_proj[:, None, :, :])
         )
-        return self.transducer_lin(joint)
 
     def step(self, enc_frame: Array, dec_step: Array) -> Array:
         """enc_frame [B, J]; dec_step [B, J] -> [B, V] logits."""
-        return self.transducer_lin(self.activation(enc_frame + dec_step))
+        return self.transducer_lin(self._combine(enc_frame, dec_step))
 
 
 class TransducerModel(nn.Module):

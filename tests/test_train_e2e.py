@@ -123,3 +123,35 @@ def test_train_step_on_8_device_mesh(rng):
     np.testing.assert_allclose(
         float(metrics["loss"]), float(metrics_s["loss"]), rtol=1e-4
     )
+
+
+def test_grad_accumulation_matches_large_batch(rng):
+    """optax.MultiSteps accumulation: two half-batches must produce the same
+    update as one full batch (up to averaging)."""
+    import optax
+    from summarymixing_tpu.training.optim import make_adamw
+
+    def loss_fn(p, x):
+        return jnp.mean((x @ p["w"]) ** 2)
+
+    p0 = {"w": jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)}
+    xa = jnp.asarray(rng.standard_normal((8, 4)), jnp.float32)
+    x1, x2 = xa[:4], xa[4:]
+
+    # accumulate 2 half-batch grads
+    tx = make_adamw(1e-2, max_grad_norm=None, accum_steps=2)
+    st = tx.init(p0)
+    g1 = jax.grad(loss_fn)(p0, x1)
+    up, st = tx.update(g1, st, p0)
+    assert float(jnp.abs(up["w"]).max()) == 0.0  # no update yet
+    g2 = jax.grad(loss_fn)(p0, x2)
+    up_acc, st = tx.update(g2, st, p0)
+
+    # one full-batch step
+    tx_f = make_adamw(1e-2, max_grad_norm=None, accum_steps=1)
+    st_f = tx_f.init(p0)
+    gf = jax.grad(loss_fn)(p0, xa)
+    up_full, _ = tx_f.update(gf, st_f, p0)
+
+    np.testing.assert_allclose(np.asarray(up_acc["w"]),
+                               np.asarray(up_full["w"]), rtol=1e-5, atol=1e-6)
