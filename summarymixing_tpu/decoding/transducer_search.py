@@ -34,20 +34,30 @@ def transducer_greedy_decode(
     blank_id: int = 0,
     max_symbols_per_frame: int = 3,
     max_tokens: Optional[int] = None,
-) -> Tuple[Array, Array]:
+    carry: Optional[tuple] = None,
+    return_carry: bool = False,
+):
     """enc_proj [B, T, J] (already proj_enc'ed). Returns (tokens [B, Umax],
     lengths [B]). All callables must be jit-traceable (bound model methods).
-    """
-    b, t, j = enc_proj.shape
-    umax = max_tokens or t * 2
-    pred_state = predictor_init(b)
-    # initial predictor input: blank/bos token
-    pred_state, dec_proj = predictor_step(
-        pred_state, jnp.full((b,), blank_id, jnp.int32)
-    )
 
-    tokens0 = jnp.zeros((b, umax), jnp.int32)
-    lens0 = jnp.zeros((b,), jnp.int32)
+    Streaming: pass the previous chunk's `carry` (from return_carry=True) and
+    per-chunk enc_proj/enc_lengths; tokens/lengths accumulate across chunks —
+    the incremental decode of reference TransducerBeamSearcher over
+    `encode_streaming` chunks (SURVEY.md §3.4), with the decoder state as an
+    explicit carry."""
+    b, t, j = enc_proj.shape
+    if carry is not None:
+        pred_state, dec_proj, tokens0, lens0 = carry
+        umax = tokens0.shape[1]
+    else:
+        umax = max_tokens or t * 2
+        pred_state = predictor_init(b)
+        # initial predictor input: blank/bos token
+        pred_state, dec_proj = predictor_step(
+            pred_state, jnp.full((b,), blank_id, jnp.int32)
+        )
+        tokens0 = jnp.zeros((b, umax), jnp.int32)
+        lens0 = jnp.zeros((b,), jnp.int32)
 
     def frame_step(carry, inputs):
         pred_state, dec_proj, tokens, lens = carry
@@ -86,6 +96,8 @@ def transducer_greedy_decode(
     (pred_state, dec_proj, tokens, lens), _ = jax.lax.scan(
         frame_step, (pred_state, dec_proj, tokens0, lens0), xs
     )
+    if return_carry:
+        return tokens, lens, (pred_state, dec_proj, tokens, lens)
     return tokens, lens
 
 

@@ -96,3 +96,55 @@ def test_streaming_state_is_jittable(rng):
     out2, state = step(params, x, state)
     assert out1.shape == out2.shape == (1, 4, D)
     assert int(state.layers[0].frames_seen) == 8
+
+
+def test_streaming_transducer_pipeline(rng):
+    """Full streaming ASR: chunked encoder (streaming_step) + incremental
+    transducer greedy with carried predictor state must equal the
+    full-utterance decode over the DCT-masked forward (reference §3.4)."""
+    from summarymixing_tpu.decoding.transducer_search import (
+        transducer_greedy_decode,
+    )
+    from summarymixing_tpu.models.transducer import TransducerModel
+
+    b, chunk, n_chunks, left_chunks, vocab = 2, 4, 4, 2, 9
+    t = chunk * n_chunks
+    x = jnp.asarray(rng.standard_normal((b, t, D)), jnp.float32)
+    enc = make_encoder()
+    mask = chunked_context_mask(t, chunk, left_chunks)
+    eparams = enc.init(jax.random.PRNGKey(0), x, src_mask=mask,
+                       chunk_size=jnp.asarray(chunk))
+    td = TransducerModel(vocab=vocab, enc_dim=D, dec_dim=12, joint_dim=16)
+    toks0 = jnp.zeros((b, 3), jnp.int32)
+    enc_full = enc.apply(eparams, x, src_mask=mask,
+                         chunk_size=jnp.asarray(chunk))
+    tparams = td.init(jax.random.PRNGKey(1), enc_full, toks0,
+                      method=td.init_all)
+    bound = td.bind(tparams)
+
+    # full-utterance decode over the DCT forward
+    full_tokens, full_lens = transducer_greedy_decode(
+        bound.encode_proj(enc_full), jnp.full((b,), t, jnp.int32),
+        bound.predictor_init, bound.predictor_step, bound.joint_step,
+        max_tokens=24,
+    )
+
+    # streaming: chunked encoder + carried greedy decode
+    state = enc.apply(eparams, b, left_chunks * chunk,
+                      method=enc.init_streaming_state)
+    carry = None
+    for c in range(n_chunks):
+        xc = x[:, c * chunk : (c + 1) * chunk]
+        enc_c, state = enc.apply(eparams, xc, state,
+                                 method=enc.streaming_step)
+        out = transducer_greedy_decode(
+            bound.encode_proj(enc_c), jnp.full((b,), chunk, jnp.int32),
+            bound.predictor_init, bound.predictor_step, bound.joint_step,
+            max_tokens=24, carry=carry, return_carry=True,
+        )
+        stream_tokens, stream_lens, carry = out
+
+    np.testing.assert_array_equal(np.asarray(full_tokens),
+                                  np.asarray(stream_tokens))
+    np.testing.assert_array_equal(np.asarray(full_lens),
+                                  np.asarray(stream_lens))
