@@ -30,6 +30,15 @@ if os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
+# persistent compilation cache (compiles through the remote service take
+# minutes; see CLAUDE.md)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -26,3 +26,13 @@ __version__ = "0.1.0"
 
 from summarymixing_tpu.ops.summary_mixing import SummaryMixing  # noqa: F401
 from summarymixing_tpu.ops.linear import ParallelLinear, SummaryNet  # noqa: F401
+
+# Subpackages are imported lazily by users:
+#   summarymixing_tpu.models     — encoders/decoders/ASR wrappers/LMs
+#   summarymixing_tpu.frontend   — Fbank / SpecAugment / normalization
+#   summarymixing_tpu.losses     — ctc / kldiv / transducer
+#   summarymixing_tpu.decoding   — greedy / beam / transducer search
+#   summarymixing_tpu.training   — trainers / optim / checkpoint / metrics
+#   summarymixing_tpu.data       — batching / tokenizers / dataio
+#   summarymixing_tpu.parallel   — mesh + sharding helpers
+#   summarymixing_tpu.config     — recipe schema + loader
