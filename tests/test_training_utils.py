@@ -147,3 +147,17 @@ def test_pretrainer(tmp_path):
     pt3 = Pretrainer(collect_in=str(tmp_path), loadables={"x": "missing.npz"})
     with pytest.raises(FileNotFoundError):
         pt3.load("x")
+
+
+def test_step_timer_and_memory_stats():
+    import time as _time
+    from summarymixing_tpu.training.profiling import StepTimer, device_memory_stats
+    timer = StepTimer(window=10)
+    assert timer.tick() is None
+    _time.sleep(0.01)
+    dt = timer.tick()
+    assert dt is not None and dt > 0
+    stats = timer.stats()
+    assert stats["steps_per_sec"] > 0 and stats["p50_s"] > 0
+    mem = device_memory_stats()
+    assert isinstance(mem, dict) and len(mem) >= 1
