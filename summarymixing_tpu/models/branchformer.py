@@ -128,6 +128,15 @@ class BranchformerEncoderLayer(nn.Module):
 
 
 class BranchformerEncoder(nn.Module):
+    """Stack of BranchformerEncoderLayer + final LayerNorm.
+
+    scan_layers=True stacks the (structurally identical) layers with
+    nn.scan — params get a leading [num_layers] axis and the layer body is
+    traced ONCE, cutting compile time ~num_layers-fold (the remote-compile
+    path in some environments takes minutes per trace; see CLAUDE.md).
+    Numerics are identical to the unrolled loop; only the param-tree layout
+    differs (layer_i/... vs layers/...[i])."""
+
     num_layers: int
     d_model: int
     nhead: int
@@ -143,8 +152,29 @@ class BranchformerEncoder(nn.Module):
     summary_out_dim: int = 1024
     mode: str = "SummaryMixing"
     activation: Callable = gelu_exact
+    scan_layers: bool = False
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
+
+    def _layer_kwargs(self):
+        return dict(
+            d_model=self.d_model,
+            nhead=self.nhead,
+            kernel_size=self.kernel_size,
+            dropout_rate=self.dropout_rate,
+            attention_type=self.attention_type,
+            csgu_linear_units=self.csgu_linear_units,
+            gate_activation=self.gate_activation,
+            use_linear_after_conv=self.use_linear_after_conv,
+            local_proj_hid_dim=self.local_proj_hid_dim,
+            local_proj_out_dim=self.local_proj_out_dim,
+            summary_hid_dim=self.summary_hid_dim,
+            summary_out_dim=self.summary_out_dim,
+            mode=self.mode,
+            activation=self.activation,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
 
     @nn.compact
     def __call__(
@@ -157,25 +187,26 @@ class BranchformerEncoder(nn.Module):
     ) -> Array:
         if self.attention_type == "RelPosMHAXL" and pos_embs is None:
             raise ValueError("RelPosMHAXL requires pos_embs [1, 2T-1, D]")
-        for i in range(self.num_layers):
-            x = BranchformerEncoderLayer(
-                d_model=self.d_model,
-                nhead=self.nhead,
-                kernel_size=self.kernel_size,
-                dropout_rate=self.dropout_rate,
-                attention_type=self.attention_type,
-                csgu_linear_units=self.csgu_linear_units,
-                gate_activation=self.gate_activation,
-                use_linear_after_conv=self.use_linear_after_conv,
-                local_proj_hid_dim=self.local_proj_hid_dim,
-                local_proj_out_dim=self.local_proj_out_dim,
-                summary_hid_dim=self.summary_hid_dim,
-                summary_out_dim=self.summary_out_dim,
-                mode=self.mode,
-                activation=self.activation,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name=f"layer_{i}",
-            )(x, src_mask, pad_mask, pos_embs, deterministic)
+        if self.scan_layers:
+            def body(layer, carry, _):
+                return layer(
+                    carry, src_mask, pad_mask, pos_embs, deterministic
+                ), None
+
+            scan = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.num_layers,
+            )
+            x, _ = scan(
+                BranchformerEncoderLayer(**self._layer_kwargs(), name="layers"),
+                x, None,
+            )
+        else:
+            for i in range(self.num_layers):
+                x = BranchformerEncoderLayer(
+                    **self._layer_kwargs(), name=f"layer_{i}"
+                )(x, src_mask, pad_mask, pos_embs, deterministic)
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                             param_dtype=self.param_dtype, name="norm")(x)

@@ -268,3 +268,25 @@ def test_summary_decoder_variant(rng):
     o2 = dec.apply(params, tgt2, mem, tgt_mask=lookahead_mask(6))
     np.testing.assert_allclose(np.asarray(o1)[:, :4], np.asarray(o2)[:, :4],
                                atol=1e-5, rtol=1e-5)
+
+
+def test_branchformer_scan_layers(rng):
+    """scan_layers=True: same math as the unrolled loop when the stacked
+    params are copied layer-wise."""
+    x = _x(rng, b=1, t=8)
+    kw = dict(num_layers=3, d_model=D, nhead=2, csgu_linear_units=64,
+              kernel_size=5, attention_type="SummaryMixing", **SM_KW)
+    loop_enc = BranchformerEncoder(**kw)
+    scan_enc = BranchformerEncoder(**kw, scan_layers=True)
+    lp = loop_enc.init(jax.random.PRNGKey(0), x)["params"]
+    # build scan params by stacking the loop layers
+    import numpy as _np
+    stacked = jax.tree.map(
+        lambda *ls: _np.stack([_np.asarray(l) for l in ls]),
+        lp["layer_0"], lp["layer_1"], lp["layer_2"],
+    )
+    sp = {"params": {"layers": stacked, "norm": lp["norm"]}}
+    out_loop = loop_enc.apply({"params": lp}, x)
+    out_scan = scan_enc.apply(sp, x)
+    np.testing.assert_allclose(np.asarray(out_loop), np.asarray(out_scan),
+                               atol=1e-5, rtol=1e-5)
