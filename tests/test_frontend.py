@@ -151,3 +151,17 @@ def test_speed_perturb_identity(rng):
     # windowed-sinc interpolation at integer positions ~ identity
     np.testing.assert_allclose(np.asarray(out)[0, 8:-8], np.asarray(wav)[0, 8:-8],
                                atol=1e-3, rtol=1e-3)
+
+
+def test_frame_signal_and_window(rng):
+    """Utility framing path (kept as public API alongside the fused
+    polyphase STFT): frames must match manual slicing."""
+    from summarymixing_tpu.frontend.features import frame_signal, hamming_window
+    x = jnp.asarray(rng.standard_normal((1, 1000)), jnp.float32)
+    frames = frame_signal(x, 400, 160, center=True)
+    assert frames.shape == (1, 1 + 1000 // 160, 400)
+    pad = np.concatenate([np.zeros(200), np.asarray(x)[0], np.zeros(200)])
+    np.testing.assert_allclose(np.asarray(frames)[0, 2], pad[320:720],
+                               atol=1e-6)
+    w = np.asarray(hamming_window(400))
+    assert abs(w[0] - 0.08) < 1e-6 and w.max() <= 1.0
