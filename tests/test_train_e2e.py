@@ -155,3 +155,37 @@ def test_grad_accumulation_matches_large_batch(rng):
 
     np.testing.assert_allclose(np.asarray(up_acc["w"]),
                                np.asarray(up_full["w"]), rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_training_path(rng):
+    """Mixed precision: bf16 activations with fp32 params/optimizer must
+    train stably (the recipes' precision: bf16)."""
+    asr = TransformerASR(
+        tgt_vocab=VOCAB, input_size=80, d_model=32, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=0, d_ffn=64,
+        encoder_module="branchformer", attention_type="SummaryMixing",
+        mode="SummaryMixing", causal=False, csgu_linear_units=64,
+        kernel_size=5, local_proj_hid_dim=(16,), local_proj_out_dim=32,
+        summary_hid_dim=(24,), summary_out_dim=24, dropout_rate=0.0,
+        dtype=jnp.bfloat16,
+    )
+    model = SpeechRecognizer(asr=asr, vocab_size=VOCAB,
+                             frontend_channels=(8, 4), frontend_dropout=0.0,
+                             dtype=jnp.bfloat16)
+    trainer = ASRTrainer(
+        model, make_adamw(3e-3), Fbank(),
+        TrainerConfig(ctc_weight=1.0, augment=None),
+        mesh=make_mesh(devices=jax.devices()[:1]),
+    )
+    batch = synth_batch(rng, b=4)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    # params stay fp32 (master weights)
+    assert all(
+        p.dtype == jnp.float32
+        for p in jax.tree.leaves(state["params"])
+    )
+    state, m0 = trainer.train_step(state, batch)
+    for _ in range(20):
+        state, m = trainer.train_step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"])
