@@ -94,9 +94,13 @@ class DynamicBucketBatcher:
         bounds = np.array([s.max_len for s in self.buckets])
         self.assignment = np.searchsorted(bounds, self.lengths, side="left")
         self.assignment = np.minimum(self.assignment, len(self.buckets) - 1)
+        self._epoch = 0
 
     def __iter__(self) -> Iterator[Tuple[BucketSpec, np.ndarray]]:
-        rng = np.random.default_rng(self.seed)
+        # fresh shuffle each epoch (each __iter__ call advances the stream,
+        # like the reference's shuffle_ex re-batching)
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += int(self.shuffle)
         batches = []
         for bi, spec in enumerate(self.buckets):
             idx = np.where(self.assignment == bi)[0]

@@ -101,8 +101,8 @@ def transducer_greedy_decode(
     return tokens, lens
 
 
-@dataclass
-class _Hyp:
+@dataclass(eq=False)  # identity equality: list.remove must not compare
+class _Hyp:        # jax array fields (ambiguous bool) nor merge equal hyps
     prediction: List[int]
     logp_score: float
     pred_state: tuple

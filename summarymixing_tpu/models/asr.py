@@ -17,7 +17,8 @@ TransformerInterface (Transformer.py:34-281):
 - EncoderWrapper (:687-741) -> `EncoderASR` here.
 
 Streaming (encode_streaming / make_streaming_context, :562-679) is provided
-functionally in models/streaming.py.
+functionally here (ASRStreamingState + encode_streaming) on top of the
+conformer's carried state (models/conformer.py::ConformerStreamingState).
 """
 
 from __future__ import annotations
@@ -209,12 +210,23 @@ class TransformerASR(nn.Module):
         if wav_len is not None:
             pad_mask = rel_length_to_mask(wav_len, t)
         src_mask = None
-        if self.causal:
-            src_mask = lookahead_mask(t)
-        elif dynchunktrain is not None:
+        if dynchunktrain is not None:
+            # like the reference: DCT is conformer-only (Branchformer.py:469
+            # asserts; the cgMLP conv would leak future context across chunk
+            # boundaries) and incompatible with strict causality
+            # (TransformerASR.py:74 asserts)
+            if self.causal:
+                raise ValueError("dynchunktrain is incompatible with causal")
+            if self.encoder_module != "conformer":
+                raise ValueError(
+                    "Dynamic Chunk Training requires encoder_module="
+                    f"'conformer', got {self.encoder_module!r}"
+                )
             src_mask = chunked_context_mask(
                 t, dynchunktrain.chunk_size, dynchunktrain.left_context_size
             )
+        elif self.causal:
+            src_mask = lookahead_mask(t)
         return pad_mask, src_mask
 
     def _encode_inner(

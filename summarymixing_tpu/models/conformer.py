@@ -12,7 +12,8 @@ Capability parity with reference Conformer.py:336-856:
   reference :190-313 — reformulated mask-based for static shapes).
 - Streaming: `forward_streaming`-equivalent is expressed as an explicit
   carried state (`ConformerStreamingState`) instead of mutable context
-  objects (reference :539-638); see models/streaming.py.
+  objects (reference :539-638); see `streaming_step` below and
+  `TransformerASR.encode_streaming`.
 - Stack final LayerNorm eps 1e-6 (reference :738).
 """
 

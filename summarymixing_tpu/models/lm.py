@@ -118,11 +118,6 @@ class RNNLM(nn.Module):
         """tokens [B, U] -> logits [B, U, vocab] via scan over steps."""
         b = tokens.shape[0]
         carry = self.initial_state(b)
-
-        def f(carry, tok):
-            carry, logits = self.step(carry, tok)
-            return carry, logits
-
         _, logits = nn.scan(
             lambda mdl, c, t: mdl.step(c, t),
             variable_broadcast="params",

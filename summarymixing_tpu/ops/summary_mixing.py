@@ -98,6 +98,11 @@ def summary_matmul(sum_mask: Array, x: Array) -> Array:
         weighted = jnp.einsum("bts,bsf->btf", m, x.astype(f32),
                               preferred_element_type=f32)
         rowsum = jnp.sum(m, axis=2)[:, :, None]
+    # rows whose entire context is masked (e.g. padded frames past every
+    # allowed chunk) would divide 0/0 and the NaN would contaminate valid
+    # frames through the next layer's contraction; clamp — those rows are
+    # padding and never read
+    rowsum = jnp.maximum(rowsum, 1.0)
     return (weighted / rowsum).astype(x.dtype)
 
 

@@ -149,9 +149,12 @@ class TransducerTrainer:
 
         dct = None
         if not deterministic and cfg.dct is not None:
-            # sampled in encoder-frame units (post 4x subsampling)
-            max_frames = feats.shape[1] // 4 + 1
-            dct = sample_dynchunk(k_dct, max_frames, cfg.dct)
+            # sampled in encoder-frame units (after the frontend's actual
+            # subsampling — strides are configurable)
+            max_frames = feats.shape[1]
+            for stride in getattr(self.encoder_model, "frontend_strides", (2, 2)):
+                max_frames = -(-max_frames // stride)
+            dct = sample_dynchunk(k_dct, max_frames + 1, cfg.dct)
 
         rngs = {"dropout": rng} if not deterministic else {}
         enc_out, enc_lens = self.encoder_model.apply(

@@ -290,3 +290,19 @@ def test_branchformer_scan_layers(rng):
     out_scan = scan_enc.apply(sp, x)
     np.testing.assert_allclose(np.asarray(out_loop), np.asarray(out_scan),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_dct_rejected_for_non_conformer(rng):
+    src = _x(rng, b=1, t=8, d=24)
+    asr = TransformerASR(
+        tgt_vocab=10, input_size=24, d_model=D, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=0, d_ffn=64,
+        encoder_module="branchformer", attention_type="SummaryMixing",
+        causal=False, csgu_linear_units=64, kernel_size=5, **SM_KW,
+    )
+    params = asr.init(jax.random.PRNGKey(0), src)
+    with pytest.raises(ValueError, match="conformer"):
+        asr.apply(params, src,
+                  dynchunktrain=DynChunkTrainConfig(chunk_size=4,
+                                                    left_context_size=1),
+                  method=asr.encode)

@@ -192,3 +192,22 @@ def test_dropout_active_in_training(rng):
     o3 = cell.apply(params, x)
     o4 = cell.apply(params, x)
     np.testing.assert_allclose(np.asarray(o3), np.asarray(o4))
+
+
+def test_fully_masked_rows_do_not_nan(rng):
+    """Padded frames whose whole context window is padding (chunked mask +
+    short utterance) must not produce NaNs that poison valid frames
+    (regression: summary_matmul divided by a zero rowsum)."""
+    from summarymixing_tpu.ops.masks import chunked_context_mask, combine_padding
+
+    t, chunk, left = 24, 8, 1
+    x = jnp.asarray(rng.standard_normal((1, t, 8)), jnp.float32)
+    pad = (jnp.arange(t) < 10).astype(jnp.float32)[None, :]
+    sm = combine_padding(chunked_context_mask(t, chunk, left), pad)
+    cell = make_cell("SummaryMixing", 1, fea=8)
+    params = cell.init(jax.random.PRNGKey(0), x)
+    out = cell.apply(params, x, sum_mask=sm, pad_mask=pad)
+    assert np.isfinite(np.asarray(out)).all()
+    # two stacked applications (the contamination path)
+    out2 = cell.apply(params, out, sum_mask=sm, pad_mask=pad)
+    assert np.isfinite(np.asarray(out2)[0, :10]).all()

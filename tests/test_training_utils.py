@@ -161,3 +161,19 @@ def test_step_timer_and_memory_stats():
     assert stats["steps_per_sec"] > 0 and stats["p50_s"] > 0
     mem = device_memory_stats()
     assert isinstance(mem, dict) and len(mem) >= 1
+
+
+def test_batcher_reshuffles_each_epoch():
+    """Regression: each __iter__ must yield a fresh shuffle."""
+    buckets = make_buckets(max_batch_length=100, num_buckets=2,
+                           min_len=10, max_len=20)
+    lengths = np.random.default_rng(0).integers(10, 20, 64)
+    batcher = DynamicBucketBatcher(lengths, buckets, shuffle=True, seed=3)
+    e1 = [tuple(idx) for _, idx in batcher]
+    e2 = [tuple(idx) for _, idx in batcher]
+    assert e1 != e2
+    # eval mode stays deterministic
+    ev = DynamicBucketBatcher(lengths, buckets, shuffle=False, drop_last=False)
+    a = [tuple(idx) for _, idx in ev]
+    b = [tuple(idx) for _, idx in ev]
+    assert a == b
