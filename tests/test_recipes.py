@@ -133,3 +133,71 @@ augment:
     log = (out / "train_log.txt").read_text()
     assert "epoch: 1" in log and "valid" in log
     assert (out / "save").exists()
+
+
+def test_evaluate_script_smoke(tmp_path):
+    """Train a few steps, then drive recipes/evaluate.py (greedy + averaged
+    checkpoints) end-to-end via the CLI."""
+    manifest = _make_dataset(str(tmp_path))
+    recipe = tmp_path / "tiny.yaml"
+    recipe.write_text(
+        """
+name: tiny_eval_smoke
+seed: 1
+tokenizer_type: char
+model:
+  attention_type: SummaryMixing
+  mode: SummaryMixing-lite
+  encoder_module: branchformer
+  d_model: 32
+  nhead: 2
+  num_encoder_layers: 1
+  num_decoder_layers: 0
+  d_ffn: 32
+  csgu_linear_units: 32
+  csgu_kernel_size: 5
+  local_proj_hid_dim: [16]
+  local_proj_out_dim: 32
+  summary_hid_dim: [16]
+  summary_out_dim: 16
+  input_size: 80
+  output_neurons: 40
+  frontend_channels: [4, 4]
+training:
+  number_of_epochs: 1
+  precision: fp32
+  ctc_weight: 1.0
+  lr_adam: 0.001
+  n_warmup_steps: 10
+  grad_accumulation_factor: 1
+  max_batch_length: 10.0
+  num_buckets: 2
+  max_batch_ex: 8
+  ckpt_interval_minutes: 999
+augment:
+  speed_perturb: false
+"""
+    )
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes/train.py"), str(recipe),
+         "--train-manifest", manifest, "--valid-manifest", manifest,
+         "--output", str(out), "--steps", "2"],
+        capture_output=True, text=True, timeout=400, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes/evaluate.py"), str(recipe),
+         "--test-manifest", manifest, "--ckpt", str(out / "save"),
+         "--avg", "1"],
+        capture_output=True, text=True, timeout=400, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    import json as _json
+    summary = _json.loads(res.stdout.strip().splitlines()[-1])
+    assert "WER" in summary and summary["utterances"] == 16
