@@ -117,7 +117,8 @@ def main():
     params = {"params": state["params"]}
     t0 = time.time()
     n_utts = 0
-    for batch, _ in batches(test_set, tokenizer, cfg, mesh, False, 0, fbank):
+    seen = set()
+    for batch, idx in batches(test_set, tokenizer, cfg, mesh, False, 0, fbank):
         if args.beam:
             feats = fbank(batch["wav"])
             feat_lens = fbank.frame_lengths(batch["wav_lens"])
@@ -152,12 +153,19 @@ def main():
             hyps = [list(toks[i, : lens[i]]) for i in range(toks.shape[0])]
         else:
             _, hyps = trainer.eval_step(state, batch)
+        # eval batches are padded to fixed size by repeating utterances;
+        # score each utterance once
+        keep = []
+        for i, u in enumerate(idx):
+            if int(u) not in seen:
+                seen.add(int(u))
+                keep.append(i)
         refs = [tokenizer.decode(
             np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
-        ).split() for i in range(len(hyps))]
-        hyp_text = [tokenizer.decode(h).split() for h in hyps]
+        ).split() for i in keep]
+        hyp_text = [tokenizer.decode(hyps[i]).split() for i in keep]
         stats.append(refs, hyp_text)
-        n_utts += len(hyps)
+        n_utts += len(keep)
 
     summary = stats.summarize()
     summary["utterances"] = n_utts

@@ -334,14 +334,20 @@ def main():
         stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                                remove_spaces=cfg.remove_spaces)
         val_losses = []
+        seen = set()
         for batch, idx in batches(valid_set, tokenizer, cfg, mesh, False,
                                   0, fbank):
             losses, hyps = trainer.eval_step(state, batch)
             val_losses.append(float(losses["loss"]))
+            keep = []
+            for i, u in enumerate(idx):
+                if int(u) not in seen:
+                    seen.add(int(u))
+                    keep.append(i)
             refs = [tokenizer.decode(
                 np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
-            ).split() for i in range(len(hyps))]
-            hyp_text = [tokenizer.decode(h).split() for h in hyps]
+            ).split() for i in keep]
+            hyp_text = [tokenizer.decode(hyps[i]).split() for i in keep]
             stats.append(refs, hyp_text)
         summary = stats.summarize()
         logger.log_stats(
