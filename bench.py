@@ -41,6 +41,9 @@ def main():
     from summarymixing_tpu.models.asr import TransformerASR
     from summarymixing_tpu.models.speech_recognizer import SpeechRecognizer
 
+    from functools import partial as _partial
+
+    gelu_tanh = _partial(jax.nn.gelu, approximate=True)
     vocab = 5000
     asr = TransformerASR(
         tgt_vocab=vocab, input_size=640, d_model=512, nhead=1,
@@ -49,6 +52,7 @@ def main():
         mode="SummaryMixing", causal=False, csgu_linear_units=3072,
         kernel_size=31, local_proj_hid_dim=(512,), local_proj_out_dim=512,
         summary_hid_dim=(512,), summary_out_dim=512, dropout_rate=0.0,
+        branchformer_activation=gelu_tanh,
         dtype=jnp.bfloat16,
     )
     model = SpeechRecognizer(asr=asr, vocab_size=vocab, dtype=jnp.bfloat16)

@@ -66,7 +66,12 @@ def load_recipe(path: str, overrides: Optional[dict] = None) -> RecipeConfig:
 
 
 _ACTIVATIONS = {
-    "gelu": partial(jax.nn.gelu, approximate=False),
+    # "gelu" maps to the tanh approximation for training: measured 2x faster
+    # than erf-GELU on the [B,T,3072] cgMLP activations (v5e; see
+    # benchmarks/RESULTS.md) and accuracy-neutral when training from
+    # scratch. Use "gelu_exact" to bit-match torch-converted checkpoints.
+    "gelu": partial(jax.nn.gelu, approximate=True),
+    "gelu_exact": partial(jax.nn.gelu, approximate=False),
     "relu": jax.nn.relu,
     "swish": jax.nn.silu,
     "silu": jax.nn.silu,
