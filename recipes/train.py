@@ -47,6 +47,7 @@ from summarymixing_tpu.data.batching import (
     DynamicBucketBatcher,
     make_buckets,
     pad_batch,
+    prefetch,
 )
 from summarymixing_tpu.data.dataio import load_wav, read_manifest_csv
 from summarymixing_tpu.data.tokenizer import CharTokenizer
@@ -183,8 +184,8 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
     for epoch in EpochCounter(cfg.training.number_of_epochs):
         t0 = time.time()
         train_losses = []
-        for batch, _ in batches(train_set, tokenizer, cfg, mesh, True,
-                                cfg.seed + epoch, fbank):
+        for batch, _ in prefetch(batches(train_set, tokenizer, cfg, mesh,
+                                         True, cfg.seed + epoch, fbank)):
             if state is None:
                 state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
                 restored = ckpt.restore(jax.tree.map(np.asarray, state))
@@ -307,8 +308,8 @@ def main():
     for epoch in EpochCounter(cfg.training.number_of_epochs):
         t0 = time.time()
         train_losses = []
-        for batch, _ in batches(train_set, tokenizer, cfg, mesh, True,
-                                cfg.seed + epoch, fbank):
+        for batch, _ in prefetch(batches(train_set, tokenizer, cfg, mesh,
+                                         True, cfg.seed + epoch, fbank)):
             if cfg.augment.speed_perturb:
                 key = jax.random.PRNGKey(int(rng_np.integers(1 << 31)))
                 wav, wav_lens = speed_perturb_batch(

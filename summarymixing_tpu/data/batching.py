@@ -12,8 +12,10 @@ duration budget."""
 from __future__ import annotations
 
 import math
+import queue
+import threading
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -128,3 +130,33 @@ class DynamicBucketBatcher:
             full, rem = divmod(cnt, spec.batch_size)
             n += full + (0 if self.drop_last or rem == 0 else 1)
         return n
+
+
+def prefetch(iterator: Iterable, size: int = 2) -> Iterator:
+    """Run `iterator` in a background thread, keeping up to `size` items
+    ready — overlaps host-side batch assembly (wav decode, padding,
+    tokenisation) with device compute, the role of the reference's
+    num_workers DataLoader (branchformer yaml:98-101). Exceptions are
+    re-raised in the consumer."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 - forwarded to consumer
+            q.put(("__prefetch_error__", e))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, tuple) and len(item) == 2 \
+                and item[0] == "__prefetch_error__":
+            raise item[1]
+        yield item

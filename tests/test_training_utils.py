@@ -177,3 +177,17 @@ def test_batcher_reshuffles_each_epoch():
     a = [tuple(idx) for _, idx in ev]
     b = [tuple(idx) for _, idx in ev]
     assert a == b
+
+
+def test_prefetch_preserves_order_and_errors():
+    from summarymixing_tpu.data.batching import prefetch
+    assert list(prefetch(iter(range(10)), size=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("inner")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="inner"):
+        list(it)
