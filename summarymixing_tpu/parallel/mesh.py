@@ -47,3 +47,30 @@ def shard_batch(batch, mesh: Mesh):
     over the data axis (host -> ICI-distributed HBM)."""
     sharding = data_parallel_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def tensor_parallel_param_sharding(mesh: Mesh, min_dim: int = 1024):
+    """Parameter-sharding rule for the mesh "model" axis: 2-D kernels whose
+    output dim is wide and divisible by the axis are column-sharded (their
+    activations become model-sharded; XLA/GSPMD inserts the all-gathers /
+    reduce-scatters over ICI). Everything else is replicated.
+
+    For the ~100M-param SummaryMixing models DP alone is the right strategy
+    (SURVEY.md §2.4) — this rule exists so the same train step scales past
+    single-chip HBM for larger variants (e.g. wider cgMLP / LM heads).
+
+    Returns fn(params) -> matching pytree of NamedShardings."""
+    n_model = mesh.shape["model"]
+
+    def rule(x):
+        if (
+            n_model > 1
+            and hasattr(x, "ndim")
+            and x.ndim == 2
+            and x.shape[-1] >= min_dim
+            and x.shape[-1] % n_model == 0
+        ):
+            return NamedSharding(mesh, P(None, "model"))
+        return NamedSharding(mesh, P())
+
+    return lambda params: jax.tree.map(rule, params)

@@ -62,12 +62,14 @@ class ASRTrainer:
         fbank: Fbank = Fbank(),
         config: TrainerConfig = TrainerConfig(),
         mesh=None,
+        param_sharding_fn=None,     # e.g. tensor_parallel_param_sharding(mesh)
     ):
         self.model = model
         self.tx = tx
         self.fbank = fbank
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.param_sharding_fn = param_sharding_fn
         self.normalize = InputNormalization(
             update_until_epoch=config.normalize_update_until_epoch
         )
@@ -90,8 +92,19 @@ class ASRTrainer:
             "epoch": jnp.zeros((), jnp.int32),
             "rng": jax.random.PRNGKey(0),
         }
-        # replicate over the mesh
         rep = replicate(self.mesh)
+        if self.param_sharding_fn is not None:
+            # tensor-parallel: shard params (and the optimizer moments, whose
+            # leaves mirror param shapes) per rule; everything else replicated
+            for k in ("params", "opt_state"):
+                state[k] = jax.tree.map(
+                    jax.device_put, state[k], self.param_sharding_fn(state[k])
+                )
+            for k in ("norm_stats", "step", "epoch", "rng"):
+                state[k] = jax.tree.map(
+                    lambda x: jax.device_put(x, rep), state[k]
+                )
+            return state
         return jax.tree.map(lambda x: jax.device_put(x, rep), state)
 
     def _add_bos(self, tokens: Array) -> Array:
