@@ -37,24 +37,16 @@ class TransformerLM(nn.Module):
     dropout_rate: float = 0.0
     activation: Callable = gelu_exact
     normalize_before: bool = False
+    max_length: int = 2500
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self,
-        tokens: Array,
-        pad_mask: Optional[Array] = None,
-        deterministic: bool = True,
-    ) -> Array:
-        """tokens [B, U] -> logits [B, U, vocab] (next-token)."""
-        u = tokens.shape[1]
-        x = NormalizedEmbedding(
+    def setup(self):
+        self.emb = NormalizedEmbedding(
             d_model=self.d_model, vocab=self.vocab,
             param_dtype=self.param_dtype, name="emb",
-        )(tokens)
-        x = x + positional_encoding(u, self.d_model, x.dtype)
-        x = TransformerEncoder(
+        )
+        self.encoder = TransformerEncoder(
             num_layers=self.num_layers,
             d_model=self.d_model,
             d_ffn=self.d_ffn,
@@ -66,10 +58,36 @@ class TransformerLM(nn.Module):
             name="encoder",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-        )(x, src_mask=lookahead_mask(u), pad_mask=pad_mask,
-          deterministic=deterministic)
-        return nn.Dense(self.vocab, dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="out")(x)
+        )
+        self.out = nn.Dense(self.vocab, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="out")
+
+    def __call__(
+        self,
+        tokens: Array,
+        pad_mask: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        """tokens [B, U] -> logits [B, U, vocab] (next-token)."""
+        u = tokens.shape[1]
+        x = self.emb(tokens)
+        x = x + positional_encoding(u, self.d_model, x.dtype)
+        x = self.encoder(x, src_mask=lookahead_mask(u), pad_mask=pad_mask,
+                         deterministic=deterministic)
+        return self.out(x)
+
+    # -- KV-cached scoring for beam-search fusion -----------------------------
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):
+        return self.encoder.init_cache(batch, max_len, dtype)
+
+    def step(self, tok_t: Array, pos, cache):
+        """tok_t [B] at position pos -> (logits [B, vocab], cache')."""
+        x = self.emb(tok_t[:, None])[:, 0]
+        table = positional_encoding(self.max_length, self.d_model, x.dtype)
+        pe = jax.lax.dynamic_slice(table, (0, pos, 0), (1, 1, self.d_model))
+        x = x + pe[0, 0]
+        h, cache = self.encoder.step(x, pos, cache)
+        return self.out(h), cache
 
 
 class RNNLM(nn.Module):

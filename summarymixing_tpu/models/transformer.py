@@ -160,6 +160,32 @@ class TransformerEncoderLayer(nn.Module):
             x = self.norm2(x)
         return x
 
+    # -- incremental decoding (causal regularMHA self-attention only; used
+    # by TransformerLM fusion in beam search) --------------------------------
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.float32) -> dict:
+        if self.attention_type not in ("regularMHA", "vanillaMHA"):
+            raise ValueError("KV-cached stepping requires regularMHA")
+        h, hd = self.nhead, self.d_model // self.nhead
+        return {
+            "k": jnp.zeros((batch, max_len, h, hd), dtype),
+            "v": jnp.zeros((batch, max_len, h, hd), dtype),
+        }
+
+    def step(self, x_t: Array, pos, cache: dict):
+        """One causal position: x_t [B, D] -> ([B, D], cache')."""
+        src1 = self.norm1(x_t) if self.normalize_before else x_t
+        out, k, v = self.mixer.step(src1, cache["k"], cache["v"], pos,
+                                    append=True)
+        x = x_t + out
+        if not self.normalize_before:
+            x = self.norm1(x)
+        src1 = self.norm2(x) if self.normalize_before else x
+        out = self.pos_ffn(src1[:, None], deterministic=True)[:, 0]
+        x = x + out
+        if not self.normalize_before:
+            x = self.norm2(x)
+        return x, {"k": k, "v": v}
+
 
 class TransformerEncoder(nn.Module):
     num_layers: int
@@ -182,22 +208,9 @@ class TransformerEncoder(nn.Module):
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self,
-        x: Array,
-        src_mask: Optional[Array] = None,
-        pad_mask: Optional[Array] = None,
-        pos_embs: Optional[Array] = None,
-        deterministic: bool = True,
-    ) -> Array:
-        use_layerdrop = self.layerdrop_prob > 0.0 and not deterministic
-        if use_layerdrop:
-            keys = jax.random.uniform(
-                self.make_rng("layerdrop"), (self.num_layers,)
-            )
-        for i in range(self.num_layers):
-            out = TransformerEncoderLayer(
+    def setup(self):
+        self.layers = [
+            TransformerEncoderLayer(
                 d_model=self.d_model,
                 d_ffn=self.d_ffn,
                 nhead=self.nhead,
@@ -216,14 +229,46 @@ class TransformerEncoder(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layer_{i}",
-            )(x, src_mask, pad_mask, pos_embs, deterministic)
+            )
+            for i in range(self.num_layers)
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name="norm")
+
+    def __call__(
+        self,
+        x: Array,
+        src_mask: Optional[Array] = None,
+        pad_mask: Optional[Array] = None,
+        pos_embs: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> Array:
+        use_layerdrop = self.layerdrop_prob > 0.0 and not deterministic
+        if use_layerdrop:
+            keys = jax.random.uniform(
+                self.make_rng("layerdrop"), (self.num_layers,)
+            )
+        for i, layer in enumerate(self.layers):
+            out = layer(x, src_mask, pad_mask, pos_embs, deterministic)
             if use_layerdrop:
                 keep = keys[i] > self.layerdrop_prob
                 x = jnp.where(keep, out, x)
             else:
                 x = out
-        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                            param_dtype=self.param_dtype, name="norm")(x)
+        return self.norm(x)
+
+    # -- incremental decoding (causal LM use) --------------------------------
+    def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):
+        return tuple(
+            layer.init_cache(batch, max_len, dtype) for layer in self.layers
+        )
+
+    def step(self, x_t: Array, pos, cache):
+        new_cache = []
+        for layer, c in zip(self.layers, cache):
+            x_t, c = layer.step(x_t, pos, c)
+            new_cache.append(c)
+        return self.norm(x_t), tuple(new_cache)
 
 
 class TransformerDecoderLayer(nn.Module):

@@ -270,3 +270,20 @@ def test_cached_beam_matches_uncached(rng):
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-4)
+
+
+def test_transformer_lm_cached_step_matches_full(rng):
+    """KV-cached LM stepping == full-sequence forward, position by position."""
+    lm = TransformerLM(vocab=14, d_model=16, nhead=2, num_layers=2, d_ffn=32)
+    toks = jnp.asarray(rng.integers(0, 14, (3, 6)), jnp.int32)
+    params = lm.init(jax.random.PRNGKey(0), toks)
+    full = lm.apply(params, toks)
+    bound = lm.bind(params)
+    cache = bound.init_cache(3, 6)
+    outs = []
+    for pos in range(6):
+        lg, cache = bound.step(toks[:, pos], pos, cache)
+        outs.append(lg)
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(stepped),
+                               atol=1e-5, rtol=1e-5)
