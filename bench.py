@@ -100,9 +100,14 @@ def main():
         t_small = timed_chain(k_small)
         t_large = timed_chain(k_large)
         estimates.append((t_large - t_small) / (k_large - k_small))
-    per_iter = min(e for e in estimates if e > 0) if any(
-        e > 0 for e in estimates
-    ) else max(estimates)
+    positive = [e for e in estimates if e > 0]
+    while not positive:  # co-tenant noise ate every marginal; keep sampling
+        t_small = timed_chain(k_small)
+        t_large = timed_chain(k_large)
+        e = (t_large - t_small) / (k_large - k_small)
+        estimates.append(e)
+        positive = [e for e in estimates if e > 0]
+    per_iter = min(positive)
     dt = per_iter * k_large
 
     audio_seconds = batch_size * secs

@@ -95,6 +95,7 @@ def main():
     ap.add_argument("--mixers", nargs="+",
                     default=["SummaryMixing", "regularMHA"])
     args = ap.parse_args()
+    args.lengths = sorted(args.lengths)  # flatness summary assumes ascending
 
     fbank = Fbank()
     results = []

@@ -73,16 +73,28 @@ def main():
 
     cfg = load_recipe(args.recipe)
     test_set = read_manifest_csv(args.test_manifest)
-    tokenizer = CharTokenizer.build([u.text for u in test_set]) \
-        if cfg.tokenizer_type == "char" else None
-    if tokenizer is None:
+    # Use the TRAINING tokenizer (persisted by train.py) — rebuilding from
+    # the test manifest would shift the char-id map.
+    tokenizer = None
+    vocab_path = os.path.join(os.path.dirname(args.ckpt),
+                              "tokenizer_vocab.json")
+    if os.path.exists(vocab_path):
+        import json as _json
+
+        with open(vocab_path) as f:
+            tokenizer = CharTokenizer(vocab=_json.load(f))
+    if tokenizer is None and cfg.tokenizer_type != "char":
         try:
             from summarymixing_tpu.data.tokenizer import SentencePieceTokenizer
 
             tokenizer = SentencePieceTokenizer(
                 os.path.join(os.path.dirname(args.ckpt), "tokenizer.model"))
         except Exception:
-            tokenizer = CharTokenizer.build([u.text for u in test_set])
+            tokenizer = None
+    if tokenizer is None:
+        print("WARNING: no persisted tokenizer found; rebuilding from the "
+              "test manifest (char-id map may differ from training)")
+        tokenizer = CharTokenizer.build([u.text for u in test_set])
 
     model, fbank, _ = build_model(cfg)
     mesh = make_mesh()

@@ -98,7 +98,9 @@ def build_tx(cfg, steps_per_epoch=None):
     )
 
 
-def estimate_steps_per_epoch(manifest, cfg, mesh):
+def _build_buckets(manifest, cfg, mesh):
+    """One bucket construction shared by the batch iterator and the
+    steps-per-epoch estimate (keeps the two_stage switch in sync)."""
     sr = cfg.features.sample_rate
     lengths = [int(u.duration * sr) for u in manifest]
     buckets = make_buckets(
@@ -109,20 +111,17 @@ def estimate_steps_per_epoch(manifest, cfg, mesh):
         max_batch_size=cfg.training.max_batch_ex,
         batch_multiple=int(mesh.devices.size),
     )
+    return lengths, buckets
+
+
+def estimate_steps_per_epoch(manifest, cfg, mesh):
+    lengths, buckets = _build_buckets(manifest, cfg, mesh)
     return max(DynamicBucketBatcher(lengths, buckets).num_batches(), 1)
 
 
-def batches(manifest, tokenizer, cfg, mesh, shuffle, seed, fbank):
+def batches(manifest, tokenizer, cfg, mesh, shuffle, seed, fbank=None):
     sr = cfg.features.sample_rate
-    lengths = [int(u.duration * sr) for u in manifest]
-    buckets = make_buckets(
-        max_batch_length=cfg.training.max_batch_length * sr,
-        num_buckets=min(cfg.training.num_buckets, 40),
-        min_len=max(min(lengths), sr // 4),
-        max_len=max(lengths),
-        max_batch_size=cfg.training.max_batch_ex,
-        batch_multiple=int(mesh.devices.size),
-    )
+    lengths, buckets = _build_buckets(manifest, cfg, mesh)
     batcher = DynamicBucketBatcher(
         lengths, buckets, shuffle=shuffle, seed=seed, drop_last=shuffle
     )
@@ -165,6 +164,9 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
             ctc_weight=cfg.training.ctc_weight,
             ce_weight=getattr(cfg.training, "ce_weight", 0.0),
             blank_id=cfg.model.blank_index,
+            normalize_update_until_epoch=(
+                cfg.features.normalize_update_until_epoch
+            ),
             dct=DynChunkTrainSamplerConfig(
                 chunkwise_prob=t_cfg.chunkwise_prob,
                 chunk_size_min=t_cfg.chunk_size_min,
@@ -184,8 +186,16 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
     for epoch in EpochCounter(cfg.training.number_of_epochs):
         t0 = time.time()
         train_losses = []
+        rng_np = np.random.default_rng(cfg.seed + epoch)
         for batch, _ in prefetch(batches(train_set, tokenizer, cfg, mesh,
                                          True, cfg.seed + epoch, fbank)):
+            if cfg.augment.speed_perturb:
+                key = jax.random.PRNGKey(int(rng_np.integers(1 << 31)))
+                wav, wav_lens = speed_perturb_batch(
+                    key, batch["wav"], batch["wav_lens"],
+                    speeds=cfg.augment.speeds,
+                )
+                batch = dict(batch, wav=wav, wav_lens=wav_lens)
             if state is None:
                 state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
                 restored = ckpt.restore(jax.tree.map(np.asarray, state))
@@ -193,21 +203,19 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                     state, step = restored, int(restored["step"])
             state, metrics = trainer.train_step(state, batch)
             step += 1
-            train_losses.append(float(metrics["loss"]))
+            train_losses.append(metrics["loss"])  # device scalar, no sync
             if args.steps and step >= args.steps:
                 break
 
         stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                                remove_spaces=cfg.remove_spaces)
         val_losses = []
-        for batch, _ in batches(valid_set, tokenizer, cfg, mesh, False, 0,
-                                fbank):
+        seen = set()
+        bound = td_model.bind({"params": state["params"]["transducer"]})
+        for batch, idx in batches(valid_set, tokenizer, cfg, mesh, False, 0,
+                                  fbank):
             losses, (enc_out, enc_lens) = trainer.eval_step(state, batch)
-            val_losses.append(float(losses["loss"]))
-            bound = td_model.bind(
-                {"params": jax.tree.map(np.asarray,
-                                        state["params"])["transducer"]}
-            )
+            val_losses.append(losses["loss"])
             enc_proj = bound.encode_proj(enc_out)
             toks, lens = transducer_greedy_decode(
                 enc_proj, enc_lens, bound.predictor_init,
@@ -215,24 +223,64 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                 blank_id=cfg.model.blank_index,
             )
             toks, lens = np.asarray(toks), np.asarray(lens)
+            keep = []
+            for i, u in enumerate(idx):
+                if int(u) not in seen:
+                    seen.add(int(u))
+                    keep.append(i)
             refs = [tokenizer.decode(
                 np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
-            ).split() for i in range(toks.shape[0])]
+            ).split() for i in keep]
             hyps = [tokenizer.decode(toks[i, : lens[i]]).split()
-                    for i in range(toks.shape[0])]
+                    for i in keep]
             stats.append(refs, hyps)
         summary = stats.summarize()
         logger.log_stats(
             {"epoch": epoch, "steps": step,
              "epoch_s": round(time.time() - t0, 1)},
-            {"loss": float(np.mean(train_losses)) if train_losses else 0.0},
-            {"loss": float(np.mean(val_losses)) if val_losses else 0.0,
+            {"loss": float(np.mean([float(x) for x in train_losses]))
+             if train_losses else 0.0},
+            {"loss": float(np.mean([float(x) for x in val_losses]))
+             if val_losses else 0.0,
              cfg.error_rate.upper(): summary["WER"]},
         )
+        state["epoch"] = state["epoch"] + 1  # gates normalizer freezing
         ckpt.save(step, jax.tree.map(np.asarray, state), force=True)
         if args.steps and step >= args.steps:
             break
     print("training done:", step, "steps")
+
+    if args.test_manifest:
+        test_set = read_manifest_csv(args.test_manifest)
+        stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
+                               remove_spaces=cfg.remove_spaces)
+        seen = set()
+        bound = td_model.bind({"params": state["params"]["transducer"]})
+        for batch, idx in batches(test_set, tokenizer, cfg, mesh, False, 0,
+                                  fbank):
+            _, (enc_out, enc_lens) = trainer.eval_step(state, batch)
+            enc_proj = bound.encode_proj(enc_out)
+            toks, lens = transducer_greedy_decode(
+                enc_proj, enc_lens, bound.predictor_init,
+                bound.predictor_step, bound.joint_step,
+                blank_id=cfg.model.blank_index,
+            )
+            toks, lens = np.asarray(toks), np.asarray(lens)
+            keep = []
+            for i, u in enumerate(idx):
+                if int(u) not in seen:
+                    seen.add(int(u))
+                    keep.append(i)
+            refs = [tokenizer.decode(
+                np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
+            ).split() for i in keep]
+            hyps = [tokenizer.decode(toks[i, : lens[i]]).split()
+                    for i in keep]
+            stats.append(refs, hyps)
+        summary = stats.summarize()
+        logger.log_stats({"stage": "test"}, test_stats={
+            cfg.error_rate.upper(): summary["WER"]})
+        print("test", cfg.error_rate.upper(), summary["WER"])
 
 
 def main():
@@ -253,6 +301,7 @@ def main():
     train_set = read_manifest_csv(args.train_manifest)
     valid_set = read_manifest_csv(args.valid_manifest)
 
+    tok_vocab_path = os.path.join(out_dir, "tokenizer_vocab.json")
     if cfg.tokenizer_type == "char":
         tokenizer = CharTokenizer.build([u.text for u in train_set])
     else:
@@ -265,6 +314,12 @@ def main():
         except Exception:
             print("sentencepiece unavailable/missing model; using char tokenizer")
             tokenizer = CharTokenizer.build([u.text for u in train_set])
+    # persist the char vocab so evaluation decodes with the SAME id map
+    if isinstance(tokenizer, CharTokenizer):
+        import json as _json
+
+        with open(tok_vocab_path, "w") as f:
+            _json.dump(tokenizer.vocab, f)
 
     model, fbank, transducer_model = build_model(cfg)
     mesh = make_mesh()
@@ -325,7 +380,7 @@ def main():
                     step = int(state["step"])
             state, metrics = trainer.train_step(state, batch)
             step += 1
-            train_losses.append(float(metrics["loss"]))
+            train_losses.append(metrics["loss"])  # device scalar, no sync
             if ckpt.should_save():
                 ckpt.save(step, jax.tree.map(np.asarray, state))
             if args.steps and step >= args.steps:
@@ -339,7 +394,7 @@ def main():
         for batch, idx in batches(valid_set, tokenizer, cfg, mesh, False,
                                   0, fbank):
             losses, hyps = trainer.eval_step(state, batch)
-            val_losses.append(float(losses["loss"]))
+            val_losses.append(losses["loss"])
             keep = []
             for i, u in enumerate(idx):
                 if int(u) not in seen:
@@ -354,8 +409,10 @@ def main():
         logger.log_stats(
             {"epoch": epoch, "steps": step,
              "epoch_s": round(time.time() - t0, 1)},
-            {"loss": float(np.mean(train_losses)) if train_losses else 0.0},
-            {"loss": float(np.mean(val_losses)) if val_losses else 0.0,
+            {"loss": float(np.mean([float(x) for x in train_losses]))
+             if train_losses else 0.0},
+            {"loss": float(np.mean([float(x) for x in val_losses]))
+             if val_losses else 0.0,
              cfg.error_rate.upper(): summary["WER"]},
         )
         state = trainer.next_epoch(state)
@@ -363,6 +420,29 @@ def main():
         if args.steps and step >= args.steps:
             break
     print("training done:", step, "steps")
+
+    if args.test_manifest:
+        test_set = read_manifest_csv(args.test_manifest)
+        stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
+                               remove_spaces=cfg.remove_spaces)
+        seen = set()
+        for batch, idx in batches(test_set, tokenizer, cfg, mesh, False, 0,
+                                  fbank):
+            _, hyps = trainer.eval_step(state, batch)
+            keep = []
+            for i, u in enumerate(idx):
+                if int(u) not in seen:
+                    seen.add(int(u))
+                    keep.append(i)
+            refs = [tokenizer.decode(
+                np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
+            ).split() for i in keep]
+            hyp_text = [tokenizer.decode(hyps[i]).split() for i in keep]
+            stats.append(refs, hyp_text)
+        summary = stats.summarize()
+        logger.log_stats({"stage": "test"}, test_stats={
+            cfg.error_rate.upper(): summary["WER"]})
+        print("test", cfg.error_rate.upper(), summary["WER"])
 
 
 if __name__ == "__main__":
