@@ -31,12 +31,21 @@ if os.environ.get("JAX_PLATFORMS"):
         pass
 
 # persistent compilation cache (compiles through the remote service take
-# minutes; see CLAUDE.md)
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".jax_cache"),
-)
+# minutes; see CLAUDE.md). CPU AOT artifacts are host-CPU specific (XLA
+# warns about SIGILL on feature mismatch), so CPU runs use a per-host cache
+# under /tmp while TPU runs share the repo cache.
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import platform as _platform
+
+    _cache = os.path.join(
+        "/tmp", f"jax_cache_cpu_{_platform.node()}"
+    )
+else:
+    _cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import jax.numpy as jnp
