@@ -292,6 +292,67 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
         print("test", cfg.error_rate.upper(), summary["WER"])
 
 
+def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
+                  fbank):
+    """Joint CTC/attention beam search over the validation set (the
+    reference's valid_search stage, yaml:248-263), KV-cached."""
+    from summarymixing_tpu.decoding.s2s_beam import (
+        S2SBeamConfig,
+        s2s_beam_search,
+        tile_for_beam,
+    )
+    from summarymixing_tpu.ops.masks import length_to_mask
+
+    params = {"params": state["params"]}
+    stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
+                           remove_spaces=cfg.remove_spaces)
+    beam = cfg.decoding.valid_beam_size
+    seen = set()
+    for batch, idx in batches(valid_set, tokenizer, cfg, mesh, False, 0,
+                              fbank):
+        feats = fbank(batch["wav"])
+        feat_lens = fbank.frame_lengths(batch["wav_lens"])
+        feats, _ = trainer.normalize(feats, state["norm_stats"])
+        enc_out, enc_lens = model.apply(params, feats, feat_lens,
+                                        method=model.encode)
+        ctc_lp = model.apply(params, enc_out, method=model.ctc_head)
+        enc_t = tile_for_beam(enc_out, beam)
+        len_t = tile_for_beam(enc_lens, beam)
+        ctc_t = tile_for_beam(ctc_lp, beam)
+        enc_pad = length_to_mask(len_t, enc_t.shape[1])
+        bc = S2SBeamConfig(
+            beam_size=beam, ctc_weight=cfg.decoding.ctc_weight_decode,
+            bos_id=cfg.model.bos_index, eos_id=cfg.model.eos_index,
+            blank_id=cfg.model.blank_index,
+            max_length=min(
+                max(int(enc_t.shape[1] * cfg.decoding.max_decode_ratio), 8),
+                256,
+            ),
+        )
+        cache = model.apply(params, enc_t, bc.max_length + 1,
+                            method=model.decode_cache_init)
+
+        def step(last_tok, step_i, cache):
+            return model.apply(params, last_tok, step_i, cache, enc_pad,
+                               method=model.decode_step_cached)
+
+        toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t, bc,
+                                        cache=cache)
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        keep = []
+        for i, u in enumerate(idx):
+            if int(u) not in seen:
+                seen.add(int(u))
+                keep.append(i)
+        refs = [tokenizer.decode(
+            np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
+        ).split() for i in keep]
+        hyps = [tokenizer.decode(list(toks[i, : lens[i]])).split()
+                for i in keep]
+        stats.append(refs, hyps)
+    return stats.summarize()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("recipe")
@@ -415,14 +476,25 @@ def main():
             hyp_text = [tokenizer.decode(hyps[i]).split() for i in keep]
             stats.append(refs, hyp_text)
         summary = stats.summarize()
+        valid_stats = {
+            "loss": float(np.mean([float(x) for x in val_losses]))
+            if val_losses else 0.0,
+            cfg.error_rate.upper(): summary["WER"],
+        }
+        # beam-search validation every valid_search_interval epochs
+        # (reference yaml:141), decoder models only
+        if (model.asr.num_decoder_layers > 0
+                and cfg.decoding.valid_search_interval > 0
+                and epoch % cfg.decoding.valid_search_interval == 0):
+            beam_summary = beam_validate(cfg, model, trainer, state,
+                                         valid_set, tokenizer, mesh, fbank)
+            valid_stats[f"beam_{cfg.error_rate.upper()}"] = beam_summary["WER"]
         logger.log_stats(
             {"epoch": epoch, "steps": step,
              "epoch_s": round(time.time() - t0, 1)},
             {"loss": float(np.mean([float(x) for x in train_losses]))
              if train_losses else 0.0},
-            {"loss": float(np.mean([float(x) for x in val_losses]))
-             if val_losses else 0.0,
-             cfg.error_rate.upper(): summary["WER"]},
+            valid_stats,
         )
         state = trainer.next_epoch(state)
         ckpt.save(step, jax.tree.map(np.asarray, state), force=True)
