@@ -86,14 +86,20 @@ def build_tx(cfg, steps_per_epoch=None):
             t.decay_factor,
         )
     elif t.scheduler == "two_stage":
-        # AISHELL/CommonVoice: Adam+Noam until stage_one_epochs, SGD after
-        # (reference AISHELL yaml:59,168-178)
+        # AISHELL/CommonVoice: Adam+Noam until stage_one_epochs, SGD with
+        # Nesterov momentum after (reference AISHELL yaml:59,168-178).
+        # switch_step counts optimizer steps, so divide by accumulation.
         sched = noam_schedule(t.lr_adam, t.n_warmup_steps)
-        switch = (t.stage_one_epochs or 1) * (steps_per_epoch or 1000)
+        accum = t.grad_accumulation_factor
+        switch = (t.stage_one_epochs or 1) * max(
+            (steps_per_epoch or 1000) // max(accum, 1), 1
+        )
         return make_two_stage_adam_sgd(
             sched, sgd_lr=t.lr_sgd, switch_step=switch,
             weight_decay=t.weight_decay, betas=tuple(t.adam_betas),
             eps=t.adam_eps, max_grad_norm=t.max_grad_norm,
+            sgd_momentum=t.sgd_momentum, sgd_nesterov=t.sgd_nesterov,
+            accum_steps=accum,
         )
     else:
         raise ValueError(f"unknown scheduler {t.scheduler!r}")
@@ -107,14 +113,19 @@ def build_tx(cfg, steps_per_epoch=None):
     )
 
 
-def _build_buckets(manifest, cfg, mesh):
+def _build_buckets(manifest, cfg, mesh, valid=False):
     """One bucket construction shared by the batch iterator and the
-    steps-per-epoch estimate (keeps the two_stage switch in sync)."""
+    steps-per-epoch estimate (keeps the two_stage switch in sync).
+    valid=True uses the smaller max_batch_length_val budget (reference
+    max_batch_len_val, smaller because the eval beam is wider)."""
     sr = cfg.features.sample_rate
     lengths = [int(u.duration * sr) for u in manifest]
+    budget = cfg.training.max_batch_length
+    if valid and cfg.training.max_batch_length_val is not None:
+        budget = cfg.training.max_batch_length_val
     buckets = make_buckets(
-        max_batch_length=cfg.training.max_batch_length * sr,
-        num_buckets=min(cfg.training.num_buckets, 40),
+        max_batch_length=budget * sr,
+        num_buckets=cfg.training.num_buckets,
         min_len=max(min(lengths), sr // 4),
         max_len=max(lengths),
         max_batch_size=cfg.training.max_batch_ex,
@@ -130,7 +141,8 @@ def estimate_steps_per_epoch(manifest, cfg, mesh):
 
 def batches(manifest, tokenizer, cfg, mesh, shuffle, seed, fbank=None):
     sr = cfg.features.sample_rate
-    lengths, buckets = _build_buckets(manifest, cfg, mesh)
+    # non-shuffled iteration == eval -> the smaller validation budget
+    lengths, buckets = _build_buckets(manifest, cfg, mesh, valid=not shuffle)
     batcher = DynamicBucketBatcher(
         lengths, buckets, shuffle=shuffle, seed=seed, drop_last=shuffle
     )
@@ -153,6 +165,24 @@ def batches(manifest, tokenizer, cfg, mesh, shuffle, seed, fbank=None):
         }, idx
 
 
+def _spec_augment_config(a):
+    """AugmentConfig (recipe) -> SpecAugmentConfig (train step); None when
+    feature augmentation is disabled (VoxPopuli)."""
+    if not a.fea_augment:
+        return None
+    return SpecAugmentConfig(
+        time_drop_length=(a.time_drop_length_low, a.time_drop_length_high),
+        time_drop_count=a.time_drop_count,
+        freq_drop_length=(a.freq_drop_length_low, a.freq_drop_length_high),
+        freq_drop_count=a.freq_drop_count,
+        warp_window=a.time_warp_window,
+        replace=a.drop_replace,
+        min_augmentations=a.min_augmentations,
+        max_augmentations=a.max_augmentations,
+        shuffle_augmentations=a.shuffle_augmentations,
+    )
+
+
 def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                    tokenizer, train_set, valid_set):
     """Transducer recipe path: RNN-T loss + DCT sampling + greedy decode."""
@@ -172,7 +202,10 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
         TransducerTrainerConfig(
             ctc_weight=cfg.training.ctc_weight,
             ce_weight=getattr(cfg.training, "ce_weight", 0.0),
+            number_of_ctc_epochs=cfg.training.number_of_ctc_epochs,
             blank_id=cfg.model.blank_index,
+            augment=_spec_augment_config(cfg.augment),
+            augment_warmup_steps=cfg.augment.augment_warmup_steps,
             normalize_update_until_epoch=(
                 cfg.features.normalize_update_until_epoch
             ),
@@ -215,6 +248,12 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
             train_losses.append(metrics["loss"])  # device scalar, no sync
             if args.steps and step >= args.steps:
                 break
+        if state is None:
+            raise SystemExit(
+                "no training batches produced: the corpus is smaller than "
+                "one bucket batch (drop_last). Lower "
+                "training.max_batch_length or num_buckets."
+            )
 
         stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                                remove_spaces=cfg.remove_spaces)
@@ -362,9 +401,15 @@ def main():
     ap.add_argument("--output", default=None)
     ap.add_argument("--steps", type=int, default=None,
                     help="stop after N optimizer steps (smoke runs)")
+    ap.add_argument("--num-buckets", type=int, default=None,
+                    help="override training.num_buckets (e.g. for smoke "
+                         "runs on tiny corpora; recipes default to the "
+                         "reference's 200)")
     args = ap.parse_args()
 
     cfg = load_recipe(args.recipe)
+    if args.num_buckets:
+        cfg.training.num_buckets = args.num_buckets
     out_dir = args.output or os.path.join(cfg.output_folder, cfg.name)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -408,14 +453,9 @@ def main():
             pad_id=cfg.model.pad_index,
             bos_id=cfg.model.bos_index,
             eos_id=cfg.model.eos_index,
-            augment=SpecAugmentConfig(
-                time_drop_length=(a.time_drop_length_low, a.time_drop_length_high),
-                time_drop_count=a.time_drop_count,
-                freq_drop_length=(a.freq_drop_length_low, a.freq_drop_length_high),
-                freq_drop_count=a.freq_drop_count,
-                warp_window=a.time_warp_window,
-                replace=a.drop_replace,
-            ),
+            augment=_spec_augment_config(a),
+            concat_original=a.concat_original,
+            augment_warmup_steps=a.augment_warmup_steps,
             normalize_update_until_epoch=cfg.features.normalize_update_until_epoch,
         ),
         mesh=mesh,
@@ -456,6 +496,12 @@ def main():
             if args.steps and step >= args.steps:
                 break
 
+        if state is None:
+            raise SystemExit(
+                "no training batches produced: the corpus is smaller than "
+                "one bucket batch (drop_last). Lower "
+                "training.max_batch_length or num_buckets."
+            )
         # validation: greedy CTC WER every epoch
         stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                                remove_spaces=cfg.remove_spaces)

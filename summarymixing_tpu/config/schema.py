@@ -13,7 +13,10 @@ from typing import List, Optional, Tuple
 class FeaturesConfig:
     sample_rate: int = 16000
     n_fft: int = 512
-    win_length: int = 32       # ms (reference yaml:71)
+    # ms; speechbrain Fbank default (25) — the LibriSpeech recipes override
+    # to 32 explicitly (reference yaml:71); AISHELL/CommonVoice do not and
+    # run 25 ms windows with their n_fft 400
+    win_length: int = 25
     hop_length: int = 10       # ms
     n_mels: int = 80
     normalize_update_until_epoch: int = 4
@@ -21,6 +24,9 @@ class FeaturesConfig:
 
 @dataclass
 class AugmentConfig:
+    # feature-domain augmentation on/off (VoxPopuli's reference yaml:332-343
+    # ships fea_augment commented out -> disabled)
+    fea_augment: bool = True
     speed_perturb: bool = True
     speeds: Tuple[int, ...] = (95, 100, 105)
     time_drop_length_low: int = 15
@@ -31,6 +37,15 @@ class AugmentConfig:
     freq_drop_count: int = 4
     time_warp_window: int = 5
     drop_replace: str = "mean"
+    # Augmenter combinator knobs (reference Augmenter blocks, e.g. AISHELL
+    # yaml:273-284: concat_original True + min/max_augmentations 1)
+    min_augmentations: int = 3
+    max_augmentations: int = 3
+    shuffle_augmentations: bool = False
+    concat_original: bool = False
+    # no feature augmentation before this many optimizer steps
+    # (VoxPopuli yaml:41 augment_warmup_steps)
+    augment_warmup_steps: int = 0
 
 
 @dataclass
@@ -90,6 +105,9 @@ class TrainingConfig:
     precision: str = "bf16"
     ctc_weight: float = 0.3
     ce_weight: float = 0.0   # transducer CE aux (yaml:319-320, optional MTL)
+    # CTC aux active only for the first N epochs (transducer recipes:
+    # LibriSpeech yaml:56 = 60, VoxPopuli yaml:46 = 10); None = always on
+    number_of_ctc_epochs: Optional[int] = None
     label_smoothing: float = 0.0
     lr_adam: float = 0.0008
     adam_betas: Tuple[float, float] = (0.9, 0.98)
@@ -101,9 +119,15 @@ class TrainingConfig:
     decay_factor: float = 0.05
     stage_one_epochs: Optional[int] = None   # two-stage Adam->SGD switch
     lr_sgd: float = 0.000025
+    # reference second-stage SGD (AISHELL yaml:173-176): momentum + nesterov
+    sgd_momentum: float = 0.99
+    sgd_nesterov: bool = True
     # dynamic batching (reference yaml:75-95)
     dynamic_batching: bool = True
     max_batch_length: float = 500.0     # seconds of audio per batch
+    # smaller budget for valid/test where the beam is wider (reference
+    # max_batch_length_val / max_batch_len_val); None = same as train
+    max_batch_length_val: Optional[float] = None
     num_buckets: int = 200
     max_batch_ex: int = 128
     # checkpointing
@@ -117,6 +141,7 @@ class DecodingConfig:
     valid_beam_size: int = 10
     test_beam_size: int = 66
     lm_weight: float = 0.60
+    lm_temperature: float = 1.15   # TransformerLMScorer temperature (yaml:235)
     ctc_weight_decode: float = 0.40
     min_decode_ratio: float = 0.0
     max_decode_ratio: float = 1.0

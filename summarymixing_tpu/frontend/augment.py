@@ -129,6 +129,13 @@ class SpecAugmentConfig:
     freq_drop_count: int = 4
     warp_window: int = 5
     replace: str = "mean"
+    # Augmenter subset selection (speechbrain Augmenter: N ~ U[min, max]
+    # augmentations applied; without shuffle the FIRST N of the pipeline
+    # [time_drop, freq_drop, time_warp] run — AISHELL yaml:278-279 uses
+    # min=max=1, i.e. time_drop only; LibriSpeech min=max=3 applies all)
+    min_augmentations: int = 3
+    max_augmentations: int = 3
+    shuffle_augmentations: bool = False
 
 
 def spec_augment(
@@ -138,20 +145,44 @@ def spec_augment(
     config: SpecAugmentConfig = SpecAugmentConfig(),
 ) -> Array:
     """time drop -> freq drop -> time warp (the recipe's Augmenter order,
-    yaml:332-335)."""
-    k1, k2, k3 = jax.random.split(key, 3)
-    x = spectrogram_drop(
-        k1, x, pad_mask,
-        config.time_drop_length[0], config.time_drop_length[1],
-        config.time_drop_count, axis=1, replace=config.replace,
+    yaml:332-335) with the Augmenter's N-of-3 subset selection. Each stage
+    runs on the current tensor and is where-gated by a traced selection, so
+    every sampled subset shares one compiled program."""
+    k1, k2, k3, k_n, k_perm = jax.random.split(key, 5)
+    n_lo = min(config.min_augmentations, 3)
+    n_hi = min(config.max_augmentations, 3)
+    stages = (
+        lambda kk, cur: spectrogram_drop(
+            kk, cur, pad_mask,
+            config.time_drop_length[0], config.time_drop_length[1],
+            config.time_drop_count, axis=1, replace=config.replace,
+        ),
+        lambda kk, cur: spectrogram_drop(
+            kk, cur, pad_mask,
+            config.freq_drop_length[0], config.freq_drop_length[1],
+            config.freq_drop_count, axis=2, replace=config.replace,
+        ),
+        lambda kk, cur: time_warp(kk, cur, pad_mask, config.warp_window),
     )
-    x = spectrogram_drop(
-        k2, x, pad_mask,
-        config.freq_drop_length[0], config.freq_drop_length[1],
-        config.freq_drop_count, axis=2, replace=config.replace,
+    keys = (k1, k2, k3)
+    if n_lo >= 3 and not config.shuffle_augmentations:
+        out = x  # fast path: all three always applied (LibriSpeech recipes)
+        for kk, stage in zip(keys, stages):
+            out = stage(kk, out)
+        return out
+    n = (
+        jax.random.randint(k_n, (), n_lo, n_hi + 1)
+        if n_hi > n_lo else jnp.asarray(n_lo, jnp.int32)
     )
-    x = time_warp(k3, x, pad_mask, config.warp_window)
-    return x
+    if config.shuffle_augmentations:
+        # rank_of[i] = position of stage i in a random order
+        rank_of = jnp.argsort(jnp.argsort(jax.random.uniform(k_perm, (3,))))
+    else:
+        rank_of = jnp.arange(3)  # first-N semantics (speechbrain Augmenter)
+    out = x
+    for i, (kk, stage) in enumerate(zip(keys, stages)):
+        out = jnp.where(rank_of[i] < n, stage(kk, out), out)
+    return out
 
 
 @dataclass(frozen=True)

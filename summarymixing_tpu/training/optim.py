@@ -77,13 +77,20 @@ def make_two_stage_adam_sgd(
     betas=(0.9, 0.98),
     eps: float = 1e-8,
     max_grad_norm: Optional[float] = 5.0,
+    sgd_momentum: float = 0.99,
+    sgd_nesterov: bool = True,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
-    """Adam for steps < switch_step, plain SGD afterwards (the two-stage
-    optimisation of the AISHELL / CommonVoice recipes, expressed as a
-    step-gated combination so the whole run stays one compiled program)."""
+    """Adam for steps < switch_step, then SGD with Nesterov momentum 0.99
+    (the two-stage optimisation of the AISHELL / CommonVoice recipes,
+    reference AISHELL yaml:168-176), expressed as a step-gated combination
+    so the whole run stays one compiled program. `switch_step` counts
+    OPTIMIZER steps (after accumulation); `accum_steps` wraps the whole
+    thing in MultiSteps (CommonVoice yaml:44 grad_accumulation_factor 2)."""
     adam = optax.adamw(adam_schedule, b1=betas[0], b2=betas[1], eps=eps,
                        weight_decay=weight_decay)
-    sgd = optax.sgd(sgd_lr)
+    sgd = optax.sgd(sgd_lr, momentum=sgd_momentum or None,
+                    nesterov=sgd_nesterov)
 
     def init(params):
         return {"adam": adam.init(params), "sgd": sgd.init(params),
@@ -101,4 +108,6 @@ def make_two_stage_adam_sgd(
     tx = optax.GradientTransformation(init, update)
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx

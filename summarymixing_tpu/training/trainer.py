@@ -49,6 +49,11 @@ class TrainerConfig:
     bos_id: int = 1
     eos_id: int = 2
     augment: Optional[SpecAugmentConfig] = SpecAugmentConfig()
+    # Augmenter concat_original (AISHELL yaml:274): the train batch becomes
+    # [original; augmented] along the batch axis, targets replicated
+    concat_original: bool = False
+    # no feature augmentation before this step (VoxPopuli yaml:41)
+    augment_warmup_steps: int = 0
     normalize_update_until_epoch: int = 4
 
 
@@ -125,7 +130,8 @@ class ASRTrainer:
         )
 
     # -- steps ---------------------------------------------------------------
-    def _forward_loss(self, params, norm_stats, batch, rng, deterministic, epoch):
+    def _forward_loss(self, params, norm_stats, batch, rng, deterministic,
+                      epoch, step=0):
         cfg = self.config
         feats = self.fbank(batch["wav"])
         feat_len = self.fbank.frame_lengths(batch["wav_lens"])
@@ -137,12 +143,21 @@ class ASRTrainer:
             feats, norm_stats, pad_mask,
             epoch=epoch, update=not deterministic,
         )
-        if not deterministic and cfg.augment is not None:
-            rng, k = jax.random.split(rng)
-            feats = spec_augment(k, feats, pad_mask, cfg.augment)
-
         tokens = batch["tokens"]
         token_lens = batch["token_lens"]
+        if not deterministic and cfg.augment is not None:
+            rng, k = jax.random.split(rng)
+            aug = spec_augment(k, feats, pad_mask, cfg.augment)
+            if cfg.augment_warmup_steps > 0:
+                aug = jnp.where(step >= cfg.augment_warmup_steps, aug, feats)
+            if cfg.concat_original:
+                feats = jnp.concatenate([feats, aug], axis=0)
+                feat_len = jnp.concatenate([feat_len, feat_len], axis=0)
+                pad_mask = jnp.concatenate([pad_mask, pad_mask], axis=0)
+                tokens = jnp.concatenate([tokens, tokens], axis=0)
+                token_lens = jnp.concatenate([token_lens, token_lens], axis=0)
+            else:
+                feats = aug
         tokens_bos = self._add_bos(tokens) if self._has_decoder() else None
 
         rngs = {"dropout": rng} if not deterministic else {}
@@ -182,7 +197,7 @@ class ASRTrainer:
         grad_fn = jax.value_and_grad(self._forward_loss, has_aux=True)
         (_, (losses, norm_stats, _)), grads = grad_fn(
             state["params"], state["norm_stats"], batch, step_rng,
-            False, state["epoch"],
+            False, state["epoch"], state["step"],
         )
         updates, opt_state = self.tx.update(
             grads, state["opt_state"], state["params"]

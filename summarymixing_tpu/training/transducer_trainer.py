@@ -66,9 +66,14 @@ def sample_dynchunk(
 class TransducerTrainerConfig:
     ctc_weight: float = 0.3
     ce_weight: float = 0.0
+    # CTC aux only while epoch < number_of_ctc_epochs (LibriSpeech transducer
+    # yaml:56 = 60, VoxPopuli yaml:46 = 10); None = always on
+    number_of_ctc_epochs: Optional[int] = None
     blank_id: int = 0
     pad_id: int = 0
     augment: Optional[SpecAugmentConfig] = SpecAugmentConfig()
+    # no feature augmentation before this step (VoxPopuli yaml:41)
+    augment_warmup_steps: int = 0
     normalize_update_until_epoch: int = 4
     dct: Optional[DynChunkTrainSamplerConfig] = DynChunkTrainSamplerConfig()
 
@@ -133,7 +138,8 @@ class TransducerTrainer:
         bos = jnp.full((b, 1), self.config.blank_id, tokens.dtype)
         return jnp.concatenate([bos, tokens], axis=1)
 
-    def _forward_loss(self, params, norm_stats, batch, rng, deterministic, epoch):
+    def _forward_loss(self, params, norm_stats, batch, rng, deterministic,
+                      epoch, step=0):
         cfg = self.config
         feats = self.fbank(batch["wav"])
         feat_len = self.fbank.frame_lengths(batch["wav_lens"])
@@ -145,7 +151,10 @@ class TransducerTrainer:
         )
         rng, k_aug, k_dct = jax.random.split(rng, 3)
         if not deterministic and cfg.augment is not None:
-            feats = spec_augment(k_aug, feats, pad_mask, cfg.augment)
+            aug = spec_augment(k_aug, feats, pad_mask, cfg.augment)
+            if cfg.augment_warmup_steps > 0:
+                aug = jnp.where(step >= cfg.augment_warmup_steps, aug, feats)
+            feats = aug
 
         dct = None
         if not deterministic and cfg.dct is not None:
@@ -186,7 +195,11 @@ class TransducerTrainer:
             l_ctc = ctc_loss(ctc_lp, enc_lens, tokens, token_lens,
                              blank_id=cfg.blank_id)
             losses["ctc"] = l_ctc
-            loss = loss + cfg.ctc_weight * l_ctc
+            w = cfg.ctc_weight
+            if cfg.number_of_ctc_epochs is not None:
+                # epoch-gated aux (traced epoch -> same compiled program)
+                w = w * (epoch < cfg.number_of_ctc_epochs).astype(l_ctc.dtype)
+            loss = loss + w * l_ctc
         if cfg.ce_weight > 0.0:
             # CE over the prediction network: position u predicts tokens[u]
             ce_lp = self.transducer_model.apply(
@@ -204,7 +217,7 @@ class TransducerTrainer:
         grad_fn = jax.value_and_grad(self._forward_loss, has_aux=True)
         (_, (losses, norm_stats, _)), grads = grad_fn(
             state["params"], state["norm_stats"], batch, step_rng, False,
-            state["epoch"],
+            state["epoch"], state["step"],
         )
         updates, opt_state = self.tx.update(
             grads, state["opt_state"], state["params"]

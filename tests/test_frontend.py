@@ -118,6 +118,37 @@ def test_spec_augment_pipeline(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_spec_augment_subset_first_n(rng):
+    """min=max=1 without shuffle applies ONLY the first stage (time drop) —
+    the AISHELL Augmenter semantics (reference AISHELL yaml:278-279):
+    every frequency bin keeps at least its untouched rows, i.e. no full
+    frequency band is zeroed and no warp occurs."""
+    x = jnp.asarray(rng.standard_normal((2, 60, 80)) + 5.0, jnp.float32)
+    cfg = SpecAugmentConfig(
+        time_drop_length=(5, 10), time_drop_count=2,
+        freq_drop_length=(10, 20), freq_drop_count=2,
+        replace="zeros", min_augmentations=1, max_augmentations=1,
+    )
+    out = np.asarray(spec_augment(jax.random.PRNGKey(0), x, None, cfg))
+    xn = np.asarray(x)
+    # time drop applied: some whole frames zeroed
+    frame_zero = (out == 0.0).all(axis=2)
+    assert frame_zero.any()
+    # every remaining frame is EXACTLY the input: no freq drop, no warp
+    for b in range(out.shape[0]):
+        keep = ~frame_zero[b]
+        np.testing.assert_allclose(out[b, keep], xn[b, keep], atol=1e-6)
+
+
+def test_spec_augment_subset_shuffle_runs(rng):
+    x = jnp.asarray(rng.standard_normal((2, 60, 80)), jnp.float32)
+    cfg = SpecAugmentConfig(min_augmentations=1, max_augmentations=3,
+                            shuffle_augmentations=True)
+    out = spec_augment(jax.random.PRNGKey(3), x, None, cfg)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_speed_perturb(rng):
     sr = 16000
     t = np.arange(sr) / sr

@@ -235,3 +235,25 @@ def test_tensor_parallel_param_sharding(rng):
     state_dp = trainer_dp.init_state(jax.random.PRNGKey(0), batch)
     _, metrics_dp = trainer_dp.train_step(state_dp, batch)
     np.testing.assert_allclose(tp_loss, float(metrics_dp["loss"]), rtol=1e-4)
+
+
+def test_concat_original_batch_doubling(rng):
+    """Augmenter concat_original (AISHELL yaml:274): the train step runs on
+    [original; augmented] with replicated targets, and still trains."""
+    from summarymixing_tpu.frontend.augment import SpecAugmentConfig
+
+    asr_mesh = make_mesh(devices=jax.devices()[:1])
+    trainer = make_trainer(num_decoder_layers=0, mesh=asr_mesh)
+    trainer.config = TrainerConfig(
+        ctc_weight=1.0,
+        augment=SpecAugmentConfig(min_augmentations=1, max_augmentations=1,
+                                  replace="zeros"),
+        concat_original=True,
+    )
+    batch = synth_batch(rng, b=4)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, m0 = trainer.train_step(state, batch)
+    for _ in range(5):
+        state, m = trainer.train_step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["loss"]) < float(m0["loss"]) * 1.5

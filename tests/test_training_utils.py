@@ -64,8 +64,10 @@ def test_warm_exp_decay():
 
 
 def test_two_stage_optimizer():
+    # momentum-free variant: the post-switch update is exactly -lr * g
     tx = make_two_stage_adam_sgd(1e-3, sgd_lr=1e-2, switch_step=2,
-                                 max_grad_norm=None)
+                                 max_grad_norm=None, sgd_momentum=0.0,
+                                 sgd_nesterov=False)
     params = {"w": jnp.ones((3,))}
     state = tx.init(params)
     g = {"w": jnp.ones((3,))}
@@ -74,6 +76,38 @@ def test_two_stage_optimizer():
     u3, state = tx.update(g, state, params)  # now SGD
     np.testing.assert_allclose(np.asarray(u3["w"]), -1e-2 * np.ones(3), rtol=1e-6)
     assert not np.allclose(np.asarray(u1["w"]), np.asarray(u3["w"]))
+
+
+def test_two_stage_sgd_matches_reference_nesterov():
+    """Default second stage == SGD(momentum 0.99, nesterov) exactly
+    (reference AISHELL yaml:173-176)."""
+    import optax
+
+    tx = make_two_stage_adam_sgd(1e-3, sgd_lr=1e-2, switch_step=0,
+                                 max_grad_norm=None)
+    ref = optax.sgd(1e-2, momentum=0.99, nesterov=True)
+    params = {"w": jnp.ones((3,))}
+    s, rs = tx.init(params), ref.init(params)
+    for i in range(3):
+        g = {"w": jnp.full((3,), float(i + 1))}
+        u, s = tx.update(g, s, params)
+        ru, rs = ref.update(g, rs, params)
+        np.testing.assert_allclose(np.asarray(u["w"]), np.asarray(ru["w"]),
+                                   rtol=1e-6)
+
+
+def test_two_stage_grad_accumulation():
+    """accum_steps wraps the two-stage optimizer in MultiSteps: updates are
+    zero on micro-steps and applied on every k-th (CommonVoice yaml:44)."""
+    tx = make_two_stage_adam_sgd(1e-3, sgd_lr=1e-2, switch_step=100,
+                                 max_grad_norm=None, accum_steps=2)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    u1, state = tx.update(g, state, params)
+    np.testing.assert_allclose(np.asarray(u1["w"]), 0.0)  # micro-step
+    u2, state = tx.update(g, state, params)
+    assert float(np.abs(np.asarray(u2["w"])).max()) > 0.0  # applied
 
 
 def test_buckets_and_batcher():
