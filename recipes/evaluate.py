@@ -85,9 +85,14 @@ def main():
     # Use the TRAINING tokenizer (persisted by train.py) — rebuilding from
     # the test manifest would shift the char-id map.
     tokenizer = None
-    vocab_path = os.path.join(os.path.dirname(args.ckpt),
-                              "tokenizer_vocab.json")
-    if os.path.exists(vocab_path):
+    run_dir = os.path.dirname(args.ckpt)
+    subword_path = os.path.join(run_dir, "tokenizer.json")
+    vocab_path = os.path.join(run_dir, "tokenizer_vocab.json")
+    if os.path.exists(subword_path):
+        from summarymixing_tpu.data.subword import SubwordTokenizer
+
+        tokenizer = SubwordTokenizer.load(subword_path)
+    elif os.path.exists(vocab_path):
         import json as _json
 
         with open(vocab_path) as f:
@@ -97,7 +102,7 @@ def main():
             from summarymixing_tpu.data.tokenizer import SentencePieceTokenizer
 
             tokenizer = SentencePieceTokenizer(
-                os.path.join(os.path.dirname(args.ckpt), "tokenizer.model"))
+                os.path.join(run_dir, "tokenizer.model"))
         except Exception:
             tokenizer = None
     if tokenizer is None:

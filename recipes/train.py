@@ -392,6 +392,44 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
     return stats.summarize()
 
 
+def build_or_load_tokenizer(cfg, out_dir, train_set):
+    """Tokenizer resolution (reference yaml:193: SentencePiece unigram
+    trained from the transcripts): 1) previously trained in-repo subword
+    model (tokenizer.json), 2) a pre-built sentencepiece .model when the
+    wheel is importable, 3) TRAIN the in-repo unigram/BPE model now
+    (data/subword.py), 4) char recipes build a char map. The chosen
+    tokenizer is persisted so evaluate.py decodes with the same id map."""
+    import json as _json
+
+    from summarymixing_tpu.data.subword import SubwordTokenizer, train_subword
+
+    os.makedirs(out_dir, exist_ok=True)
+    if cfg.tokenizer_type == "char":
+        tokenizer = CharTokenizer.build([u.text for u in train_set])
+        with open(os.path.join(out_dir, "tokenizer_vocab.json"), "w") as f:
+            _json.dump(tokenizer.vocab, f)
+        return tokenizer
+    json_path = os.path.join(out_dir, "tokenizer.json")
+    if os.path.exists(json_path):
+        return SubwordTokenizer.load(json_path)
+    sp_path = os.path.join(out_dir, "tokenizer.model")
+    if os.path.exists(sp_path):
+        try:
+            from summarymixing_tpu.data.tokenizer import SentencePieceTokenizer
+
+            return SentencePieceTokenizer(sp_path)
+        except ImportError:
+            print("sentencepiece wheel unavailable; training in-repo "
+                  "subword model instead")
+    texts = [u.text for u in train_set]
+    tokenizer = train_subword(texts, cfg.model.output_neurons,
+                              cfg.token_type)
+    tokenizer.save(json_path)
+    print(f"trained {cfg.token_type} tokenizer: {tokenizer.vocab_size} "
+          f"pieces -> {json_path}")
+    return tokenizer
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("recipe")
@@ -416,25 +454,7 @@ def main():
     train_set = read_manifest_csv(args.train_manifest)
     valid_set = read_manifest_csv(args.valid_manifest)
 
-    tok_vocab_path = os.path.join(out_dir, "tokenizer_vocab.json")
-    if cfg.tokenizer_type == "char":
-        tokenizer = CharTokenizer.build([u.text for u in train_set])
-    else:
-        try:
-            from summarymixing_tpu.data.tokenizer import SentencePieceTokenizer
-
-            tokenizer = SentencePieceTokenizer(
-                os.path.join(out_dir, "tokenizer.model")
-            )
-        except Exception:
-            print("sentencepiece unavailable/missing model; using char tokenizer")
-            tokenizer = CharTokenizer.build([u.text for u in train_set])
-    # persist the char vocab so evaluation decodes with the SAME id map
-    if isinstance(tokenizer, CharTokenizer):
-        import json as _json
-
-        with open(tok_vocab_path, "w") as f:
-            _json.dump(tokenizer.vocab, f)
+    tokenizer = build_or_load_tokenizer(cfg, out_dir, train_set)
 
     model, fbank, transducer_model = build_model(cfg)
     mesh = make_mesh()

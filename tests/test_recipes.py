@@ -82,7 +82,8 @@ def test_train_script_smoke(tmp_path):
         """
 name: tiny_smoke
 seed: 1
-tokenizer_type: char
+tokenizer_type: sentencepiece   # exercises in-repo unigram training
+token_type: unigram
 model:
   attention_type: SummaryMixing
   mode: SummaryMixing-lite
@@ -133,6 +134,13 @@ augment:
     log = (out / "train_log.txt").read_text()
     assert "epoch: 1" in log and "valid" in log
     assert (out / "save").exists()
+    # the unigram tokenizer was trained in-repo and persisted
+    assert (out / "tokenizer.json").exists()
+    from summarymixing_tpu.data.subword import SubwordTokenizer
+
+    tok = SubwordTokenizer.load(str(out / "tokenizer.json"))
+    assert 3 < tok.vocab_size <= 40
+    assert tok.decode(tok.encode("ba do")) == "ba do"
 
 
 def test_evaluate_script_smoke(tmp_path):
