@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--avg", type=int, default=0,
                     help="average the last N checkpoints (reference "
                          "avg_checkpoints)")
+    ap.add_argument("--lm-ckpt", default=None,
+                    help="LM run dir (recipes/train_lm.py) for shallow "
+                         "fusion at lm_weight (reference yaml:246: 0.60)")
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
@@ -141,6 +144,12 @@ def main():
     stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                            remove_spaces=cfg.remove_spaces)
     params = {"params": state["params"]}
+    from train import make_lm_fusion, static_decode_length  # noqa: E402
+
+    lm_step, lm_make_cache = (make_lm_fusion(cfg, args.lm_ckpt)
+                              if args.beam else (None, None))
+    lmax = static_decode_length(cfg, test_set, mesh, fbank) if args.beam \
+        else 0
     t0 = time.time()
     n_utts = 0
     seen = set()
@@ -160,21 +169,23 @@ def main():
             bc = S2SBeamConfig(
                 beam_size=beam,
                 ctc_weight=cfg.decoding.ctc_weight_decode,
+                lm_weight=cfg.decoding.lm_weight if lm_step else 0.0,
                 bos_id=cfg.model.bos_index, eos_id=cfg.model.eos_index,
                 blank_id=cfg.model.blank_index,
-                max_length=min(int(enc_t.shape[1]
-                                   * cfg.decoding.max_decode_ratio) or 64,
-                               256),
+                max_length=lmax,
             )
             cache = model.apply(params, enc_t, bc.max_length + 1,
                                 method=model.decode_cache_init)
+            lm_cache = (lm_make_cache(enc_t.shape[0], bc.max_length + 1)
+                        if lm_step else None)
 
             def step(last_tok, step_i, cache):
                 return model.apply(params, last_tok, step_i, cache, enc_pad,
                                    method=model.decode_step_cached)
 
             toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t, bc,
-                                            cache=cache)
+                                            cache=cache, lm_step_fn=lm_step,
+                                            lm_cache=lm_cache)
             toks, lens = np.asarray(toks), np.asarray(lens)
             hyps = [list(toks[i, : lens[i]]) for i in range(toks.shape[0])]
         else:
@@ -196,7 +207,11 @@ def main():
     summary = stats.summarize()
     summary["utterances"] = n_utts
     summary["wall_s"] = round(time.time() - t0, 1)
-    summary["decode"] = "beam" if args.beam else "greedy_ctc"
+    summary["decode"] = (
+        ("beam+lm" if lm_step else "beam") if args.beam else "greedy_ctc"
+    )
+    if lm_step:
+        summary["lm_weight"] = cfg.decoding.lm_weight
     print(json.dumps(summary))
     if args.output:
         os.makedirs(args.output, exist_ok=True)

@@ -331,10 +331,68 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
         print("test", cfg.error_rate.upper(), summary["WER"])
 
 
+def static_decode_length(cfg, manifest, mesh, fbank):
+    """One decode-length cap per RUN (not per bucket), derived from the
+    largest eval bucket: beam search then compiles once per bucket shape
+    instead of once per (bucket, max_length) pair."""
+    _, buckets = _build_buckets(manifest, cfg, mesh, valid=True)
+    max_samples = max(spec.max_len for spec in buckets)
+    frames = int(fbank.frame_lengths(jnp.asarray([max_samples]))[0])
+    for stride in (2, 2):  # ConvolutionFrontEnd subsampling
+        frames = -(-frames // stride)
+    return min(max(int(frames * cfg.decoding.max_decode_ratio), 8), 256)
+
+
+def make_lm_fusion(cfg, lm_ckpt_dir):
+    """Build the KV-cached LM shallow-fusion hooks (TransformerLMScorer of
+    reference yaml:233-246: lm_weight 0.60, temperature 1.15; RNNLM for the
+    transducer recipes). Returns (lm_step_fn, make_cache) or (None, None);
+    make_cache(n_rows, max_len) builds the per-batch LM cache."""
+    if not lm_ckpt_dir or cfg.decoding.lm_weight <= 0.0:
+        return None, None
+    from summarymixing_tpu.config.schema import LMConfig
+    from summarymixing_tpu.models.lm import build_lm
+    from summarymixing_tpu.training.checkpoint import CheckpointManager
+
+    lm_cfg = cfg.lm or LMConfig()
+    lm = build_lm(lm_cfg, cfg.model.output_neurons)
+    save_dir = (lm_ckpt_dir if os.path.basename(lm_ckpt_dir) == "save"
+                else os.path.join(lm_ckpt_dir, "save"))
+    mgr = CheckpointManager(save_dir)
+    raw = mgr.restore({"params": None}, partial=True)
+    if raw is None:
+        print(f"WARNING: no LM checkpoint in {save_dir}; decoding without "
+              "LM fusion")
+        return None, None
+    lm_params = {"params": raw["params"]}
+    temp = cfg.decoding.lm_temperature
+
+    if lm_cfg.model_type == "rnn":
+        def make_cache(n_rows, max_len):
+            return lm.apply(lm_params, n_rows, method=lm.initial_state)
+
+        def lm_step(last_tok, step_i, cache):
+            carry, logits = lm.apply(lm_params, cache, last_tok,
+                                     method=lm.step)
+            return jax.nn.log_softmax(logits / temp, axis=-1), carry
+    else:
+        def make_cache(n_rows, max_len):
+            return lm.apply(lm_params, n_rows, max_len,
+                            method=lm.init_cache)
+
+        def lm_step(last_tok, step_i, cache):
+            logits, cache = lm.apply(lm_params, last_tok, step_i, cache,
+                                     method=lm.step)
+            return jax.nn.log_softmax(logits / temp, axis=-1), cache
+
+    return lm_step, make_cache
+
+
 def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
-                  fbank):
+                  fbank, lm_ckpt=None):
     """Joint CTC/attention beam search over the validation set (the
-    reference's valid_search stage, yaml:248-263), KV-cached."""
+    reference's valid_search stage, yaml:248-263), KV-cached, with optional
+    TransformerLM shallow fusion."""
     from summarymixing_tpu.decoding.s2s_beam import (
         S2SBeamConfig,
         s2s_beam_search,
@@ -346,6 +404,8 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
     stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                            remove_spaces=cfg.remove_spaces)
     beam = cfg.decoding.valid_beam_size
+    lm_step, lm_make_cache = make_lm_fusion(cfg, lm_ckpt)
+    lmax = static_decode_length(cfg, valid_set, mesh, fbank)
     seen = set()
     for batch, idx in batches(valid_set, tokenizer, cfg, mesh, False, 0,
                               fbank):
@@ -361,22 +421,23 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
         enc_pad = length_to_mask(len_t, enc_t.shape[1])
         bc = S2SBeamConfig(
             beam_size=beam, ctc_weight=cfg.decoding.ctc_weight_decode,
+            lm_weight=cfg.decoding.lm_weight if lm_step else 0.0,
             bos_id=cfg.model.bos_index, eos_id=cfg.model.eos_index,
             blank_id=cfg.model.blank_index,
-            max_length=min(
-                max(int(enc_t.shape[1] * cfg.decoding.max_decode_ratio), 8),
-                256,
-            ),
+            max_length=lmax,
         )
         cache = model.apply(params, enc_t, bc.max_length + 1,
                             method=model.decode_cache_init)
+        lm_cache = (lm_make_cache(enc_t.shape[0], bc.max_length + 1)
+                    if lm_step else None)
 
         def step(last_tok, step_i, cache):
             return model.apply(params, last_tok, step_i, cache, enc_pad,
                                method=model.decode_step_cached)
 
         toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t, bc,
-                                        cache=cache)
+                                        cache=cache, lm_step_fn=lm_step,
+                                        lm_cache=lm_cache)
         toks, lens = np.asarray(toks), np.asarray(lens)
         keep = []
         for i, u in enumerate(idx):
@@ -443,6 +504,10 @@ def main():
                     help="override training.num_buckets (e.g. for smoke "
                          "runs on tiny corpora; recipes default to the "
                          "reference's 200)")
+    ap.add_argument("--lm-ckpt", default=None,
+                    help="LM run dir (from recipes/train_lm.py) for shallow "
+                         "fusion in beam validation (lm_weight from the "
+                         "recipe, reference yaml:246)")
     args = ap.parse_args()
 
     cfg = load_recipe(args.recipe)
@@ -553,7 +618,8 @@ def main():
                 and cfg.decoding.valid_search_interval > 0
                 and epoch % cfg.decoding.valid_search_interval == 0):
             beam_summary = beam_validate(cfg, model, trainer, state,
-                                         valid_set, tokenizer, mesh, fbank)
+                                         valid_set, tokenizer, mesh, fbank,
+                                         lm_ckpt=args.lm_ckpt)
             valid_stats[f"beam_{cfg.error_rate.upper()}"] = beam_summary["WER"]
         logger.log_stats(
             {"epoch": epoch, "steps": step,

@@ -18,6 +18,7 @@ from summarymixing_tpu.config.schema import (
     AugmentConfig,
     DecodingConfig,
     FeaturesConfig,
+    LMConfig,
     ModelConfig,
     RecipeConfig,
     TrainingConfig,
@@ -29,6 +30,7 @@ _SECTIONS = {
     "augment": AugmentConfig,
     "model": ModelConfig,
     "transducer": TransducerConfig,
+    "lm": LMConfig,
     "training": TrainingConfig,
     "decoding": DecodingConfig,
 }

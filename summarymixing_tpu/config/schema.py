@@ -136,6 +136,29 @@ class TrainingConfig:
 
 
 @dataclass
+class LMConfig:
+    """Language model for shallow fusion (reference yaml:183-191:
+    TransformerLM 768d/12h/12L/3072, GELU, normalize_before False; and
+    transducer yaml:339-348: RNNLM emb 128, 2x2048 LSTM, 512 DNN)."""
+
+    model_type: str = "transformer"   # "transformer" | "rnn"
+    d_model: int = 768
+    nhead: int = 12
+    num_layers: int = 12
+    d_ffn: int = 3072
+    # rnn variant
+    embedding_dim: int = 128
+    rnn_layers: int = 2
+    rnn_neurons: int = 2048
+    dnn_neurons: int = 512
+    # training (recipes/train_lm.py)
+    lr: float = 1.0e-4
+    dropout: float = 0.0
+    batch_tokens: int = 4096
+    max_seq_len: int = 256
+
+
+@dataclass
 class DecodingConfig:
     valid_search_interval: int = 10
     valid_beam_size: int = 10
@@ -164,6 +187,7 @@ class RecipeConfig:
     augment: AugmentConfig = field(default_factory=AugmentConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     transducer: Optional[TransducerConfig] = None
+    lm: Optional[LMConfig] = None
     training: TrainingConfig = field(default_factory=TrainingConfig)
     decoding: DecodingConfig = field(default_factory=DecodingConfig)
     # metrics

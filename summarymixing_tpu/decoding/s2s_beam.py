@@ -57,6 +57,7 @@ def s2s_beam_search(
     config: S2SBeamConfig,
     lm_step_fn: Optional[Callable[[Array, Array], Array]] = None,
     cache=None,
+    lm_cache=None,
 ) -> Tuple[Array, Array, Array]:
     """Run beam search.
 
@@ -68,6 +69,13 @@ def s2s_beam_search(
     per beam) and a decode_step_fn(last_tokens [N], step, cache) ->
     (log-probs [N, V], cache). The cache is gathered on beam pruning, making
     each step O(step) instead of O(max_length^2).
+
+    LM shallow fusion (TransformerLMScorer, reference yaml:233-246,
+    lm_weight 0.60): pass lm_step_fn. Full-prefix signature
+    lm_step_fn(tokens [N, L], step) -> [N, V], or KV-cached by ALSO passing
+    `lm_cache` with lm_step_fn(last_tokens [N], step, lm_cache) ->
+    ([N, V], lm_cache); the LM cache is gathered on pruning like the
+    decoder cache.
 
     Returns (best_tokens [B, Lmax], best_lengths [B], best_scores [B]) —
     tokens exclude bos and eos."""
@@ -99,7 +107,8 @@ def s2s_beam_search(
         )
 
     def step_fn(step, carry):
-        tokens, scores, lengths, finished, ctc_state, dec_cache = carry
+        (tokens, scores, lengths, finished, ctc_state, dec_cache,
+         lm_cache_c) = carry
         if dec_cache is not None:
             att_lp, dec_cache = decode_step_fn(tokens[:, step], step, dec_cache)
         else:
@@ -108,7 +117,12 @@ def s2s_beam_search(
         k = min(k_ctc, v)  # static at trace time
         base_lp = att_w * att_lp
         if lm_step_fn is not None and config.lm_weight > 0.0:
-            base_lp = base_lp + config.lm_weight * lm_step_fn(tokens, step)
+            if lm_cache_c is not None:
+                lm_lp, lm_cache_c = lm_step_fn(tokens[:, step], step,
+                                               lm_cache_c)
+            else:
+                lm_lp = lm_step_fn(tokens, step)
+            base_lp = base_lp + config.lm_weight * lm_lp
 
         # suppress eos before min_steps
         base_lp = jnp.where(
@@ -168,12 +182,14 @@ def s2s_beam_search(
             new_ctc = ctc_state
         if dec_cache is not None:
             dec_cache = jax.tree.map(lambda c: c[parent], dec_cache)
+        if lm_cache_c is not None:
+            lm_cache_c = jax.tree.map(lambda c: c[parent], lm_cache_c)
         return (new_tokens, new_scores, new_lengths, now_finished, new_ctc,
-                dec_cache)
+                dec_cache, lm_cache_c)
 
-    carry = (tokens, scores, lengths, finished, ctc_state, cache)
+    carry = (tokens, scores, lengths, finished, ctc_state, cache, lm_cache)
     carry = jax.lax.fori_loop(0, lmax, step_fn, carry)
-    tokens, scores, lengths, finished, _, _ = carry
+    tokens, scores, lengths, finished = carry[:4]
 
     # unfinished hypotheses count full length; length-normalise if configured
     final = scores

@@ -143,3 +143,20 @@ class RNNLM(nn.Module):
             in_axes=1, out_axes=1,
         )(self, carry, tokens)
         return logits
+
+
+def build_lm(lm_cfg, vocab: int):
+    """LMConfig (config/schema.py) -> flax LM module."""
+    if lm_cfg.model_type == "transformer":
+        return TransformerLM(
+            vocab=vocab, d_model=lm_cfg.d_model, nhead=lm_cfg.nhead,
+            num_layers=lm_cfg.num_layers, d_ffn=lm_cfg.d_ffn,
+            dropout_rate=lm_cfg.dropout,
+        )
+    if lm_cfg.model_type == "rnn":
+        return RNNLM(
+            vocab=vocab, embedding_dim=lm_cfg.embedding_dim,
+            rnn_layers=lm_cfg.rnn_layers, rnn_neurons=lm_cfg.rnn_neurons,
+            dnn_neurons=lm_cfg.dnn_neurons, dropout_rate=lm_cfg.dropout,
+        )
+    raise ValueError(f"unknown lm model_type {lm_cfg.model_type!r}")

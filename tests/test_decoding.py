@@ -287,3 +287,133 @@ def test_transformer_lm_cached_step_matches_full(rng):
     stepped = jnp.stack(outs, axis=1)
     np.testing.assert_allclose(np.asarray(full), np.asarray(stepped),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_beam_search_cached_lm_matches_full_prefix(rng):
+    """KV-cached LM fusion (lm_cache + step signature) must produce the
+    same hypotheses and scores as the full-prefix lm_step_fn."""
+    from summarymixing_tpu.models.lm import TransformerLM
+
+    batch, beam, t, d, vocab = 2, 3, 6, 16, 12
+    enc_out = jnp.asarray(rng.standard_normal((batch * beam, t, d)),
+                          jnp.float32)
+    enc_lens = jnp.full((batch * beam,), t, jnp.int32)
+    proj = jnp.asarray(rng.standard_normal((d, vocab)) * 0.5, jnp.float32)
+
+    def decode_step(tokens, step):
+        ctx = jnp.mean(enc_out, axis=1) @ proj
+        return jax.nn.log_softmax(ctx, axis=-1)
+
+    lmax = 6
+    lm = TransformerLM(vocab=vocab, d_model=16, nhead=2, num_layers=2,
+                       d_ffn=32)
+    toks0 = jnp.zeros((batch * beam, lmax + 1), jnp.int32)
+    lm_params = lm.init(jax.random.PRNGKey(0), toks0)
+
+    def lm_step_full(tokens, step):
+        logits = lm.apply(lm_params, tokens)
+        return jax.nn.log_softmax(logits[:, step] / 1.15, axis=-1)
+
+    def lm_step_cached(last_tok, step, cache):
+        logits, cache = lm.apply(lm_params, last_tok, step, cache,
+                                 method=lm.step)
+        return jax.nn.log_softmax(logits / 1.15, axis=-1), cache
+
+    cfg = S2SBeamConfig(beam_size=beam, ctc_weight=0.0, lm_weight=2.0,
+                        max_length=lmax, min_steps=1)
+    t_full, l_full, s_full = s2s_beam_search(
+        decode_step, enc_out, enc_lens, None, cfg, lm_step_fn=lm_step_full)
+    lm_cache = lm.apply(lm_params, batch * beam, lmax + 1,
+                        method=lm.init_cache)
+    t_cached, l_cached, s_cached = s2s_beam_search(
+        decode_step, enc_out, enc_lens, None, cfg,
+        lm_step_fn=lm_step_cached, lm_cache=lm_cache)
+    np.testing.assert_array_equal(np.asarray(t_full), np.asarray(t_cached))
+    np.testing.assert_array_equal(np.asarray(l_full), np.asarray(l_cached))
+    np.testing.assert_allclose(np.asarray(s_full), np.asarray(s_cached),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lm_fusion_wer_not_worse_on_overfit(rng):
+    """VERDICT r1 items 1/10 'done' criterion: with an in-domain LM trained
+    on the same transcripts, fused-beam WER must be <= the no-LM beam WER
+    on the overfit corpus."""
+    import optax
+    from summarymixing_tpu.models.lm import TransformerLM
+    from summarymixing_tpu.training.metrics import ErrorRateStats
+
+    trainer, state, batch, _ = _train_tiny_joint(rng)
+    model = trainer.model
+    cfg = trainer.config
+
+    feats = trainer.fbank(batch["wav"])
+    feat_lens = trainer.fbank.frame_lengths(batch["wav_lens"])
+    feats, _ = trainer.normalize(feats, state["norm_stats"])
+    enc_out, enc_lens = model.apply(
+        {"params": state["params"]}, feats, feat_lens, method=model.encode)
+    ctc_lp = model.apply(
+        {"params": state["params"]}, enc_out, method=model.ctc_head)
+
+    # tiny LM trained on the same label sequences (bos=1, eos=2)
+    vocab = 8
+    lm = TransformerLM(vocab=vocab, d_model=16, nhead=2, num_layers=1,
+                       d_ffn=32)
+    toks = np.asarray(batch["tokens"])
+    inp = np.concatenate([np.ones((toks.shape[0], 1), np.int32), toks], 1)
+    tgt = np.concatenate([toks, 2 * np.ones((toks.shape[0], 1), np.int32)], 1)
+    lm_params = lm.init(jax.random.PRNGKey(0), jnp.asarray(inp))["params"]
+    tx = optax.adam(3e-3)
+    opt = tx.init(lm_params)
+
+    @jax.jit
+    def lm_train(p, opt, inp, tgt):
+        def loss(p):
+            lg = lm.apply({"params": p}, inp)
+            lp = jax.nn.log_softmax(lg, -1)
+            return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+        l, g = jax.value_and_grad(loss)(p)
+        up, opt = tx.update(g, opt, p)
+        return optax.apply_updates(p, up), opt, l
+
+    ji, jt = jnp.asarray(inp), jnp.asarray(tgt)
+    for _ in range(120):
+        lm_params, opt, _ = lm_train(lm_params, opt, ji, jt)
+
+    beam = 4
+    enc_t = tile_for_beam(enc_out, beam)
+    len_t = tile_for_beam(enc_lens, beam)
+    ctc_t = tile_for_beam(ctc_lp, beam)
+
+    def decode_step(tokens, step):
+        return model.apply(
+            {"params": state["params"]}, tokens, enc_t, len_t, step,
+            method=model.decode_position)
+
+    def lm_step(last_tok, step, cache):
+        logits, cache = lm.apply({"params": lm_params}, last_tok, step,
+                                 cache, method=lm.step)
+        return jax.nn.log_softmax(logits / 1.15, -1), cache
+
+    def wer_of(lm_weight):
+        bc = S2SBeamConfig(beam_size=beam, ctc_weight=0.4,
+                           lm_weight=lm_weight, bos_id=cfg.bos_id,
+                           eos_id=cfg.eos_id, blank_id=cfg.blank_id,
+                           max_length=6, min_steps=1)
+        lm_cache = (lm.apply({"params": lm_params}, enc_t.shape[0],
+                             bc.max_length + 1, method=lm.init_cache)
+                    if lm_weight > 0 else None)
+        toks_o, lens_o, _ = s2s_beam_search(
+            decode_step, enc_t, len_t, ctc_t, bc,
+            lm_step_fn=lm_step if lm_weight > 0 else None,
+            lm_cache=lm_cache)
+        toks_o, lens_o = np.asarray(toks_o), np.asarray(lens_o)
+        stats = ErrorRateStats()
+        refs = [list(map(str, row)) for row in toks]
+        hyps = [[str(x) for x in toks_o[i, : lens_o[i]]]
+                for i in range(toks.shape[0])]
+        stats.append(refs, hyps)
+        return stats.summarize()["WER"]
+
+    w_plain = wer_of(0.0)
+    w_fused = wer_of(0.3)
+    assert w_fused <= w_plain + 1e-9, (w_plain, w_fused)
