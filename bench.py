@@ -36,37 +36,35 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def main():
-    from summarymixing_tpu.frontend.features import Fbank
+def build_model(mixer):
+    from functools import partial as _partial
+
     from summarymixing_tpu.models.asr import TransformerASR
     from summarymixing_tpu.models.speech_recognizer import SpeechRecognizer
-
-    from functools import partial as _partial
 
     gelu_tanh = _partial(jax.nn.gelu, approximate=True)
     vocab = 5000
     asr = TransformerASR(
-        tgt_vocab=vocab, input_size=640, d_model=512, nhead=1,
+        tgt_vocab=vocab, input_size=640, d_model=512,
+        nhead=1 if mixer == "SummaryMixing" else 4,
         num_encoder_layers=18, num_decoder_layers=0, d_ffn=2048,
-        encoder_module="branchformer", attention_type="SummaryMixing",
+        encoder_module="branchformer", attention_type=mixer,
         mode="SummaryMixing", causal=False, csgu_linear_units=3072,
         kernel_size=31, local_proj_hid_dim=(512,), local_proj_out_dim=512,
         summary_hid_dim=(512,), summary_out_dim=512, dropout_rate=0.0,
         branchformer_activation=gelu_tanh,
         dtype=jnp.bfloat16,
     )
-    model = SpeechRecognizer(asr=asr, vocab_size=vocab, dtype=jnp.bfloat16)
-    fbank = Fbank()
+    return SpeechRecognizer(asr=asr, vocab_size=vocab, dtype=jnp.bfloat16)
 
-    batch_size, secs, sr = 8, 30, 16000
-    n = secs * sr
-    rng = np.random.default_rng(0)
-    wav = jnp.asarray(rng.standard_normal((batch_size, n)).astype(np.float32))
-    wav_lens = jnp.full((batch_size,), n, jnp.int32)
 
+def measure_decode(model, fbank, wav, wav_lens):
+    """Marginal-timed decode throughput (audio-s per wall-s) for one model.
+    Chained iterations + one scalar fetch; min over repeats (shared chip)."""
     feats0 = fbank(wav[:1])
     params = model.init(
-        jax.random.PRNGKey(0), feats0, jnp.full((1,), feats0.shape[1], jnp.int32)
+        jax.random.PRNGKey(0), feats0,
+        jnp.full((1,), feats0.shape[1], jnp.int32),
     )
     n_params = sum(x.size for x in jax.tree.leaves(params))
 
@@ -79,9 +77,7 @@ def main():
         ids = jnp.argmax(out["ctc_log_probs"], axis=-1)
         return jnp.sum(ids).astype(jnp.float32)
 
-    # warmup / compile
-    carry = decode(params, wav, wav_lens, jnp.float32(0.0))
-    float(carry)
+    float(decode(params, wav, wav_lens, jnp.float32(0.0)))  # compile
 
     def timed_chain(iters):
         t0 = time.perf_counter()
@@ -91,9 +87,6 @@ def main():
         float(carry)  # single fetch: waits for the whole chain
         return time.perf_counter() - t0
 
-    # marginal timing cancels the tunnel round-trip / dispatch overhead;
-    # repeat 3x and take the best estimate (the chip is shared — observed
-    # 3x run-to-run variance from co-tenants)
     k_small, k_large = 5, 55
     estimates = []
     for _ in range(3):
@@ -108,12 +101,36 @@ def main():
         estimates.append(e)
         positive = [e for e in estimates if e > 0]
     per_iter = min(positive)
-    dt = per_iter * k_large
+    return per_iter, estimates, n_params
 
+
+def main():
+    from summarymixing_tpu.frontend.features import Fbank
+
+    fbank = Fbank()
+    batch_size, secs, sr = 8, 30, 16000
+    n = secs * sr
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((batch_size, n)).astype(np.float32))
+    wav_lens = jnp.full((batch_size,), n, jnp.int32)
     audio_seconds = batch_size * secs
+
+    per_iter, estimates, n_params = measure_decode(
+        build_model("SummaryMixing"), fbank, wav, wav_lens)
     throughput = audio_seconds / per_iter
-    ref_estimate = 2000.0  # est. A100 batched greedy decode, audio-s/s
-    target = 5.0 * ref_estimate
+
+    # honest same-chip baseline: the SAME 18L Branchformer with regularMHA
+    # (the reference's own self-attention baseline, README.md:27), measured
+    # in this run on this chip
+    mha_per_iter, _, _ = measure_decode(
+        build_model("regularMHA"), fbank, wav, wav_lens)
+    mha_throughput = audio_seconds / mha_per_iter
+
+    # north-star scale: 5x an A100 running the reference model. 2000
+    # audio-s/s is an ESTIMATE (the reference publishes no decode RTF
+    # numbers, README.md:18 is a plot only); the measured same-chip MHA
+    # number above is the trustworthy comparison.
+    target = 5.0 * 2000.0
     print(json.dumps({
         "metric": "decode_throughput_audio_sec_per_sec_per_chip",
         "value": round(throughput, 1),
@@ -125,11 +142,16 @@ def main():
             "batch": batch_size,
             "utt_secs": secs,
             "dtype": "bfloat16",
-            "iters": k_large,
             "per_iter_ms": round(per_iter * 1e3, 2),
             "per_iter_ms_all_estimates": [round(e * 1e3, 2) for e in estimates],
+            "same_chip_mha_audio_s_per_s": round(mha_throughput, 1),
+            "speedup_vs_same_chip_mha": round(throughput / mha_throughput, 2),
             "device": str(jax.devices()[0]),
-            "note": "vs_baseline = value / (5 * 2000 audio-s/s A100 estimate)",
+            "note": "vs_baseline = value / (5 * 2000 audio-s/s A100 "
+                    "ESTIMATE — the reference publishes no RTF numbers; "
+                    "speedup_vs_same_chip_mha is the measured comparison "
+                    "against the reference's own self-attention baseline "
+                    "on this chip",
         },
     }))
 

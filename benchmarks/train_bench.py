@@ -1,0 +1,149 @@
+"""Training-throughput benchmark: the reference's headline claim is
+"train ~30% faster with roughly half the memory" for SummaryMixing vs
+self-attention (reference README.md:2,18, Branchformer rows :27,34). This
+measures the full jitted train step (fbank -> normalize -> CNN -> encoder
+[-> decoder] -> CTC+KL loss -> grads -> AdamW update) at recipe scale on
+the real chip for both mixers, plus the transducer step.
+
+Timing: chained steps with a real data dependency (the donated train state
+threads step N's params into step N+1), one scalar fetch at the end;
+difference two chain lengths to cancel dispatch/tunnel overhead
+(CLAUDE.md timing methodology). Peak HBM from device.memory_stats().
+
+Run: python benchmarks/train_bench.py [--layers 18] [--batch 16] [--secs 15]
+Emits one JSON line per configuration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from summarymixing_tpu.frontend.features import Fbank
+from summarymixing_tpu.models.asr import TransformerASR
+from summarymixing_tpu.models.speech_recognizer import SpeechRecognizer
+from summarymixing_tpu.ops.linear import gelu_exact
+from summarymixing_tpu.parallel.mesh import make_mesh
+from summarymixing_tpu.training.optim import make_adamw, noam_schedule
+from summarymixing_tpu.training.trainer import ASRTrainer, TrainerConfig
+
+VOCAB = 5000
+
+
+def build(mixer: str, layers: int, num_decoder_layers: int, bf16: bool):
+    act = lambda x: jax.nn.gelu(x, approximate=True)  # noqa: E731
+    asr = TransformerASR(
+        tgt_vocab=VOCAB, input_size=640, d_model=512,
+        nhead=1 if mixer == "SummaryMixing" else 4,
+        num_encoder_layers=layers, num_decoder_layers=num_decoder_layers,
+        d_ffn=2048, dropout_rate=0.1, encoder_module="branchformer",
+        attention_type=mixer, mode="SummaryMixing", causal=False,
+        csgu_linear_units=3072, local_proj_hid_dim=(512,),
+        local_proj_out_dim=512, summary_hid_dim=(512,), summary_out_dim=512,
+        branchformer_activation=act, activation=act,
+        dtype=jnp.bfloat16 if bf16 else None,
+    )
+    return SpeechRecognizer(
+        asr=asr, vocab_size=VOCAB, frontend_channels=(64, 32),
+        frontend_dropout=0.1, dtype=jnp.bfloat16 if bf16 else None,
+    )
+
+
+def synth_batch(batch: int, secs: float, sr: int = 16000, umax: int = 40):
+    rng = np.random.default_rng(0)
+    n = int(secs * sr)
+    return {
+        "wav": jnp.asarray(rng.standard_normal((batch, n)) * 0.1, jnp.float32),
+        "wav_lens": jnp.full((batch,), n, jnp.int32),
+        "tokens": jnp.asarray(rng.integers(3, VOCAB, (batch, umax)), jnp.int32),
+        "token_lens": jnp.full((batch,), umax, jnp.int32),
+    }
+
+
+def peak_hbm_gb():
+    stats = jax.devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use") or 0
+    return round(peak / 2**30, 2)
+
+
+def run_chain(trainer, state, batch, n):
+    for _ in range(n):
+        state, metrics = trainer.train_step(state, batch)
+    # host fetch of one scalar = the only reliable sync through the tunnel
+    return float(metrics["loss"]), state
+
+
+def bench_attention(mixer, args):
+    model = build(mixer, args.layers, args.decoder_layers, args.bf16)
+    trainer = ASRTrainer(
+        model, make_adamw(noam_schedule(8e-4, 30000), weight_decay=0.01),
+        Fbank(), TrainerConfig(ctc_weight=0.3, augment=None),
+        mesh=make_mesh(devices=jax.devices()[:1]),
+    )
+    batch = synth_batch(args.batch, args.secs)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    _, state = run_chain(trainer, state, batch, 2)   # compile + warm
+    n1, n2 = args.reps, args.reps * 3
+    t0 = time.time()
+    _, state = run_chain(trainer, state, batch, n1)
+    t1 = time.time()
+    _, state = run_chain(trainer, state, batch, n2)
+    t2 = time.time()
+    step_s = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+    audio_s = args.batch * args.secs
+    print(json.dumps({
+        "bench": "train_step", "mixer": mixer, "layers": args.layers,
+        "decoder_layers": args.decoder_layers, "batch": args.batch,
+        "utt_secs": args.secs, "precision": "bf16" if args.bf16 else "fp32",
+        "step_s": round(step_s, 4),
+        "audio_s_per_s": round(audio_s / step_s, 1),
+        "peak_hbm_gb": peak_hbm_gb(),
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=18)
+    ap.add_argument("--decoder-layers", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--secs", type=float, default=15.0)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--fp32", dest="bf16", action="store_false")
+    ap.add_argument("--mixers", default="SummaryMixing,regularMHA")
+    args = ap.parse_args()
+    mixers = args.mixers.split(",")
+    if len(mixers) > 1:
+        # one process per mixer: device.memory_stats() peaks are
+        # process-cumulative, so peak-HBM must be measured in isolation
+        import subprocess
+        for mixer in mixers:
+            argv = [sys.executable, os.path.abspath(__file__),
+                    "--mixers", mixer, "--layers", str(args.layers),
+                    "--decoder-layers", str(args.decoder_layers),
+                    "--batch", str(args.batch), "--secs", str(args.secs),
+                    "--reps", str(args.reps)]
+            if not args.bf16:
+                argv.append("--fp32")
+            subprocess.run(argv, check=True)
+        return
+    bench_attention(mixers[0], args)
+
+
+if __name__ == "__main__":
+    main()

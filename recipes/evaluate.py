@@ -67,6 +67,167 @@ from summarymixing_tpu.training.trainer import ASRTrainer, TrainerConfig
 from train import batches  # noqa: E402  (same directory)
 
 
+def _streaming_decode(cfg, args, enc_model, trainer, state, bound, batch,
+                      fbank, chunk_times):
+    """Chunked streaming inference: fbank + CNN, then per-chunk
+    encode_streaming (carried conformer state, reference
+    TransformerASR.py:562-653) + incremental transducer greedy decode with
+    carried predictor state. Records per-chunk wall time."""
+    from summarymixing_tpu.decoding.transducer_search import (
+        transducer_greedy_decode,
+    )
+    from summarymixing_tpu.models.asr import DynChunkTrainConfig
+
+    eparams = {"params": state["params"]["encoder"]}
+    feats = fbank(batch["wav"])
+    feat_lens = fbank.frame_lengths(batch["wav_lens"])
+    feats, _ = trainer.normalize(feats, state["norm_stats"])
+    src = enc_model.apply(eparams, feats, method=enc_model.frontend)
+    enc_lens = enc_model.apply(eparams, feat_lens,
+                               method=enc_model.subsampled_length)
+    b, t_enc = src.shape[0], src.shape[1]
+    chunk = args.chunk_size
+    dynchunk = DynChunkTrainConfig(chunk_size=chunk,
+                                   left_context_size=args.left_context)
+    st = enc_model.apply(eparams, b, dynchunk,
+                         method=enc_model.streaming_init)
+    n_chunks = -(-t_enc // chunk)
+    pad = n_chunks * chunk - t_enc
+    if pad:
+        src = jnp.pad(src, ((0, 0), (0, pad), (0, 0)))
+    carry, toks, lens = None, None, None
+    for c in range(n_chunks):
+        tc0 = time.time()
+        src_c = src[:, c * chunk:(c + 1) * chunk]
+        enc_c, st = enc_model.apply(eparams, src_c, st,
+                                    method=enc_model.encode_streaming_chunk)
+        valid = jnp.clip(enc_lens - c * chunk, 0, chunk)
+        out = transducer_greedy_decode(
+            bound.encode_proj(enc_c), valid, bound.predictor_init,
+            bound.predictor_step, bound.joint_step,
+            blank_id=cfg.model.blank_index,
+            max_tokens=2 * t_enc, carry=carry, return_carry=True,
+        )
+        toks, lens, carry = out
+        # a host fetch is the only reliable sync through the axon tunnel
+        # (block_until_ready can return early; see CLAUDE.md)
+        _ = np.asarray(lens[:1])
+        chunk_times.append(time.time() - tc0)
+    return toks, lens
+
+
+def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
+                    test_set):
+    """Transducer test decode: greedy (valid-style) or --beam with beam 10 +
+    state/expand-beam pruning + optional RNNLM fusion (reference transducer
+    yaml:375-393), batched on-device."""
+    from summarymixing_tpu.decoding.transducer_search import (
+        transducer_beam_search_batched,
+        transducer_greedy_decode,
+    )
+    from summarymixing_tpu.training.transducer_trainer import (
+        TransducerTrainer,
+        TransducerTrainerConfig,
+    )
+    from train import load_rnnlm  # noqa: E402
+
+    trainer = TransducerTrainer(
+        enc_model, td_model, make_adamw(1e-4), fbank,
+        TransducerTrainerConfig(
+            ctc_weight=cfg.training.ctc_weight,
+            blank_id=cfg.model.blank_index, augment=None, dct=None,
+        ),
+        mesh=mesh,
+    )
+    example = next(iter(batches(test_set, tokenizer, cfg, mesh, False, 0,
+                                fbank)))[0]
+    state = trainer.init_state(jax.random.PRNGKey(0), example)
+    mgr = CheckpointManager(args.ckpt)
+    subset = {k: v for k, v in jax.tree.map(np.asarray, state).items()
+              if k in ("params", "norm_stats", "step", "epoch")}
+    if args.avg > 1:
+        restored = average_checkpoints(mgr, subset, num=args.avg)
+    else:
+        restored = mgr.restore(subset, partial=True)
+        if restored is None:
+            raise SystemExit(f"no checkpoints in {args.ckpt}")
+    state = dict(state)
+    state.update({k: restored[k] for k in subset})
+
+    bound = td_model.bind({"params": state["params"]["transducer"]})
+    lm_init, lm_step = (load_rnnlm(cfg, args.lm_ckpt) if args.beam
+                        else (None, None))
+    stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
+                           remove_spaces=cfg.remove_spaces)
+    t0 = time.time()
+    n_utts = 0
+    seen = set()
+    chunk_times = []
+    for batch, idx in batches(test_set, tokenizer, cfg, mesh, False, 0,
+                              fbank):
+        if args.streaming:
+            toks, lens = _streaming_decode(cfg, args, enc_model, trainer,
+                                           state, bound, batch, fbank,
+                                           chunk_times)
+        else:
+            _, (enc_out, enc_lens) = trainer.eval_step(state, batch)
+            enc_proj = bound.encode_proj(enc_out)
+            if args.beam:
+                toks, lens, _ = transducer_beam_search_batched(
+                    enc_proj, enc_lens, bound.predictor_init,
+                    bound.predictor_step, bound.joint_step,
+                    blank_id=cfg.model.blank_index,
+                    bos_id=cfg.model.bos_index,
+                    beam_size=cfg.decoding.beam_size,
+                    state_beam=cfg.decoding.state_beam,
+                    expand_beam=cfg.decoding.expand_beam,
+                    lm_step=lm_step, lm_init=lm_init,
+                    lm_weight=cfg.decoding.lm_weight if lm_step else 0.0,
+                )
+            else:
+                toks, lens = transducer_greedy_decode(
+                    enc_proj, enc_lens, bound.predictor_init,
+                    bound.predictor_step, bound.joint_step,
+                    blank_id=cfg.model.blank_index,
+                )
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        keep = []
+        for i, u in enumerate(idx):
+            if int(u) not in seen:
+                seen.add(int(u))
+                keep.append(i)
+        refs = [tokenizer.decode(
+            np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
+        ).split() for i in keep]
+        hyps = [tokenizer.decode(toks[i, : lens[i]]).split() for i in keep]
+        stats.append(refs, hyps)
+        n_utts += len(keep)
+
+    summary = stats.summarize()
+    summary["utterances"] = n_utts
+    summary["wall_s"] = round(time.time() - t0, 1)
+    if args.streaming:
+        summary["decode"] = "transducer_streaming_greedy"
+        summary["chunk_frames"] = args.chunk_size
+        summary["left_context_chunks"] = args.left_context
+        if chunk_times:
+            ct = sorted(chunk_times)
+            summary["chunk_latency_ms_p50"] = round(
+                ct[len(ct) // 2] * 1e3, 2)
+            summary["chunk_latency_ms_p90"] = round(
+                ct[min(len(ct) - 1, int(len(ct) * 0.9))] * 1e3, 2)
+    else:
+        summary["decode"] = (
+            ("transducer_beam+lm" if lm_step else "transducer_beam")
+            if args.beam else "transducer_greedy"
+        )
+    print(json.dumps(summary))
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "eval.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("recipe")
@@ -80,6 +241,13 @@ def main():
     ap.add_argument("--lm-ckpt", default=None,
                     help="LM run dir (recipes/train_lm.py) for shallow "
                          "fusion at lm_weight (reference yaml:246: 0.60)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="chunked streaming inference (transducer recipes; "
+                         "reference TransformerASR.py:562-653)")
+    ap.add_argument("--chunk-size", type=int, default=16,
+                    help="encoder frames per streaming chunk (40 ms each)")
+    ap.add_argument("--left-context", type=int, default=4,
+                    help="left-context CHUNKS carried across steps")
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
 
@@ -113,8 +281,11 @@ def main():
               "test manifest (char-id map may differ from training)")
         tokenizer = CharTokenizer.build([u.text for u in test_set])
 
-    model, fbank, _ = build_model(cfg)
+    model, fbank, td_model = build_model(cfg)
     mesh = make_mesh()
+    if td_model is not None:
+        return eval_transducer(cfg, args, model, td_model, fbank, mesh,
+                               tokenizer, test_set)
     trainer = ASRTrainer(
         model, make_adamw(1e-4), fbank,
         TrainerConfig(ctc_weight=cfg.training.ctc_weight, augment=None,

@@ -183,10 +183,41 @@ def _spec_augment_config(a):
     )
 
 
+def load_rnnlm(cfg, lm_ckpt_dir):
+    """RNNLM for transducer-beam shallow fusion (reference transducer
+    yaml:339-348,388-390: lm_weight 0.5). Returns (lm_init, lm_step) bound
+    callables or (None, None)."""
+    if not lm_ckpt_dir or cfg.decoding.lm_weight <= 0.0:
+        return None, None
+    from summarymixing_tpu.config.schema import LMConfig
+    from summarymixing_tpu.models.lm import build_lm
+    from summarymixing_tpu.training.checkpoint import CheckpointManager
+
+    lm_cfg = cfg.lm or LMConfig(model_type="rnn")
+    if lm_cfg.model_type != "rnn":
+        print("WARNING: transducer fusion expects an RNNLM (lm.model_type "
+              "rnn); skipping fusion")
+        return None, None
+    save_dir = (lm_ckpt_dir if os.path.basename(lm_ckpt_dir) == "save"
+                else os.path.join(lm_ckpt_dir, "save"))
+    mgr = CheckpointManager(save_dir)
+    raw = mgr.restore({"params": None}, partial=True)
+    if raw is None:
+        print(f"WARNING: no LM checkpoint in {save_dir}; decoding without "
+              "LM fusion")
+        return None, None
+    lm = build_lm(lm_cfg, cfg.model.output_neurons)
+    bound = lm.bind({"params": raw["params"]})
+    return bound.initial_state, bound.step
+
+
 def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                    tokenizer, train_set, valid_set):
-    """Transducer recipe path: RNN-T loss + DCT sampling + greedy decode."""
+    """Transducer recipe path: RNN-T loss + DCT sampling; greedy decode for
+    validation, batched beam (+ optional RNNLM fusion) for the test stage
+    (reference transducer yaml:375-393)."""
     from summarymixing_tpu.decoding.transducer_search import (
+        transducer_beam_search_batched,
         transducer_greedy_decode,
     )
     from summarymixing_tpu.training.transducer_trainer import (
@@ -299,19 +330,28 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
     print("training done:", step, "steps")
 
     if args.test_manifest:
+        # test stage: beam 10 + state/expand-beam pruning + optional RNNLM
+        # fusion (reference transducer yaml:375-393), batched on-device
         test_set = read_manifest_csv(args.test_manifest)
         stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                                remove_spaces=cfg.remove_spaces)
         seen = set()
         bound = td_model.bind({"params": state["params"]["transducer"]})
+        lm_init, lm_step = load_rnnlm(cfg, args.lm_ckpt)
         for batch, idx in batches(test_set, tokenizer, cfg, mesh, False, 0,
                                   fbank):
             _, (enc_out, enc_lens) = trainer.eval_step(state, batch)
             enc_proj = bound.encode_proj(enc_out)
-            toks, lens = transducer_greedy_decode(
+            toks, lens, _scores = transducer_beam_search_batched(
                 enc_proj, enc_lens, bound.predictor_init,
                 bound.predictor_step, bound.joint_step,
                 blank_id=cfg.model.blank_index,
+                bos_id=cfg.model.bos_index,
+                beam_size=cfg.decoding.beam_size,
+                state_beam=cfg.decoding.state_beam,
+                expand_beam=cfg.decoding.expand_beam,
+                lm_step=lm_step, lm_init=lm_init,
+                lm_weight=cfg.decoding.lm_weight if lm_step else 0.0,
             )
             toks, lens = np.asarray(toks), np.asarray(lens)
             keep = []

@@ -106,6 +106,7 @@ def build_model(cfg: RecipeConfig):
         attention_type=m.attention_type,
         mode=m.mode,
         causal=m.causal,
+        normalize_before=m.normalize_before,
         kernel_size=m.csgu_kernel_size,
         csgu_linear_units=m.csgu_linear_units,
         local_proj_hid_dim=tuple(m.local_proj_hid_dim),
@@ -116,7 +117,9 @@ def build_model(cfg: RecipeConfig):
         conformer_activation=_ACTIVATIONS["swish"]
         if m.encoder_module == "conformer" and m.activation == "swish"
         else act,
-        activation=jax.nn.relu if m.num_decoder_layers > 0 else act,
+        # the yaml's activation feeds the decoder/encoder FFNs too
+        # (reference yaml:169 activation: !ref <activation> = GELU)
+        activation=act,
         dtype=dtype,
     )
     model = SpeechRecognizer(

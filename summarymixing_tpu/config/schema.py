@@ -60,6 +60,7 @@ class ModelConfig:
     num_decoder_layers: int = 6
     d_ffn: int = 2048
     transformer_dropout: float = 0.1
+    normalize_before: bool = True   # reference yaml:175 / Transformer.py:141
     activation: str = "gelu"
     csgu_linear_units: int = 3072
     csgu_kernel_size: int = 31

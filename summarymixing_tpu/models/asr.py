@@ -92,7 +92,9 @@ class TransformerASR(nn.Module):
     dropout_rate: float = 0.1
     activation: Callable = jax.nn.relu
     positional_encoding: Optional[str] = "fixed_abs_sine"
-    normalize_before: bool = False
+    # pre-norm, the reference default (Transformer.py:141) and every
+    # recipe's explicit setting (branchformer yaml:175, transducer yaml:272)
+    normalize_before: bool = True
     kernel_size: int = 31
     use_bias: bool = True
     encoder_module: str = "transformer"

@@ -101,6 +101,18 @@ class SpeechRecognizer(nn.Module):
     def ctc_head(self, enc_out: Array) -> Array:
         return jax.nn.log_softmax(self.ctc_lin(enc_out), axis=-1)
 
+    # -- streaming (reference TransformerASR.py:562-679 contract) -----------
+    def frontend(self, feats: Array) -> Array:
+        """CNN subsampling only: [B, T, F] -> [B, T/4, F'] encoder input."""
+        return self.cnn(feats, deterministic=True)
+
+    def streaming_init(self, batch: int, dynchunk, dtype=jnp.float32):
+        return self.asr.init_streaming_state(batch, dynchunk, dtype)
+
+    def encode_streaming_chunk(self, src_chunk: Array, state):
+        """One chunk of CNN output frames -> (enc_chunk, new state)."""
+        return self.asr.encode_streaming(src_chunk, state)
+
     def decode_step(self, tgt: Array, enc_out: Array, enc_len: Array) -> Array:
         """Last-position decoder hidden -> seq log-probs [B, V]."""
         h = self.asr.decode_step(tgt, enc_out, enc_len)

@@ -75,8 +75,9 @@ class ConvolutionalSpatialGatingUnit(nn.Module):
     ) -> Array:
         half = self.input_size // 2
         x_res, x_gate = jnp.split(x, 2, axis=-1)
-        x_gate = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
-                              name="norm")(x_gate)
+        # eps 1e-5 = torch LayerNorm default (the reference CSGU uses it)
+        x_gate = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              param_dtype=self.param_dtype, name="norm")(x_gate)
         if pad_mask is not None:
             # Zero padded frames before the depthwise conv so no padding
             # content can reach valid frames through the kernel's receptive
@@ -274,17 +275,22 @@ class ConvolutionFrontEnd(nn.Module):
             zip(self.out_channels, self.kernel_sizes, self.strides, self.residuals)
         ):
             inp = x
+            # symmetric (k//2, k//2) padding = speechbrain Conv2d "same"
+            # (get_padding_elem uses floor(k/2) both sides for stride > 1;
+            # XLA's SAME pads asymmetrically and would shift the taps,
+            # breaking checkpoint-conversion parity)
             x = nn.Conv(
                 features=ch,
                 kernel_size=(k, k),
                 strides=(s, s),
-                padding="SAME",
+                padding=((k // 2, k // 2), (k // 2, k // 2)),
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"conv_{i}",
             )(x)
             if self.norm:
-                x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
                                  name=f"norm_{i}")(x)
             x = self.activation(x)
             if res and inp.shape == x.shape:

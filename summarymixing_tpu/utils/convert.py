@@ -86,6 +86,150 @@ def _mlp_from_torch(prefix: str, sd: Dict[str, np.ndarray], n_split: int) -> dic
     return out
 
 
+def convert_mha(prefix: str, sd: Dict[str, np.ndarray]) -> dict:
+    """speechbrain MultiheadAttention (torch nn.MultiheadAttention at `.att`)
+    -> flax q/k/v/out projections. in_proj_weight is [3d, d] rows [q; k; v]."""
+    w = sd[f"{prefix}.att.in_proj_weight"]
+    b = sd[f"{prefix}.att.in_proj_bias"]
+    d = w.shape[1]
+    out = {}
+    for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        out[name] = convert_linear(w[i * d:(i + 1) * d], b[i * d:(i + 1) * d])
+    out["out_proj"] = convert_linear(
+        sd[f"{prefix}.att.out_proj.weight"], sd[f"{prefix}.att.out_proj.bias"]
+    )
+    return out
+
+
+def _ln(prefix: str, sd: Dict[str, np.ndarray]) -> dict:
+    """speechbrain LayerNorm (torch LayerNorm at `.norm`)."""
+    return convert_layernorm(sd[f"{prefix}.norm.weight"],
+                             sd[f"{prefix}.norm.bias"])
+
+
+def convert_branchformer_layer(
+    prefix: str, sd: Dict[str, np.ndarray], nhead: int, mode: str
+) -> dict:
+    """One reference BranchformerEncoderLayer (Branchformer.py:100-334,
+    SummaryMixing mixer) -> flax BranchformerEncoderLayer params."""
+    tree = {
+        "mixer": convert_summary_mixing(f"{prefix}.mha_layer", sd, nhead,
+                                        mode),
+        "norm_mhsa": _ln(f"{prefix}.norm_mhsa", sd),
+        "norm_conv": _ln(f"{prefix}.norm_conv", sd),
+        "convolution_branch": {
+            "pre_channel_proj": convert_linear(
+                sd[f"{prefix}.convolution_branch.pre_channel_proj.weight"],
+                sd[f"{prefix}.convolution_branch.pre_channel_proj.bias"]),
+            "post_channel_proj": convert_linear(
+                sd[f"{prefix}.convolution_branch.post_channel_proj.weight"],
+                sd[f"{prefix}.convolution_branch.post_channel_proj.bias"]),
+            "csgu": {
+                "norm": _ln(f"{prefix}.convolution_branch.csgu.norm", sd),
+                "conv_kernel": convert_depthwise_conv1d(
+                    sd[f"{prefix}.convolution_branch.csgu.conv.weight"]),
+                "conv_bias": np.asarray(
+                    sd[f"{prefix}.convolution_branch.csgu.conv.bias"]),
+            },
+        },
+    }
+    if f"{prefix}.merge_proj.weight" in sd:  # plain Linear (MHA mixers)
+        tree["merge_proj"] = convert_linear(
+            sd[f"{prefix}.merge_proj.weight"], sd[f"{prefix}.merge_proj.bias"])
+    else:  # deep VanillaNN merge (SummaryMixing, Branchformer.py:221-226)
+        tree["merge_proj"] = _mlp_from_torch(f"{prefix}.merge_proj", sd, 1)
+    return tree
+
+
+def convert_decoder_layer(prefix: str, sd: Dict[str, np.ndarray]) -> dict:
+    """Reference TransformerDecoderLayer (Transformer.py:693-830)."""
+    return {
+        "self_attn": convert_mha(f"{prefix}.self_attn", sd),
+        "cross_attn": convert_mha(f"{prefix}.multihead_attn", sd),
+        "pos_ffn": {
+            "ffn_in": convert_linear(sd[f"{prefix}.pos_ffn.ffn.0.weight"],
+                                     sd[f"{prefix}.pos_ffn.ffn.0.bias"]),
+            "ffn_out": convert_linear(sd[f"{prefix}.pos_ffn.ffn.3.weight"],
+                                      sd[f"{prefix}.pos_ffn.ffn.3.bias"]),
+        },
+        "norm1": _ln(f"{prefix}.norm1", sd),
+        "norm2": _ln(f"{prefix}.norm2", sd),
+        "norm3": _ln(f"{prefix}.norm3", sd),
+    }
+
+
+def _convert_frontend(sd: Dict[str, np.ndarray], prefix: str = "0.") -> dict:
+    """ConvolutionFrontEnd subtree: extracted ORDER-BASED (state dicts keep
+    registration order), robust to speechbrain's block naming: 4-D weights
+    are the conv kernels, and the 1-D weight/bias pair following each conv
+    is its LayerNorm."""
+    cnn = {}
+    conv_i = norm_i = 0
+    keys = [k for k in sd if k.startswith(prefix)]
+    i = 0
+    while i < len(keys):
+        k = keys[i]
+        w = sd[k]
+        if k.endswith(".weight") and w.ndim == 4:
+            bias_k = k[: -len(".weight")] + ".bias"
+            cnn[f"conv_{conv_i}"] = convert_conv2d(w, sd.get(bias_k))
+            conv_i += 1
+            i += 2 if bias_k in sd else 1
+        elif k.endswith(".weight") and w.ndim == 1:
+            bias_k = k[: -len(".weight")] + ".bias"
+            cnn[f"norm_{norm_i}"] = convert_layernorm(w, sd[bias_k])
+            norm_i += 1
+            i += 2
+        else:
+            i += 1
+    if not cnn:
+        raise KeyError(f"no frontend convs under {prefix!r}")
+    return cnn
+
+
+def convert_full_model(sd: Dict[str, np.ndarray], *, nhead: int, mode: str,
+                       num_encoder_layers: int, num_decoder_layers: int
+                       ) -> dict:
+    """Convert a complete reference flagship state dict — the
+    torch.nn.ModuleList [CNN, Transformer, seq_lin, ctc_lin] of
+    branchformer_summarymixing.yaml:214-215 — into the flax SpeechRecognizer
+    parameter tree (models/speech_recognizer.py). Key prefixes:
+
+      "0." CNN (ConvolutionFrontEnd)      -> cnn/ (order-based extraction)
+      "1." TransformerASR                 -> asr/
+      "2." seq_lin (sb Linear at .w)      -> seq_lin/
+      "3." ctc_lin                        -> ctc_lin/
+
+    Transformer subtree names come from the vendored reference sources
+    (TransformerASR.py:349-357 custom_src_module/custom_tgt_module,
+    Branchformer.py:184-241 layer attrs, Transformer.py:743-772 decoder)."""
+    params = {"cnn": _convert_frontend(sd, "0.")}
+    enc = {}
+    for i in range(num_encoder_layers):
+        enc[f"layer_{i}"] = convert_branchformer_layer(
+            f"1.encoder.layers.{i}", sd, nhead, mode)
+    enc["norm"] = _ln("1.encoder.norm", sd)
+    asr = {
+        "src_proj": convert_linear(sd["1.custom_src_module.0.w.weight"],
+                                   sd["1.custom_src_module.0.w.bias"]),
+        "encoder": enc,
+    }
+    if num_decoder_layers > 0:
+        dec = {}
+        for i in range(num_decoder_layers):
+            dec[f"layer_{i}"] = convert_decoder_layer(f"1.decoder.layers.{i}",
+                                                      sd)
+        dec["norm"] = _ln("1.decoder.norm", sd)
+        asr["decoder"] = dec
+        asr["tgt_emb"] = {"emb": {"embedding": np.asarray(
+            sd["1.custom_tgt_module.0.emb.Embedding.weight"])}}
+    params["asr"] = asr
+    if "2.w.weight" in sd:
+        params["seq_lin"] = convert_linear(sd["2.w.weight"], sd["2.w.bias"])
+    params["ctc_lin"] = convert_linear(sd["3.w.weight"], sd["3.w.bias"])
+    return params
+
+
 def convert_summary_mixing(
     prefix: str, sd: Dict[str, np.ndarray], nhead: int, mode: str
 ) -> dict:

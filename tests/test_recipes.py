@@ -301,3 +301,175 @@ augment:
     assert summary["decode"] == "beam+lm"
     assert summary["lm_weight"] == 0.3
     assert "WER" in summary
+
+
+def test_transducer_beam_eval_smoke(tmp_path):
+    """Transducer recipe end-to-end: train, test stage with batched beam-10
+    decode, RNNLM fusion, and evaluate.py --beam (VERDICT r1 item 2)."""
+    manifest = _make_dataset(str(tmp_path))
+    recipe = tmp_path / "tiny_td.yaml"
+    recipe.write_text(
+        """
+name: tiny_transducer_smoke
+seed: 1
+tokenizer_type: char
+model:
+  attention_type: SummaryMixing
+  mode: SummaryMixing-fast
+  encoder_module: conformer
+  d_model: 32
+  nhead: 2
+  num_encoder_layers: 1
+  num_decoder_layers: 0
+  d_ffn: 32
+  csgu_kernel_size: 5
+  local_proj_hid_dim: [16]
+  local_proj_out_dim: 32
+  summary_hid_dim: [16]
+  input_size: 80
+  output_neurons: 40
+  frontend_channels: [4, 4]
+  bos_index: 0
+  eos_index: 0
+transducer:
+  joint_dim: 24
+  dec_dim: 16
+lm:
+  model_type: rnn
+  embedding_dim: 8
+  rnn_layers: 1
+  rnn_neurons: 16
+  dnn_neurons: 8
+  batch_tokens: 256
+training:
+  number_of_epochs: 1
+  precision: fp32
+  ctc_weight: 0.3
+  lr_adam: 0.001
+  scheduler: warm_exp_decay
+  n_warmup_steps: 10
+  optimizer_step_limit: 100
+  max_batch_length: 10.0
+  num_buckets: 2
+  max_batch_ex: 8
+  ckpt_interval_minutes: 999
+decoding:
+  beam_size: 3
+  state_beam: 2.3
+  expand_beam: 2.3
+  lm_weight: 0.4
+augment:
+  speed_perturb: false
+"""
+    )
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes/train_lm.py"),
+         str(recipe), "--train-manifest", manifest, "--model-type", "rnn",
+         "--tokenizer-dir", str(out), "--output", str(out / "lm"),
+         "--epochs", "1", "--steps", "2"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes/train.py"), str(recipe),
+         "--train-manifest", manifest, "--valid-manifest", manifest,
+         "--test-manifest", manifest, "--output", str(out), "--steps", "2",
+         "--lm-ckpt", str(out / "lm")],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "test" in res.stdout  # test-stage beam decode ran
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes/evaluate.py"),
+         str(recipe), "--test-manifest", manifest,
+         "--ckpt", str(out / "save"), "--beam",
+         "--lm-ckpt", str(out / "lm")],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    import json as _json
+    summary = _json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["decode"] == "transducer_beam+lm"
+    assert "WER" in summary
+
+
+def test_streaming_eval_smoke(tmp_path):
+    """evaluate.py --streaming: chunked encoder + incremental greedy via the
+    CLI (VERDICT r1 item 8)."""
+    manifest = _make_dataset(str(tmp_path))
+    recipe = tmp_path / "tiny_td.yaml"
+    recipe.write_text(
+        """
+name: tiny_streaming_smoke
+seed: 1
+tokenizer_type: char
+model:
+  attention_type: SummaryMixing
+  mode: SummaryMixing-fast
+  encoder_module: conformer
+  d_model: 32
+  nhead: 2
+  num_encoder_layers: 1
+  num_decoder_layers: 0
+  d_ffn: 32
+  csgu_kernel_size: 5
+  local_proj_hid_dim: [16]
+  local_proj_out_dim: 32
+  summary_hid_dim: [16]
+  input_size: 80
+  output_neurons: 40
+  frontend_channels: [4, 4]
+  bos_index: 0
+  eos_index: 0
+transducer:
+  joint_dim: 24
+  dec_dim: 16
+training:
+  number_of_epochs: 1
+  precision: fp32
+  ctc_weight: 0.3
+  lr_adam: 0.001
+  scheduler: warm_exp_decay
+  n_warmup_steps: 10
+  optimizer_step_limit: 100
+  max_batch_length: 10.0
+  num_buckets: 2
+  max_batch_ex: 8
+  ckpt_interval_minutes: 999
+augment:
+  speed_perturb: false
+"""
+    )
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes/train.py"), str(recipe),
+         "--train-manifest", manifest, "--valid-manifest", manifest,
+         "--output", str(out), "--steps", "2"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes/evaluate.py"),
+         str(recipe), "--test-manifest", manifest,
+         "--ckpt", str(out / "save"), "--streaming",
+         "--chunk-size", "4", "--left-context", "2"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    import json as _json
+    summary = _json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["decode"] == "transducer_streaming_greedy"
+    assert summary["chunk_frames"] == 4
+    assert "chunk_latency_ms_p50" in summary
+    assert "WER" in summary
