@@ -204,7 +204,9 @@ class ConvolutionModule(nn.Module):
         if self.dilation != 1:
             raise NotImplementedError("dilation != 1 is not supported")
         c = self.input_size
-        out = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+        # eps 1e-5 = torch LayerNorm default (reference ConvolutionModule)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                           param_dtype=self.param_dtype,
                            name="layer_norm")(x)
         out = nn.Dense(2 * c, use_bias=self.use_bias, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="bottleneck")(out)
@@ -236,7 +238,8 @@ class ConvolutionModule(nn.Module):
         else:
             out = depthwise_conv1d(out, kernel, conv_bias, padding="SAME")
 
-        out = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                           param_dtype=self.param_dtype,
                            name="after_norm")(out)
         out = self.activation(out)
         out = nn.Dense(c, use_bias=self.use_bias, dtype=self.dtype,

@@ -141,6 +141,117 @@ def convert_branchformer_layer(
     return tree
 
 
+def convert_conformer_layer(
+    prefix: str, sd: Dict[str, np.ndarray], nhead: int, mode: str
+) -> dict:
+    """One reference ConformerEncoderLayer (Conformer.py:336-638,
+    SummaryMixing mixer): macaron ffn_module1/2 are Sequential(LayerNorm,
+    PositionalwiseFeedForward, Dropout) -> flax norm_ffn{i} + ffn{i};
+    ConvolutionModule bottleneck is a 1x1 Conv1d [2C, C, 1] -> Dense."""
+    cm = f"{prefix}.convolution_module"
+    bk = sd[f"{cm}.bottleneck.0.weight"]  # [2C, C, 1]
+    tree = {
+        "mixer": convert_summary_mixing(f"{prefix}.mha_layer", sd, nhead,
+                                        mode),
+        "norm1": _ln(f"{prefix}.norm1", sd),
+        "norm2": _ln(f"{prefix}.norm2", sd),
+        "norm_ffn1": convert_layernorm(sd[f"{prefix}.ffn_module1.0.weight"],
+                                       sd[f"{prefix}.ffn_module1.0.bias"]),
+        "norm_ffn2": convert_layernorm(sd[f"{prefix}.ffn_module2.0.weight"],
+                                       sd[f"{prefix}.ffn_module2.0.bias"]),
+        "ffn1": {
+            "ffn_in": convert_linear(sd[f"{prefix}.ffn_module1.1.ffn.0.weight"],
+                                     sd[f"{prefix}.ffn_module1.1.ffn.0.bias"]),
+            "ffn_out": convert_linear(sd[f"{prefix}.ffn_module1.1.ffn.3.weight"],
+                                      sd[f"{prefix}.ffn_module1.1.ffn.3.bias"]),
+        },
+        "ffn2": {
+            "ffn_in": convert_linear(sd[f"{prefix}.ffn_module2.1.ffn.0.weight"],
+                                     sd[f"{prefix}.ffn_module2.1.ffn.0.bias"]),
+            "ffn_out": convert_linear(sd[f"{prefix}.ffn_module2.1.ffn.3.weight"],
+                                      sd[f"{prefix}.ffn_module2.1.ffn.3.bias"]),
+        },
+        "convolution_module": {
+            "layer_norm": convert_layernorm(sd[f"{cm}.layer_norm.weight"],
+                                            sd[f"{cm}.layer_norm.bias"]),
+            "bottleneck": convert_linear(bk[:, :, 0],
+                                         sd.get(f"{cm}.bottleneck.0.bias")),
+            "conv_kernel": convert_depthwise_conv1d(sd[f"{cm}.conv.weight"]),
+            "conv_bias": np.asarray(sd[f"{cm}.conv.bias"]),
+            "after_norm": convert_layernorm(sd[f"{cm}.after_conv.0.weight"],
+                                            sd[f"{cm}.after_conv.0.bias"]),
+            "pointwise_out": convert_linear(sd[f"{cm}.after_conv.2.weight"],
+                                            sd.get(f"{cm}.after_conv.2.bias")),
+        },
+    }
+    return tree
+
+
+def convert_lstm(prefix: str, sd: Dict[str, np.ndarray], layer: int = 0
+                 ) -> dict:
+    """torch nn.LSTM layer (speechbrain RNN wraps it at `.rnn`) -> flax
+    OptimizedLSTMCell params. torch stacks gates [i, f, g, o] in
+    weight_ih/hh [4H, *]; flax keeps per-gate Dense modules ii/if/ig/io
+    (no bias) and hi/hf/hg/ho (bias = b_ih + b_hh)."""
+    w_ih = sd[f"{prefix}.weight_ih_l{layer}"]
+    w_hh = sd[f"{prefix}.weight_hh_l{layer}"]
+    b = (sd[f"{prefix}.bias_ih_l{layer}"]
+         + sd[f"{prefix}.bias_hh_l{layer}"])
+    h = w_hh.shape[1]
+    gates = ("i", "f", "g", "o")
+    out = {}
+    for gi, g in enumerate(gates):
+        out[f"i{g}"] = {"kernel": np.ascontiguousarray(
+            w_ih[gi * h:(gi + 1) * h].T)}
+        out[f"h{g}"] = {
+            "kernel": np.ascontiguousarray(w_hh[gi * h:(gi + 1) * h].T),
+            "bias": np.asarray(b[gi * h:(gi + 1) * h]),
+        }
+    return out
+
+
+def convert_transducer_model(sd: Dict[str, np.ndarray], *, nhead: int,
+                             mode: str, num_encoder_layers: int) -> dict:
+    """Convert the transducer recipe's model ModuleList
+    [CNN, enc(EncoderWrapper), emb, dec(LSTM), proj_enc, proj_dec,
+    proj_ctc, transducer_lin] (reference transducer yaml:369-370) into
+    {"encoder": SpeechRecognizer params, "transducer": TransducerModel
+    params}. The one-hot embedding ("2.") has no learnable weights (flax
+    computes it analytically)."""
+    t = "1.transformer"
+    enc = {}
+    for i in range(num_encoder_layers):
+        enc[f"layer_{i}"] = convert_conformer_layer(
+            f"{t}.encoder.layers.{i}", sd, nhead, mode)
+    enc["norm"] = _ln(f"{t}.encoder.norm", sd)
+    encoder_params = {
+        "cnn": _convert_frontend(sd, "0."),
+        "asr": {
+            "src_proj": convert_linear(sd[f"{t}.custom_src_module.0.w.weight"],
+                                       sd[f"{t}.custom_src_module.0.w.bias"]),
+            "encoder": enc,
+        },
+        # the recipe's proj_ctc applies over proj_enc(enc_out); the flax
+        # SpeechRecognizer ctc_lin is unused in the transducer path but
+        # must exist — fill from proj_ctc for completeness
+        "ctc_lin": convert_linear(sd["6.w.weight"], sd["6.w.bias"]),
+    }
+    transducer_params = {
+        "proj_enc": {"kernel": np.ascontiguousarray(sd["4.w.weight"].T)},
+        "predictor": {
+            "lstm": convert_lstm("3.rnn", sd),
+            "proj_dec": {"kernel": np.ascontiguousarray(sd["5.w.weight"].T)},
+        },
+        "proj_ctc": convert_linear(sd["6.w.weight"], sd["6.w.bias"]),
+        "joint": {"transducer_lin": {
+            "kernel": np.ascontiguousarray(sd["7.w.weight"].T)}},
+    }
+    if "8.w.weight" in sd:  # optional dec_lin CE head (yaml:312-315)
+        transducer_params["dec_lin"] = {
+            "kernel": np.ascontiguousarray(sd["8.w.weight"].T)}
+    return {"encoder": encoder_params, "transducer": transducer_params}
+
+
 def convert_decoder_layer(prefix: str, sd: Dict[str, np.ndarray]) -> dict:
     """Reference TransformerDecoderLayer (Transformer.py:693-830)."""
     return {

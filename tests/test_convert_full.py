@@ -97,3 +97,65 @@ def test_converted_greedy_transcripts_identical(converted, rng):
         assert nxt_t == nxt_f, (step, nxt_t, nxt_f)
         hyp_t.append(nxt_t)
         hyp_f.append(nxt_f)
+
+
+def test_transducer_model_conversion_parity(rng):
+    """Conformer-transducer checkpoint conversion (the second flagship,
+    VERDICT r1 item 2): encoder outputs and joint/CTC log-probs must match
+    the clean-room torch oracle after convert_transducer_model."""
+    import torch  # noqa: F401
+
+    from summarymixing_tpu.models.transducer import TransducerModel
+    from summarymixing_tpu.utils.convert import convert_transducer_model
+    from tests.torch_full_oracle import (
+        build_transducer_oracle,
+        transducer_oracle_forward,
+    )
+
+    VOC, DM, NL = 10, 16, 2
+    torch_model = build_transducer_oracle(vocab=VOC, d_model=DM,
+                                          n_layers=NL, seed=11)
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    params = convert_transducer_model(sd, nhead=4, mode="SummaryMixing-fast",
+                                      num_encoder_layers=NL)
+
+    asr = TransformerASR(
+        tgt_vocab=VOC, input_size=40, d_model=DM, nhead=4,
+        num_encoder_layers=NL, num_decoder_layers=0, d_ffn=24,
+        dropout_rate=0.0, encoder_module="conformer",
+        attention_type="SummaryMixing", mode="SummaryMixing-fast",
+        causal=False, kernel_size=5, local_proj_hid_dim=(8,),
+        local_proj_out_dim=16, summary_hid_dim=(8,),
+        branchformer_activation=gelu_exact, activation=gelu_exact,
+        conformer_activation=gelu_exact,
+    )
+    enc_model = SpeechRecognizer(
+        asr=asr, vocab_size=VOC, frontend_channels=(4, 2),
+        frontend_dropout=0.0,
+    )
+    td = TransducerModel(vocab=VOC, enc_dim=DM, dec_dim=12, joint_dim=20,
+                         activation=gelu_exact)
+
+    feats = rng.standard_normal((2, 16, 80)).astype(np.float32)
+    tokens_bos = np.concatenate(
+        [np.zeros((2, 1)), rng.integers(1, VOC, (2, 3))], axis=1
+    ).astype(np.int64)
+
+    enc_t, joint_t, ctc_t = transducer_oracle_forward(
+        torch_model, feats, tokens_bos, VOC)
+
+    feat_lens = jnp.full((2,), 16, jnp.int32)
+    enc_f, _ = enc_model.apply({"params": params["encoder"]},
+                               jnp.asarray(feats), feat_lens,
+                               method=enc_model.encode)
+    np.testing.assert_allclose(np.asarray(enc_f), enc_t, atol=1e-4,
+                               rtol=1e-4)
+    logits = td.apply({"params": params["transducer"]}, enc_f,
+                      jnp.asarray(tokens_bos.astype(np.int32)))
+    joint_f = jax.nn.log_softmax(logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(joint_f), joint_t, atol=1e-4,
+                               rtol=1e-4)
+    ctc_f = td.apply({"params": params["transducer"]}, enc_f,
+                     method=td.ctc_head)
+    np.testing.assert_allclose(np.asarray(ctc_f), ctc_t, atol=1e-4,
+                               rtol=1e-4)

@@ -326,3 +326,158 @@ def oracle_forward(model, feats, tokens_bos):
     dec = asr.decode(torch.as_tensor(tokens_bos), enc)
     seq_lp = torch.log_softmax(seq_lin(dec), dim=-1)
     return (enc.numpy(), ctc_lp.numpy(), seq_lp.numpy())
+
+
+# --------------------------------------------------------------------------
+# Conformer-transducer oracle (reference transducer yaml:369-370 model list)
+# --------------------------------------------------------------------------
+
+
+class SummaryMixingFastTorch(nn.Module):
+    """-fast mode (summary_mixing.py:129-143,241-284): one fused projection
+    split in two halves."""
+
+    def __init__(self, enc_dim, local_out, sum_out):
+        super().__init__()
+        self.local_out = local_out
+        self.global_proj = VanillaNNTorch(enc_dim, [2 * local_out])
+        self.summary_local_merging = VanillaNNTorch(2 * local_out, [sum_out])
+
+    def forward(self, x):
+        gp = self.global_proj(x)
+        local, summ = gp[..., : self.local_out], gp[..., self.local_out:]
+        mean = summ.mean(dim=1, keepdim=True).expand(-1, x.shape[1], -1)
+        return self.summary_local_merging(torch.cat([local, mean], dim=-1))
+
+
+class ConformerConvModuleTorch(nn.Module):
+    def __init__(self, d_model, kernel_size):
+        super().__init__()
+        self.layer_norm = nn.LayerNorm(d_model)
+        self.bottleneck = nn.Sequential(
+            nn.Conv1d(d_model, 2 * d_model, kernel_size=1), nn.GLU(dim=1))
+        self.conv = nn.Conv1d(d_model, d_model, kernel_size,
+                              padding=(kernel_size - 1) // 2, groups=d_model)
+        self.after_conv = nn.Sequential(
+            nn.LayerNorm(d_model), nn.GELU(), nn.Linear(d_model, d_model),
+            nn.Dropout(0.0))
+
+    def forward(self, x):
+        out = self.layer_norm(x).transpose(1, 2)
+        out = self.bottleneck(out)
+        out = self.conv(out).transpose(1, 2)
+        return self.after_conv(out)
+
+
+class ConformerLayerTorch(nn.Module):
+    def __init__(self, d_model, d_ffn, local_out, kernel_size):
+        super().__init__()
+        self.ffn_module1 = nn.Sequential(
+            nn.LayerNorm(d_model), PosFFNTorch(d_model, d_ffn),
+            nn.Dropout(0.0))
+        self.ffn_module2 = nn.Sequential(
+            nn.LayerNorm(d_model), PosFFNTorch(d_model, d_ffn),
+            nn.Dropout(0.0))
+        self.mha_layer = SummaryMixingFastTorch(d_model, local_out, d_model)
+        self.convolution_module = ConformerConvModuleTorch(d_model,
+                                                           kernel_size)
+        self.norm1 = SBLayerNorm(d_model)
+        self.norm2 = SBLayerNorm(d_model)
+
+    def forward(self, x):
+        x = x + 0.5 * self.ffn_module1(x)
+        skip = x
+        x = self.mha_layer(self.norm1(x)) + skip
+        x = x + self.convolution_module(x)
+        return self.norm2(x + 0.5 * self.ffn_module2(x))
+
+
+class ConformerEncoderTorch(nn.Module):
+    def __init__(self, n_layers, d_model, d_ffn, local_out, kernel_size):
+        super().__init__()
+        self.layers = nn.ModuleList([
+            ConformerLayerTorch(d_model, d_ffn, local_out, kernel_size)
+            for _ in range(n_layers)])
+        self.norm = SBLayerNorm(d_model, eps=1e-6)
+
+    def forward(self, x):
+        for layer in self.layers:
+            x = layer(x)
+        return self.norm(x)
+
+
+class TransducerEncTorch(nn.Module):
+    """EncoderWrapper(TransformerASR) with a conformer encoder
+    (TransformerASR.py:687: attr `transformer`)."""
+
+    def __init__(self, input_size, d_model, n_layers, d_ffn, local_out,
+                 kernel_size):
+        super().__init__()
+
+        class _Inner(nn.Module):
+            def __init__(inner):
+                super().__init__()
+                inner.d_model = d_model
+                inner.custom_src_module = nn.ModuleList(
+                    [SBLinear(input_size, d_model)])
+                inner.encoder = ConformerEncoderTorch(
+                    n_layers, d_model, d_ffn, local_out, kernel_size)
+
+            def encode(inner, src):
+                x = inner.custom_src_module[0](src)
+                x = x + sinusoid_table_torch(x.shape[1], d_model)[None]
+                return inner.encoder(x)
+
+        self.transformer = _Inner()
+
+    def forward(self, src):
+        return self.transformer.encode(src)
+
+
+class SBLSTM(nn.Module):
+    """speechbrain.nnet.RNN.LSTM: torch nn.LSTM at attr `rnn`."""
+
+    def __init__(self, input_size, hidden):
+        super().__init__()
+        self.rnn = nn.LSTM(input_size, hidden, batch_first=True)
+
+    def forward(self, x):
+        out, _ = self.rnn(x)
+        return out
+
+
+def build_transducer_oracle(input_size=40, d_model=16, n_layers=2, d_ffn=24,
+                            local_out=16, kernel_size=5, vocab=10,
+                            dec_dim=12, joint_dim=20,
+                            frontend_channels=(4, 2), seed=0):
+    torch.manual_seed(seed)
+    model = nn.ModuleList([
+        CNNTorch(frontend_channels),                       # 0 CNN
+        TransducerEncTorch(input_size, d_model, n_layers, d_ffn,
+                           local_out, kernel_size),        # 1 enc
+        nn.Identity(),                                     # 2 emb (one-hot)
+        SBLSTM(vocab - 1, dec_dim),                        # 3 dec
+        SBLinear(d_model, joint_dim, bias=False),          # 4 proj_enc
+        SBLinear(dec_dim, joint_dim, bias=False),          # 5 proj_dec
+        SBLinear(joint_dim, vocab),                        # 6 proj_ctc
+        SBLinear(joint_dim, vocab, bias=False),            # 7 transducer_lin
+    ])
+    model.eval()
+    return model
+
+
+@torch.no_grad()
+def transducer_oracle_forward(model, feats, tokens_bos, vocab, blank_id=0):
+    """-> (enc_out, joint_log_probs [B,T,U+1,V], ctc_log_probs) numpy."""
+    cnn, enc, _, dec, proj_enc, proj_dec, proj_ctc, td_lin = model
+    src = cnn(torch.as_tensor(feats))
+    enc_out = enc(src)
+    ep = proj_enc(enc_out)
+    toks = torch.as_tensor(tokens_bos)
+    oh = torch.nn.functional.one_hot(toks, vocab).float()
+    oh = torch.cat([oh[..., :blank_id], oh[..., blank_id + 1:]], dim=-1)
+    dp = proj_dec(dec(oh))
+    joint = torch.nn.functional.gelu(ep[:, :, None] + dp[:, None])
+    lp = torch.log_softmax(td_lin(joint), dim=-1)
+    ctc = torch.log_softmax(proj_ctc(ep), dim=-1)
+    return enc_out.numpy(), lp.numpy(), ctc.numpy()
