@@ -76,9 +76,14 @@ def synth_batch(batch: int, secs: float, sr: int = 16000, umax: int = 40):
 
 
 def peak_hbm_gb():
-    stats = jax.devices()[0].memory_stats() or {}
+    """Peak HBM if the backend exposes it (the axon tunnel does not —
+    returns None there rather than a misleading 0)."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+    except Exception:
+        return None
     peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use") or 0
-    return round(peak / 2**30, 2)
+    return round(peak / 2**30, 2) if peak else None
 
 
 def run_chain(trainer, state, batch, n):
@@ -97,6 +102,21 @@ def bench_attention(mixer, args):
     )
     batch = synth_batch(args.batch, args.secs)
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    # XLA's own memory accounting for the compiled train step — works even
+    # where the runtime hides device.memory_stats() (the axon tunnel)
+    mem = None
+    try:
+        compiled = trainer._train_step.lower(state, batch).compile()
+        ma = compiled.memory_analysis()
+        mem = {
+            "xla_temp_gb": round(ma.temp_size_in_bytes / 2**30, 3),
+            "xla_arg_gb": round(ma.argument_size_in_bytes / 2**30, 3),
+            "xla_peak_est_gb": round(
+                (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                 + ma.output_size_in_bytes) / 2**30, 3),
+        }
+    except Exception:
+        pass
     _, state = run_chain(trainer, state, batch, 2)   # compile + warm
     n1, n2 = args.reps, args.reps * 3
     t0 = time.time()
@@ -113,6 +133,7 @@ def bench_attention(mixer, args):
         "step_s": round(step_s, 4),
         "audio_s_per_s": round(audio_s / step_s, 1),
         "peak_hbm_gb": peak_hbm_gb(),
+        "memory": mem,
     }))
 
 

@@ -429,10 +429,10 @@ def make_lm_fusion(cfg, lm_ckpt_dir):
 
 
 def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
-                  fbank, lm_ckpt=None):
-    """Joint CTC/attention beam search over the validation set (the
-    reference's valid_search stage, yaml:248-263), KV-cached, with optional
-    TransformerLM shallow fusion."""
+                  fbank, lm_ckpt=None, beam_size=None):
+    """Joint CTC/attention beam search (the reference's valid_search stage,
+    yaml:248-263; with beam_size=test_beam_size it is the test_search
+    stage, yaml:258-269), KV-cached, with optional TransformerLM fusion."""
     from summarymixing_tpu.decoding.s2s_beam import (
         S2SBeamConfig,
         s2s_beam_search,
@@ -443,7 +443,7 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
     params = {"params": state["params"]}
     stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                            remove_spaces=cfg.remove_spaces)
-    beam = cfg.decoding.valid_beam_size
+    beam = beam_size or cfg.decoding.valid_beam_size
     lm_step, lm_make_cache = make_lm_fusion(cfg, lm_ckpt)
     lmax = static_decode_length(cfg, valid_set, mesh, fbank)
     seen = set()
@@ -676,23 +676,32 @@ def main():
 
     if args.test_manifest:
         test_set = read_manifest_csv(args.test_manifest)
-        stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
-                               remove_spaces=cfg.remove_spaces)
-        seen = set()
-        for batch, idx in batches(test_set, tokenizer, cfg, mesh, False, 0,
-                                  fbank):
-            _, hyps = trainer.eval_step(state, batch)
-            keep = []
-            for i, u in enumerate(idx):
-                if int(u) not in seen:
-                    seen.add(int(u))
-                    keep.append(i)
-            refs = [tokenizer.decode(
-                np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
-            ).split() for i in keep]
-            hyp_text = [tokenizer.decode(hyps[i]).split() for i in keep]
-            stats.append(refs, hyp_text)
-        summary = stats.summarize()
+        if (model.asr.num_decoder_layers > 0
+                and cfg.decoding.test_beam_size > 0):
+            # reference test_search: beam test_beam_size (66) + CTC prefix
+            # (+ TransformerLM when available), yaml:258-269
+            summary = beam_validate(cfg, model, trainer, state, test_set,
+                                    tokenizer, mesh, fbank,
+                                    lm_ckpt=args.lm_ckpt,
+                                    beam_size=cfg.decoding.test_beam_size)
+        else:
+            stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
+                                   remove_spaces=cfg.remove_spaces)
+            seen = set()
+            for batch, idx in batches(test_set, tokenizer, cfg, mesh,
+                                      False, 0, fbank):
+                _, hyps = trainer.eval_step(state, batch)
+                keep = []
+                for i, u in enumerate(idx):
+                    if int(u) not in seen:
+                        seen.add(int(u))
+                        keep.append(i)
+                refs = [tokenizer.decode(
+                    np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
+                ).split() for i in keep]
+                hyp_text = [tokenizer.decode(hyps[i]).split() for i in keep]
+                stats.append(refs, hyp_text)
+            summary = stats.summarize()
         logger.log_stats({"stage": "test"}, test_stats={
             cfg.error_rate.upper(): summary["WER"]})
         print("test", cfg.error_rate.upper(), summary["WER"])

@@ -163,6 +163,18 @@ _TRANSDUCER = {
     "features.win_length": "win_length",
     "model.d_ffn": "d_ffn",
     "transducer.joint_dim": "joint_dim",
+    "transducer.chunkwise_prob":
+        "dynchunktrain_config_sampler.chunkwise_prob",
+    "transducer.chunk_size_min":
+        "dynchunktrain_config_sampler.chunk_size_min",
+    "transducer.chunk_size_max":
+        "dynchunktrain_config_sampler.chunk_size_max",
+    "transducer.limited_left_context_prob":
+        "dynchunktrain_config_sampler.limited_left_context_prob",
+    "transducer.left_context_chunks_min":
+        "dynchunktrain_config_sampler.left_context_chunks_min",
+    "transducer.left_context_chunks_max":
+        "dynchunktrain_config_sampler.left_context_chunks_max",
     "transducer.dec_dim": "dec_dim",
     "transducer.dec_emb_dropout": "dec_emb_dropout",
     "transducer.dec_dropout": "dec_dropout",
