@@ -131,7 +131,18 @@ def _build_buckets(manifest, cfg, mesh, valid=False):
         max_batch_size=cfg.training.max_batch_ex,
         batch_multiple=int(mesh.devices.size),
     )
+    global _warned_bucket_compiles
+    if not valid and len(buckets) > 60 and not _warned_bucket_compiles:
+        _warned_bucket_compiles = True
+        print(f"NOTE: {len(buckets)} buckets = up to {len(buckets)} distinct "
+              "train-step shapes, each compiling its own program (90 s - "
+              "12 min per compile in this environment). Use --num-buckets "
+              "to cap for smoke runs; the persistent compile cache "
+              "amortises full runs.")
     return lengths, buckets
+
+
+_warned_bucket_compiles = False
 
 
 def estimate_steps_per_epoch(manifest, cfg, mesh):
@@ -183,6 +194,27 @@ def _spec_augment_config(a):
     )
 
 
+def _restore_lm(cfg, lm_ckpt_dir, default_model_type=None):
+    """Shared LM checkpoint restore for shallow fusion: resolves the run
+    dir's save/ subdir and loads params. Returns (lm_cfg, lm, params) or
+    None (with a warning) when no checkpoint exists."""
+    from summarymixing_tpu.config.schema import LMConfig
+    from summarymixing_tpu.models.lm import build_lm
+    from summarymixing_tpu.training.checkpoint import CheckpointManager
+
+    lm_cfg = cfg.lm or (LMConfig(model_type=default_model_type)
+                        if default_model_type else LMConfig())
+    save_dir = (lm_ckpt_dir if os.path.basename(lm_ckpt_dir) == "save"
+                else os.path.join(lm_ckpt_dir, "save"))
+    raw = CheckpointManager(save_dir).restore({"params": None}, partial=True)
+    if raw is None:
+        print(f"WARNING: no LM checkpoint in {save_dir}; decoding without "
+              "LM fusion")
+        return None
+    lm = build_lm(lm_cfg, cfg.model.output_neurons)
+    return lm_cfg, lm, {"params": raw["params"]}
+
+
 def load_rnnlm(cfg, lm_ckpt_dir):
     """RNNLM for transducer-beam shallow fusion (reference transducer
     yaml:339-348,388-390: lm_weight 0.5). Returns (lm_init, lm_step) bound
@@ -190,24 +222,17 @@ def load_rnnlm(cfg, lm_ckpt_dir):
     if not lm_ckpt_dir or cfg.decoding.lm_weight <= 0.0:
         return None, None
     from summarymixing_tpu.config.schema import LMConfig
-    from summarymixing_tpu.models.lm import build_lm
-    from summarymixing_tpu.training.checkpoint import CheckpointManager
 
     lm_cfg = cfg.lm or LMConfig(model_type="rnn")
     if lm_cfg.model_type != "rnn":
         print("WARNING: transducer fusion expects an RNNLM (lm.model_type "
               "rnn); skipping fusion")
         return None, None
-    save_dir = (lm_ckpt_dir if os.path.basename(lm_ckpt_dir) == "save"
-                else os.path.join(lm_ckpt_dir, "save"))
-    mgr = CheckpointManager(save_dir)
-    raw = mgr.restore({"params": None}, partial=True)
-    if raw is None:
-        print(f"WARNING: no LM checkpoint in {save_dir}; decoding without "
-              "LM fusion")
+    restored = _restore_lm(cfg, lm_ckpt_dir, default_model_type="rnn")
+    if restored is None:
         return None, None
-    lm = build_lm(lm_cfg, cfg.model.output_neurons)
-    bound = lm.bind({"params": raw["params"]})
+    _, lm, lm_params = restored
+    bound = lm.bind(lm_params)
     return bound.initial_state, bound.step
 
 
@@ -378,7 +403,7 @@ def static_decode_length(cfg, manifest, mesh, fbank):
     _, buckets = _build_buckets(manifest, cfg, mesh, valid=True)
     max_samples = max(spec.max_len for spec in buckets)
     frames = int(fbank.frame_lengths(jnp.asarray([max_samples]))[0])
-    for stride in (2, 2):  # ConvolutionFrontEnd subsampling
+    for stride in cfg.model.frontend_strides:  # ConvolutionFrontEnd subsampling
         frames = -(-frames // stride)
     return min(max(int(frames * cfg.decoding.max_decode_ratio), 8), 256)
 
@@ -390,21 +415,10 @@ def make_lm_fusion(cfg, lm_ckpt_dir):
     make_cache(n_rows, max_len) builds the per-batch LM cache."""
     if not lm_ckpt_dir or cfg.decoding.lm_weight <= 0.0:
         return None, None
-    from summarymixing_tpu.config.schema import LMConfig
-    from summarymixing_tpu.models.lm import build_lm
-    from summarymixing_tpu.training.checkpoint import CheckpointManager
-
-    lm_cfg = cfg.lm or LMConfig()
-    lm = build_lm(lm_cfg, cfg.model.output_neurons)
-    save_dir = (lm_ckpt_dir if os.path.basename(lm_ckpt_dir) == "save"
-                else os.path.join(lm_ckpt_dir, "save"))
-    mgr = CheckpointManager(save_dir)
-    raw = mgr.restore({"params": None}, partial=True)
-    if raw is None:
-        print(f"WARNING: no LM checkpoint in {save_dir}; decoding without "
-              "LM fusion")
+    restored = _restore_lm(cfg, lm_ckpt_dir)
+    if restored is None:
         return None, None
-    lm_params = {"params": raw["params"]}
+    lm_cfg, lm, lm_params = restored
     temp = cfg.decoding.lm_temperature
 
     if lm_cfg.model_type == "rnn":
@@ -506,8 +520,15 @@ def build_or_load_tokenizer(cfg, out_dir, train_set):
 
     os.makedirs(out_dir, exist_ok=True)
     if cfg.tokenizer_type == "char":
+        # Load the persisted char map when the run dir already has one
+        # (resume, evaluate, train_lm --tokenizer-dir <asr_run>): rebuilding
+        # from different texts would silently shift every token id.
+        vocab_path = os.path.join(out_dir, "tokenizer_vocab.json")
+        if os.path.exists(vocab_path):
+            with open(vocab_path) as f:
+                return CharTokenizer(vocab=_json.load(f))
         tokenizer = CharTokenizer.build([u.text for u in train_set])
-        with open(os.path.join(out_dir, "tokenizer_vocab.json"), "w") as f:
+        with open(vocab_path, "w") as f:
             _json.dump(tokenizer.vocab, f)
         return tokenizer
     json_path = os.path.join(out_dir, "tokenizer.json")

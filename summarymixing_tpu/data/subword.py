@@ -147,6 +147,21 @@ def _em_step(words: Counter, lp: Dict[str, float], max_len: int):
     return new_lp, expected, total_ll
 
 
+def _check_char_budget(n_chars: int, vocab_size: int) -> None:
+    """Single characters are mandatory pieces (coverage), so a corpus with
+    more unique characters than `vocab_size - reserved` cannot be trained to
+    the requested size. SentencePiece errors here too; silently exceeding
+    the budget would emit token ids >= the model's output_neurons, which XLA
+    gathers would clamp without any error."""
+    if n_chars > vocab_size - _RESERVED:
+        raise ValueError(
+            f"vocab_size {vocab_size} too small: the corpus has {n_chars} "
+            f"unique characters and {_RESERVED} ids are reserved. Raise "
+            f"model.output_neurons to at least {n_chars + _RESERVED} or use "
+            "the char tokenizer."
+        )
+
+
 def train_unigram(
     texts: Sequence[str],
     vocab_size: int,
@@ -163,6 +178,7 @@ def train_unigram(
     target_pieces = max(vocab_size - _RESERVED, 1)
     lp = _seed_vocab(words, seed_factor * vocab_size, max_piece_len)
     chars = {p for p in lp if len(p) == 1}
+    _check_char_budget(len(chars), vocab_size)
     # never more single chars than budget allows; chars are mandatory
     while True:
         for _ in range(em_iters):
@@ -208,7 +224,8 @@ def train_bpe(
         for ch in w:
             vocab[ch] += c
     pieces = set(vocab)
-    target = max(vocab_size - _RESERVED, len(pieces))
+    _check_char_budget(len(pieces), vocab_size)
+    target = max(vocab_size - _RESERVED, 1)
     while len(pieces) < target:
         pairs: Counter = Counter()
         for w, c in seqs.items():

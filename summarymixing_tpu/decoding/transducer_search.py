@@ -249,7 +249,12 @@ def transducer_beam_search_batched(
             k = min(k_exp, v - 1)
             nb_logp = logp.at[:, blank_id].set(neg)
             top_lp, top_ids = jax.lax.top_k(nb_logp, k)      # [B, K]
-            keep = (top_lp >= top_lp[:, :1] - expand_beam) & act[:, None]
+            # a hypothesis whose token buffer is full can only take the
+            # blank path (same guard as greedy's lens < umax): without it
+            # `len` would grow past umax while writes clamp to the last
+            # slot, so reported lens would exceed the tokens width
+            keep = ((top_lp >= top_lp[:, :1] - expand_beam) & act[:, None]
+                    & (sel["len"] < umax)[:, None])
             exp_score = sel["score"][:, None] + top_lp
             if use_lm:
                 exp_score = exp_score + lm_weight * jnp.take_along_axis(
@@ -279,7 +284,8 @@ def transducer_beam_search_batched(
             exp = {
                 "score": exp_score,
                 "tokens": exp_tokens,
-                "len": jnp.broadcast_to((sel["len"] + 1)[:, None], (b, k)),
+                "len": jnp.broadcast_to(
+                    jnp.minimum(sel["len"] + 1, umax)[:, None], (b, k)),
                 "last": top_ids,
                 "proj": new_proj,
                 "state": new_state,

@@ -74,3 +74,36 @@ def tensor_parallel_param_sharding(mesh: Mesh, min_dim: int = 1024):
         return NamedSharding(mesh, P())
 
     return lambda params: jax.tree.map(rule, params)
+
+
+def fsdp_param_sharding(mesh: Mesh, axis: str = "data",
+                        min_size: int = 2 ** 16):
+    """Fully-sharded data parallel (ZeRO-3 style) parameter rule: each
+    large parameter is sharded over `axis` along its largest divisible
+    dimension, so per-chip parameter + optimizer-state memory drops by the
+    axis size. GSPMD inserts the per-use all-gather (params) and
+    reduce-scatter (grads) over ICI — the standard JAX FSDP recipe
+    (scaling-book): same train step, different NamedShardings.
+
+    Small params (< min_size elements, norms/biases) stay replicated —
+    gathering them would cost more latency than the memory saved.
+
+    Returns fn(params) -> matching pytree of NamedShardings."""
+    n_axis = mesh.shape[axis]
+
+    def rule(x):
+        if (
+            n_axis > 1
+            and hasattr(x, "ndim")
+            and x.ndim >= 1
+            and x.size >= min_size
+        ):
+            dims = sorted(range(x.ndim), key=lambda d: -x.shape[d])
+            for d in dims:
+                if x.shape[d] % n_axis == 0:
+                    spec = [None] * x.ndim
+                    spec[d] = axis
+                    return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return lambda params: jax.tree.map(rule, params)

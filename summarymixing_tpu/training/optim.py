@@ -97,9 +97,16 @@ def make_two_stage_adam_sgd(
                 "step": jnp.zeros((), jnp.int32)}
 
     def update(grads, state, params=None):
-        a_up, a_st = adam.update(grads, state["adam"], params)
-        s_up, s_st = sgd.update(grads, state["sgd"], params)
         use_adam = state["step"] < switch_step
+        a_up, a_st = adam.update(grads, state["adam"], params)
+        # Feed the SGD branch zero gradients during the Adam phase so its
+        # momentum trace stays at init (zeros) until the switch — otherwise
+        # the first SGD updates would apply a stale EMA of the whole stage-1
+        # gradient history (the reference starts SGD with a fresh buffer).
+        sgd_grads = jax.tree.map(
+            lambda g: jnp.where(use_adam, jnp.zeros_like(g), g), grads
+        )
+        s_up, s_st = sgd.update(sgd_grads, state["sgd"], params)
         updates = jax.tree.map(
             lambda a, s: jnp.where(use_adam, a, s), a_up, s_up
         )

@@ -68,11 +68,23 @@ def test_unigram_persistence(tmp_path):
     assert tok2.vocab_size == tok.vocab_size
 
 
-def test_unigram_tiny_vocab_falls_back_to_chars():
-    tok = train_unigram(CORPUS, vocab_size=20)
-    # still encodes everything (chars are mandatory)
+def test_unigram_tiny_vocab_chars_only_fits_budget():
+    """At a vocab_size that exactly covers the charset, training succeeds
+    with chars only and never exceeds the budget (ids >= output_neurons
+    would be silently clamped by XLA gathers downstream)."""
+    n_chars = len({c for t in CORPUS for c in t})
+    tok = train_unigram(CORPUS, vocab_size=n_chars + 3)
+    assert tok.vocab_size <= n_chars + 3
     ids = tok.encode("the quick brown fox")
     assert tok.decode(ids) == "the quick brown fox"
+
+
+def test_trainers_reject_vocab_smaller_than_charset():
+    """SentencePiece parity: a budget below the mandatory charset is an
+    error, not a silent overflow past the model's output_neurons."""
+    for trainer in (train_unigram, train_bpe):
+        with pytest.raises(ValueError, match="too small"):
+            trainer(CORPUS, vocab_size=10)
 
 
 def test_bpe_roundtrip():

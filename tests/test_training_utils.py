@@ -96,6 +96,28 @@ def test_two_stage_sgd_matches_reference_nesterov():
                                    rtol=1e-6)
 
 
+def test_two_stage_sgd_momentum_fresh_at_switch():
+    """The SGD momentum trace must stay at init through the Adam phase: the
+    first post-switch update equals a fresh SGD's first update, however many
+    Adam steps ran before (regression: the trace used to accumulate the
+    whole stage-1 gradient history)."""
+    import optax
+
+    tx = make_two_stage_adam_sgd(1e-3, sgd_lr=1e-2, switch_step=5,
+                                 max_grad_norm=None)
+    ref = optax.sgd(1e-2, momentum=0.99, nesterov=True)
+    params = {"w": jnp.ones((3,))}
+    s = tx.init(params)
+    for i in range(5):  # adam phase, large non-zero grads
+        g = {"w": jnp.full((3,), 100.0 * (i + 1))}
+        _, s = tx.update(g, s, params)
+    g = {"w": jnp.full((3,), 2.0)}
+    u, s = tx.update(g, s, params)  # first SGD step
+    ru, _ = ref.update(g, ref.init(params), params)
+    np.testing.assert_allclose(np.asarray(u["w"]), np.asarray(ru["w"]),
+                               rtol=1e-6)
+
+
 def test_two_stage_grad_accumulation():
     """accum_steps wraps the two-stage optimizer in MultiSteps: updates are
     zero on micro-steps and applied on every k-th (CommonVoice yaml:44)."""

@@ -263,3 +263,40 @@ def test_batched_beam_with_rnnlm_matches_host(rng):
         assert got == list(host_toks), (i, got, host_toks)
         np.testing.assert_allclose(float(b_scores[i]), host_score,
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_batched_beam_len_never_exceeds_token_buffer():
+    """A model that keeps emitting non-blanks must not grow `len` past the
+    token buffer: once a hypothesis fills max_tokens slots it can only take
+    the blank path (regression: len used to increment unbounded while the
+    write position clamped to the last slot)."""
+    from summarymixing_tpu.decoding.transducer_search import (
+        transducer_beam_search_batched,
+    )
+
+    v = 5
+
+    def predictor_init(b):
+        return {"h": jnp.zeros((b, 1))}
+
+    def predictor_step(state, tok):
+        return state, jnp.zeros((tok.shape[0], 4))
+
+    def joint_step(enc_frame, proj):
+        # blank (id 0) strongly disfavored -> expansions every round
+        logits = jnp.full((enc_frame.shape[0], v), 0.0).at[:, 0].add(-5.0)
+        return logits + jnp.arange(v, dtype=jnp.float32)[None, :] * 0.01
+
+    # max_expand=1 makes each pop chain one level deeper, so with
+    # beam_size pops in the single frame hypotheses reach depth
+    # beam_size-1 — past umax=2, and length normalisation then selects the
+    # deepest. The unfixed code returned len 5 with a 2-wide buffer here.
+    umax = 2
+    enc_proj = jnp.zeros((2, 1, 3))
+    lens = jnp.asarray([1, 1])
+    toks, out_lens, _scores = transducer_beam_search_batched(
+        enc_proj, lens, predictor_init, predictor_step, joint_step,
+        beam_size=6, max_expand=1, max_tokens=umax,
+    )
+    assert toks.shape[-1] == umax
+    assert int(np.max(np.asarray(out_lens))) <= umax
