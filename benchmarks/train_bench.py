@@ -45,7 +45,8 @@ from summarymixing_tpu.training.trainer import ASRTrainer, TrainerConfig
 VOCAB = 5000
 
 
-def build(mixer: str, layers: int, num_decoder_layers: int, bf16: bool):
+def build(mixer: str, layers: int, num_decoder_layers: int, bf16: bool,
+          remat: bool = False):
     act = lambda x: jax.nn.gelu(x, approximate=True)  # noqa: E731
     asr = TransformerASR(
         tgt_vocab=VOCAB, input_size=640, d_model=512,
@@ -55,7 +56,7 @@ def build(mixer: str, layers: int, num_decoder_layers: int, bf16: bool):
         attention_type=mixer, mode="SummaryMixing", causal=False,
         csgu_linear_units=3072, local_proj_hid_dim=(512,),
         local_proj_out_dim=512, summary_hid_dim=(512,), summary_out_dim=512,
-        branchformer_activation=act, activation=act,
+        branchformer_activation=act, activation=act, remat=remat,
         dtype=jnp.bfloat16 if bf16 else None,
     )
     return SpeechRecognizer(
@@ -94,7 +95,8 @@ def run_chain(trainer, state, batch, n):
 
 
 def bench_attention(mixer, args):
-    model = build(mixer, args.layers, args.decoder_layers, args.bf16)
+    model = build(mixer, args.layers, args.decoder_layers, args.bf16,
+                  remat=args.remat)
     trainer = ASRTrainer(
         model, make_adamw(noam_schedule(8e-4, 30000), weight_decay=0.01),
         Fbank(), TrainerConfig(ctc_weight=0.3, augment=None),
@@ -128,6 +130,7 @@ def bench_attention(mixer, args):
     audio_s = args.batch * args.secs
     print(json.dumps({
         "bench": "train_step", "mixer": mixer, "layers": args.layers,
+        "remat": args.remat,
         "decoder_layers": args.decoder_layers, "batch": args.batch,
         "utt_secs": args.secs, "precision": "bf16" if args.bf16 else "fp32",
         "step_s": round(step_s, 4),
@@ -147,6 +150,8 @@ def main():
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
     ap.add_argument("--mixers", default="SummaryMixing,regularMHA")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize encoder layers (memory for FLOPs)")
     args = ap.parse_args()
     mixers = args.mixers.split(",")
     if len(mixers) > 1:
@@ -159,6 +164,8 @@ def main():
                     "--decoder-layers", str(args.decoder_layers),
                     "--batch", str(args.batch), "--secs", str(args.secs),
                     "--reps", str(args.reps)]
+            if args.remat:
+                argv.append("--remat")
             if not args.bf16:
                 argv.append("--fp32")
             subprocess.run(argv, check=True)

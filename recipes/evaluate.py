@@ -67,6 +67,38 @@ from summarymixing_tpu.training.trainer import ASRTrainer, TrainerConfig
 from train import batches  # noqa: E402  (same directory)
 
 
+def resolve_tokenizer(cfg, run_dir, fallback_texts=None):
+    """Load the tokenizer persisted by train.py in `run_dir`: in-repo
+    subword (tokenizer.json), char map (tokenizer_vocab.json), or a
+    sentencepiece .model when that wheel is importable. Falls back to
+    rebuilding a char map from `fallback_texts` (with a warning — the id
+    map may differ from training)."""
+    subword_path = os.path.join(run_dir, "tokenizer.json")
+    vocab_path = os.path.join(run_dir, "tokenizer_vocab.json")
+    if os.path.exists(subword_path):
+        from summarymixing_tpu.data.subword import SubwordTokenizer
+
+        return SubwordTokenizer.load(subword_path)
+    if os.path.exists(vocab_path):
+        import json as _json
+
+        with open(vocab_path) as f:
+            return CharTokenizer(vocab=_json.load(f))
+    if cfg.tokenizer_type != "char":
+        try:
+            from summarymixing_tpu.data.tokenizer import SentencePieceTokenizer
+
+            return SentencePieceTokenizer(
+                os.path.join(run_dir, "tokenizer.model"))
+        except Exception:
+            pass
+    if not fallback_texts:
+        raise SystemExit(f"no persisted tokenizer found in {run_dir}")
+    print("WARNING: no persisted tokenizer found; rebuilding from the "
+          "provided texts (char-id map may differ from training)")
+    return CharTokenizer.build(list(fallback_texts))
+
+
 def _streaming_decode(cfg, args, enc_model, trainer, state, bound, batch,
                       fbank, chunk_times):
     """Chunked streaming inference: fbank + CNN, then per-chunk
@@ -255,31 +287,8 @@ def main():
     test_set = read_manifest_csv(args.test_manifest)
     # Use the TRAINING tokenizer (persisted by train.py) — rebuilding from
     # the test manifest would shift the char-id map.
-    tokenizer = None
-    run_dir = os.path.dirname(args.ckpt)
-    subword_path = os.path.join(run_dir, "tokenizer.json")
-    vocab_path = os.path.join(run_dir, "tokenizer_vocab.json")
-    if os.path.exists(subword_path):
-        from summarymixing_tpu.data.subword import SubwordTokenizer
-
-        tokenizer = SubwordTokenizer.load(subword_path)
-    elif os.path.exists(vocab_path):
-        import json as _json
-
-        with open(vocab_path) as f:
-            tokenizer = CharTokenizer(vocab=_json.load(f))
-    if tokenizer is None and cfg.tokenizer_type != "char":
-        try:
-            from summarymixing_tpu.data.tokenizer import SentencePieceTokenizer
-
-            tokenizer = SentencePieceTokenizer(
-                os.path.join(run_dir, "tokenizer.model"))
-        except Exception:
-            tokenizer = None
-    if tokenizer is None:
-        print("WARNING: no persisted tokenizer found; rebuilding from the "
-              "test manifest (char-id map may differ from training)")
-        tokenizer = CharTokenizer.build([u.text for u in test_set])
+    tokenizer = resolve_tokenizer(cfg, os.path.dirname(args.ckpt),
+                                  fallback_texts=[u.text for u in test_set])
 
     model, fbank, td_model = build_model(cfg)
     mesh = make_mesh()

@@ -120,6 +120,7 @@ def build_model(cfg: RecipeConfig):
         # the yaml's activation feeds the decoder/encoder FFNs too
         # (reference yaml:169 activation: !ref <activation> = GELU)
         activation=act,
+        remat=m.remat,
         dtype=dtype,
     )
     model = SpeechRecognizer(

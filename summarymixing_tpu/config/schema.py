@@ -69,6 +69,10 @@ class ModelConfig:
     summary_hid_dim: Tuple[int, ...] = (512,)
     summary_out_dim: int = 512
     causal: bool = False
+    # rematerialize encoder layers in the backward pass: peak activation
+    # memory O(T) instead of O(layers*T) for one extra forward's FLOPs
+    # (TPU-native memory lever; no reference equivalent)
+    remat: bool = False
     # frontend (reference yaml:147-154)
     input_size: int = 640
     frontend_channels: Tuple[int, ...] = (64, 32)

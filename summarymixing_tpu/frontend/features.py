@@ -14,6 +14,16 @@ Capability parity:
 TPU-first notes: the STFT is framed via a strided gather + one real matmul
 against the DFT basis — n_fft 512 frames hit the MXU directly and XLA fuses
 window + matmul + |.|^2; everything static-shaped, jit-differentiable.
+
+Example:
+
+    >>> import jax.numpy as jnp
+    >>> from summarymixing_tpu.frontend.features import Fbank
+    >>> fb = Fbank()                      # 16 kHz, 512 fft, 32 ms, 80 mels
+    >>> fb(jnp.zeros((2, 16000))).shape   # 1 s of audio -> 101 frames
+    (2, 101, 80)
+    >>> int(fb.frame_lengths(jnp.asarray([16000]))[0])
+    101
 """
 
 from __future__ import annotations

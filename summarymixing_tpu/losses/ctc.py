@@ -5,6 +5,16 @@ Wraps optax's log-semiring forward recursion (XLA scan, TPU-native — the
 reference dispatches to cuDNN). Semantics: mean loss over utterances, each
 utterance's loss normalised by its label length when `reduction='batchmean'`
 (matching the torch ctc_loss 'mean' reduction the reference uses).
+
+Example:
+
+    >>> import jax, jax.numpy as jnp
+    >>> from summarymixing_tpu.losses.ctc import ctc_loss
+    >>> lp = jax.nn.log_softmax(jnp.zeros((2, 12, 6)), -1)  # uniform model
+    >>> l = ctc_loss(lp, jnp.asarray([12, 10]),
+    ...              jnp.asarray([[1, 2, 3], [1, 2, 0]]), jnp.asarray([3, 2]))
+    >>> round(float(l), 3)
+    5.092
 """
 
 from __future__ import annotations

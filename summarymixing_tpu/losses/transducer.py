@@ -31,6 +31,16 @@ inside the scan at t == T_b-1, so only O(B*U) state is carried — the full
 [T, U] alpha surface is never materialised in HBM (the residuals saved for
 autodiff are the per-step carries, which XLA keeps as the scan's natural
 stack).
+
+Example:
+
+    >>> import jax.numpy as jnp
+    >>> from summarymixing_tpu.losses.transducer import transducer_loss
+    >>> logits = jnp.zeros((1, 6, 4, 5))   # [B, T, U+1, V], uniform joint
+    >>> l = transducer_loss(logits, jnp.asarray([[1, 2, 3]]),
+    ...                     jnp.asarray([6]), jnp.asarray([3]))
+    >>> round(float(l), 3)
+    10.46
 """
 
 from __future__ import annotations

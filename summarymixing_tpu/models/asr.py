@@ -19,6 +19,22 @@ TransformerInterface (Transformer.py:34-281):
 Streaming (encode_streaming / make_streaming_context, :562-679) is provided
 functionally here (ASRStreamingState + encode_streaming) on top of the
 conformer's carried state (models/conformer.py::ConformerStreamingState).
+
+Example (mirrors the reference doctest, TransformerASR.py:267-278):
+
+    >>> import jax, jax.numpy as jnp
+    >>> from summarymixing_tpu.models.asr import TransformerASR
+    >>> asr = TransformerASR(tgt_vocab=10, input_size=24, d_model=32,
+    ...     nhead=2, num_encoder_layers=1, num_decoder_layers=1, d_ffn=64,
+    ...     encoder_module="branchformer", attention_type="SummaryMixing",
+    ...     causal=False, csgu_linear_units=64, kernel_size=5,
+    ...     local_proj_hid_dim=(16,), local_proj_out_dim=32,
+    ...     summary_hid_dim=(16,), summary_out_dim=16)
+    >>> src = jnp.ones((2, 8, 24)); tgt = jnp.ones((2, 3), jnp.int32)
+    >>> params = asr.init(jax.random.PRNGKey(0), src, tgt)
+    >>> enc_out, dec_out = asr.apply(params, src, tgt)
+    >>> (enc_out.shape, dec_out.shape)
+    ((2, 8, 32), (2, 3, 32))
 """
 
 from __future__ import annotations
@@ -111,6 +127,8 @@ class TransformerASR(nn.Module):
     summary_hid_dim: Sequence[int] = (1024,)
     summary_out_dim: int = 1024
     mode: str = "SummaryMixing"
+    # rematerialize encoder layers in the backward pass (memory for FLOPs)
+    remat: bool = False
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -135,6 +153,7 @@ class TransformerASR(nn.Module):
                 summary_hid_dim=self.summary_hid_dim,
                 summary_out_dim=self.summary_out_dim,
                 mode=self.mode,
+                remat=self.remat,
                 name="encoder",
                 **common,
             )
@@ -154,6 +173,7 @@ class TransformerASR(nn.Module):
                 summary_hid_dim=self.summary_hid_dim,
                 mode=self.mode,
                 activation=self.conformer_activation,
+                remat=self.remat,
                 name="encoder",
                 **common,
             )
@@ -174,6 +194,7 @@ class TransformerASR(nn.Module):
                 summary_out_dim=self.summary_out_dim,
                 mode=self.mode,
                 activation=self.branchformer_activation,
+                remat=self.remat,
                 name="encoder",
                 **common,
             )

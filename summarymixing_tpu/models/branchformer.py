@@ -13,6 +13,19 @@ Capability parity with reference Branchformer.py:100-491:
 - Stack applies a final LayerNorm with eps 1e-6 (reference :445).
 - Dynamic Chunk Training is rejected like the reference (:469-471), but a
   [T, T] sum/attention mask restricting context IS supported.
+
+Example (mirrors the reference doctest, Branchformer.py:148-156):
+
+    >>> import jax, jax.numpy as jnp
+    >>> from summarymixing_tpu.models.branchformer import BranchformerEncoder
+    >>> enc = BranchformerEncoder(num_layers=2, d_model=32, nhead=1,
+    ...     csgu_linear_units=64, kernel_size=5,
+    ...     local_proj_hid_dim=(16,), local_proj_out_dim=32,
+    ...     summary_hid_dim=(16,), summary_out_dim=16)
+    >>> x = jnp.ones((2, 12, 32))
+    >>> params = enc.init(jax.random.PRNGKey(0), x)
+    >>> enc.apply(params, x).shape
+    (2, 12, 32)
 """
 
 from __future__ import annotations
@@ -153,6 +166,7 @@ class BranchformerEncoder(nn.Module):
     mode: str = "SummaryMixing"
     activation: Callable = gelu_exact
     scan_layers: bool = False
+    remat: bool = False
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -187,6 +201,15 @@ class BranchformerEncoder(nn.Module):
     ) -> Array:
         if self.attention_type == "RelPosMHAXL" and pos_embs is None:
             raise ValueError("RelPosMHAXL requires pos_embs [1, 2T-1, D]")
+        # remat: recompute each layer's activations in the backward pass
+        # instead of keeping them live — peak activation memory drops from
+        # O(num_layers * T) to O(T) for one extra forward's FLOPs (the
+        # standard jax.checkpoint memory/compute trade; longest-utterance
+        # training and >18-layer variants fit in HBM this way). Forward is
+        # bit-identical; grads match up to float reassociation
+        # (tests/test_models.py::test_remat_bitwise_identical).
+        layer_cls = (nn.remat(BranchformerEncoderLayer, static_argnums=(5,))
+                     if self.remat else BranchformerEncoderLayer)
         if self.scan_layers:
             def body(layer, carry, _):
                 return layer(
@@ -200,12 +223,12 @@ class BranchformerEncoder(nn.Module):
                 length=self.num_layers,
             )
             x, _ = scan(
-                BranchformerEncoderLayer(**self._layer_kwargs(), name="layers"),
+                layer_cls(**self._layer_kwargs(), name="layers"),
                 x, None,
             )
         else:
             for i in range(self.num_layers):
-                x = BranchformerEncoderLayer(
+                x = layer_cls(
                     **self._layer_kwargs(), name=f"layer_{i}"
                 )(x, src_mask, pad_mask, pos_embs, deterministic)
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,

@@ -15,6 +15,19 @@ Capability parity with reference Conformer.py:336-856:
   objects (reference :539-638); see `streaming_step` below and
   `TransformerASR.encode_streaming`.
 - Stack final LayerNorm eps 1e-6 (reference :738).
+
+Example (mirrors the reference doctest, Conformer.py:95-102):
+
+    >>> import jax, jax.numpy as jnp
+    >>> from summarymixing_tpu.models.conformer import ConformerEncoder
+    >>> enc = ConformerEncoder(num_layers=2, d_model=32, d_ffn=64, nhead=2,
+    ...     kernel_size=5, attention_type="SummaryMixing",
+    ...     local_proj_hid_dim=(16,), local_proj_out_dim=32,
+    ...     summary_hid_dim=(16,), mode="SummaryMixing")
+    >>> x = jnp.ones((2, 12, 32))
+    >>> params = enc.init(jax.random.PRNGKey(0), x)
+    >>> enc.apply(params, x).shape
+    (2, 12, 32)
 """
 
 from __future__ import annotations
@@ -368,12 +381,19 @@ class ConformerEncoder(nn.Module):
     summary_hid_dim: Sequence[int] = (1024,)
     mode: str = "SummaryMixing"
     activation: Callable = jax.nn.silu
+    remat: bool = False
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        # remat: recompute layer activations in the backward pass — peak
+        # activation memory O(T) instead of O(num_layers * T); forward is
+        # bit-identical; streaming_step/init_streaming_state are untouched
+        # (remat wraps __call__ only).
+        layer_cls = (nn.remat(ConformerEncoderLayer, static_argnums=(6,))
+                     if self.remat else ConformerEncoderLayer)
         self.layers = [
-            ConformerEncoderLayer(
+            layer_cls(
                 d_model=self.d_model,
                 d_ffn=self.d_ffn,
                 nhead=self.nhead,

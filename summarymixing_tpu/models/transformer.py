@@ -205,12 +205,18 @@ class TransformerEncoder(nn.Module):
     summary_hid_dim: Sequence[int] = (1024,)
     summary_out_dim: int = 1024
     mode: str = "SummaryMixing"
+    remat: bool = False
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        # remat: recompute layer activations in the backward pass (O(T)
+        # peak activation memory); wraps __call__ only — init_cache/step
+        # stay plain.
+        layer_cls = (nn.remat(TransformerEncoderLayer, static_argnums=(5,))
+                     if self.remat else TransformerEncoderLayer)
         self.layers = [
-            TransformerEncoderLayer(
+            layer_cls(
                 d_model=self.d_model,
                 d_ffn=self.d_ffn,
                 nhead=self.nhead,

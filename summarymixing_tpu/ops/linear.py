@@ -14,6 +14,19 @@ TPU notes: the per-head contraction `btmf,mfh->btmh` lowers to a single
 batched matmul on the MXU (head dim becomes the batch dim of the matmul);
 keeping the head axis un-flattened between layers avoids reshapes that would
 force relayouts between lane/sublane tilings.
+
+Example (mirrors the reference doctests, VanillaNN.py:49-55):
+
+    >>> import jax, jax.numpy as jnp
+    >>> from summarymixing_tpu.ops.linear import ParallelLinear, SummaryNet
+    >>> pl = ParallelLinear(features=32, n_split=4)
+    >>> p = pl.init(jax.random.PRNGKey(0), jnp.ones((2, 5, 16)))
+    >>> pl.apply(p, jnp.ones((2, 5, 16))).shape
+    (2, 5, 32)
+    >>> net = SummaryNet(features=(32, 64), n_split=4)
+    >>> p = net.init(jax.random.PRNGKey(0), jnp.ones((2, 5, 16)))
+    >>> net.apply(p, jnp.ones((2, 5, 16))).shape
+    (2, 5, 64)
 """
 
 from __future__ import annotations

@@ -28,6 +28,18 @@ TPU-first design decisions (differences from the reference, all intentional):
 An optional fused Pallas kernel for the full-mode hot path lives in
 `summarymixing_tpu.ops.pallas_summary` and is bit-compatible with this
 module (see tests/test_pallas_summary.py).
+
+Example (runnable, mirrors the reference's doctest style,
+summary_mixing.py:67-73):
+
+    >>> import jax, jax.numpy as jnp
+    >>> from summarymixing_tpu.ops.summary_mixing import SummaryMixing
+    >>> cell = SummaryMixing(enc_dim=64, nhead=4, local_proj_out_dim=64,
+    ...                      summary_out_dim=64, mode="SummaryMixing")
+    >>> x = jnp.ones((2, 10, 64))
+    >>> params = cell.init(jax.random.PRNGKey(0), x)
+    >>> cell.apply(params, x).shape
+    (2, 10, 64)
 """
 
 from __future__ import annotations

@@ -306,3 +306,39 @@ def test_dct_rejected_for_non_conformer(rng):
                   dynchunktrain=DynChunkTrainConfig(chunk_size=4,
                                                     left_context_size=1),
                   method=asr.encode)
+
+
+@pytest.mark.parametrize("encoder_module", ["branchformer", "conformer",
+                                            "transformer"])
+def test_remat_bitwise_identical(encoder_module, rng):
+    """remat=True recomputes activations in the backward pass: forward
+    outputs are bit-identical to the plain encoder; gradients match up to
+    float reassociation (the recomputed backward is a different XLA
+    program, so accumulation order differs in the last bits)."""
+    src = _x(rng, b=2, t=10, d=24)
+    kw = dict(
+        tgt_vocab=10, input_size=24, d_model=D, nhead=2,
+        num_encoder_layers=2, num_decoder_layers=0, d_ffn=64,
+        encoder_module=encoder_module, attention_type="SummaryMixing",
+        causal=False, csgu_linear_units=64, kernel_size=5,
+        dropout_rate=0.0, **SM_KW,
+    )
+    plain = TransformerASR(**kw)
+    remat = TransformerASR(**kw, remat=True)
+    params = plain.init(jax.random.PRNGKey(0), src)
+
+    def loss(model, p):
+        out = model.apply(p, src, method=model.encode)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    o1 = plain.apply(params, src, method=plain.encode)
+    o2 = remat.apply(params, src, method=remat.encode)
+    assert jnp.array_equal(o1, o2)
+    g1 = jax.jit(jax.grad(lambda p: loss(plain, p)))(params)
+    g2 = jax.jit(jax.grad(lambda p: loss(remat, p)))(params)
+    # jitted plain vs remat backward are different XLA programs: fusion +
+    # accumulation order differ, so tiny-magnitude grad leaves see ~1e-6
+    # absolute noise; a real bug (wrong mask/layer) would be O(1)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)

@@ -473,3 +473,76 @@ augment:
     assert summary["chunk_frames"] == 4
     assert "chunk_latency_ms_p50" in summary
     assert "WER" in summary
+
+
+def test_transcribe_script_smoke(tmp_path):
+    """Serving CLI (recipes/transcribe.py): train a few steps, then
+    transcribe raw wav files with no reference transcripts — one JSON line
+    per wav, decoded with the run's persisted tokenizer."""
+    manifest = _make_dataset(str(tmp_path))
+    recipe = tmp_path / "tiny.yaml"
+    recipe.write_text(
+        """
+name: tiny_transcribe_smoke
+seed: 1
+tokenizer_type: char
+model:
+  attention_type: SummaryMixing
+  mode: SummaryMixing-lite
+  encoder_module: branchformer
+  d_model: 32
+  nhead: 2
+  num_encoder_layers: 1
+  num_decoder_layers: 0
+  d_ffn: 32
+  csgu_linear_units: 32
+  csgu_kernel_size: 5
+  local_proj_hid_dim: [16]
+  local_proj_out_dim: 32
+  summary_hid_dim: [16]
+  summary_out_dim: 16
+  input_size: 80
+  output_neurons: 40
+  frontend_channels: [4, 4]
+training:
+  number_of_epochs: 1
+  precision: fp32
+  ctc_weight: 1.0
+  lr_adam: 0.001
+  n_warmup_steps: 10
+  grad_accumulation_factor: 1
+  max_batch_length: 10.0
+  num_buckets: 2
+  max_batch_ex: 8
+  ckpt_interval_minutes: 999
+augment:
+  speed_perturb: false
+"""
+    )
+    out = tmp_path / "out"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes/train.py"), str(recipe),
+         "--train-manifest", manifest, "--valid-manifest", manifest,
+         "--output", str(out), "--steps", "2"],
+        capture_output=True, text=True, timeout=400, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    wavs = [os.path.join(str(tmp_path), f"utt{i}.wav") for i in range(3)]
+    jsonl = tmp_path / "hyps.jsonl"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes/transcribe.py"),
+         str(recipe), *wavs, "--ckpt", str(out / "save"),
+         "--batch-size", "2", "--output", str(jsonl)],
+        capture_output=True, text=True, timeout=400, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    import json as _json
+    lines = [_json.loads(x) for x in res.stdout.strip().splitlines()]
+    assert [x["wav"] for x in lines] == wavs
+    assert all(isinstance(x["text"], str) for x in lines)
+    assert jsonl.read_text().count("\n") == 3
