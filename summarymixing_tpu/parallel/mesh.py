@@ -107,3 +107,31 @@ def fsdp_param_sharding(mesh: Mesh, axis: str = "data",
         return NamedSharding(mesh, P())
 
     return lambda params: jax.tree.map(rule, params)
+
+
+def composite_param_sharding(
+    mesh: Mesh,
+    tp_min_dim: int = 1024,
+    fsdp_min_size: int = 2 ** 16,
+    fsdp_axis: str = "data",
+):
+    """Tensor parallelism for wide 2-D kernels (column-sharded over "model")
+    PLUS FSDP for every other large parameter (sharded over the data axis).
+    The standard combined recipe for models past single-chip HBM: activations
+    ride the "model" axis, parameter/optimizer memory scales down by the
+    data-axis size, and GSPMD inserts all three collective families
+    (grad all-reduce, TP all-gather/reduce-scatter, FSDP param all-gather).
+
+    Returns fn(params) -> matching pytree of NamedShardings."""
+    tp = tensor_parallel_param_sharding(mesh, min_dim=tp_min_dim)
+    fsdp = fsdp_param_sharding(mesh, axis=fsdp_axis, min_size=fsdp_min_size)
+    replicated = P()
+
+    def combine(params):
+        tp_tree = tp(params)
+        fsdp_tree = fsdp(params)
+        return jax.tree.map(
+            lambda t, f: t if t.spec != replicated else f, tp_tree, fsdp_tree
+        )
+
+    return combine

@@ -283,6 +283,49 @@ def test_fsdp_param_sharding(rng):
                                rtol=1e-4)
 
 
+def test_composite_tp_fsdp_sharding(rng):
+    """TP (wide kernels over 'model') + FSDP (other large params over
+    'data') on a 4x2 mesh: all three collective families in one step, loss
+    matches pure DP."""
+    from summarymixing_tpu.parallel.mesh import composite_param_sharding
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    asr = TransformerASR(
+        tgt_vocab=VOCAB, input_size=80, d_model=32, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=0, d_ffn=64,
+        encoder_module="branchformer", attention_type="SummaryMixing",
+        mode="SummaryMixing", causal=False, csgu_linear_units=128,
+        kernel_size=5, local_proj_hid_dim=(16,), local_proj_out_dim=32,
+        summary_hid_dim=(24,), summary_out_dim=24, dropout_rate=0.0,
+    )
+    model = SpeechRecognizer(asr=asr, vocab_size=VOCAB,
+                             frontend_channels=(8, 4), frontend_dropout=0.0)
+    trainer = ASRTrainer(
+        model, make_adamw(3e-3), Fbank(), TrainerConfig(ctc_weight=1.0,
+                                                        augment=None),
+        mesh=mesh,
+        param_sharding_fn=composite_param_sharding(
+            mesh, tp_min_dim=128, fsdp_min_size=512),
+    )
+    batch = synth_batch(rng, b=4)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    specs = [str(x.sharding.spec) for x in jax.tree.leaves(state["params"])]
+    assert any("model" in s for s in specs), specs   # TP kernels
+    assert any("data" in s for s in specs), specs    # FSDP params
+    state, metrics = trainer.train_step(state, batch)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+
+    trainer_dp = ASRTrainer(
+        model, make_adamw(3e-3), Fbank(), TrainerConfig(ctc_weight=1.0,
+                                                        augment=None),
+        mesh=make_mesh(devices=jax.devices()[:1]),
+    )
+    state_dp = trainer_dp.init_state(jax.random.PRNGKey(0), batch)
+    _, metrics_dp = trainer_dp.train_step(state_dp, batch)
+    np.testing.assert_allclose(loss, float(metrics_dp["loss"]), rtol=1e-4)
+
+
 def test_concat_original_batch_doubling(rng):
     """Augmenter concat_original (AISHELL yaml:274): the train step runs on
     [original; augmented] with replicated targets, and still trains."""
