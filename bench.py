@@ -77,6 +77,19 @@ def measure_decode(model, fbank, wav, wav_lens):
         ids = jnp.argmax(out["ctc_log_probs"], axis=-1)
         return jnp.sum(ids).astype(jnp.float32)
 
+    # XLA's analytic cost model for the compiled program: FLOPs + HBM bytes
+    # per call, for MFU / bandwidth-utilisation reporting
+    cost = {}
+    try:
+        ca = jax.jit(decode).lower(
+            params, wav, wav_lens, jnp.float32(0.0)).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        cost = {"flops": float(ca.get("flops", 0.0)),
+                "bytes": float(ca.get("bytes accessed", 0.0))}
+    except Exception:
+        pass
+
     float(decode(params, wav, wav_lens, jnp.float32(0.0)))  # compile
 
     def timed_chain(iters):
@@ -105,7 +118,7 @@ def measure_decode(model, fbank, wav, wav_lens):
     # during a free one), and min would report that artifact as throughput
     positive.sort()
     per_iter = positive[len(positive) // 2]
-    return per_iter, estimates, n_params
+    return per_iter, estimates, n_params, cost
 
 
 def main():
@@ -119,14 +132,21 @@ def main():
     wav_lens = jnp.full((batch_size,), n, jnp.int32)
     audio_seconds = batch_size * secs
 
-    per_iter, estimates, n_params = measure_decode(
+    per_iter, estimates, n_params, cost = measure_decode(
         build_model("SummaryMixing"), fbank, wav, wav_lens)
     throughput = audio_seconds / per_iter
+    # efficiency vs v5e hardware ceilings (bf16 ~197 TFLOPS, HBM ~819 GB/s)
+    eff = {}
+    if cost.get("flops"):
+        eff["eff_tflops"] = round(cost["flops"] / per_iter / 1e12, 1)
+        eff["mfu"] = round(cost["flops"] / per_iter / 197e12, 3)
+        eff["hbm_gb_per_s"] = round(cost["bytes"] / per_iter / 2**30, 0)
+        eff["hbm_util"] = round(cost["bytes"] / per_iter / (819 * 2**30), 3)
 
     # honest same-chip baseline: the SAME 18L Branchformer with regularMHA
     # (the reference's own self-attention baseline, README.md:27), measured
     # in this run on this chip
-    mha_per_iter, _, _ = measure_decode(
+    mha_per_iter, _, _, _ = measure_decode(
         build_model("regularMHA"), fbank, wav, wav_lens)
     mha_throughput = audio_seconds / mha_per_iter
 
@@ -148,6 +168,7 @@ def main():
             "dtype": "bfloat16",
             "per_iter_ms": round(per_iter * 1e3, 2),
             "per_iter_ms_all_estimates": [round(e * 1e3, 2) for e in estimates],
+            **eff,
             "same_chip_mha_audio_s_per_s": round(mha_throughput, 1),
             "speedup_vs_same_chip_mha": round(throughput / mha_throughput, 2),
             "device": str(jax.devices()[0]),

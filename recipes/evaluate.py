@@ -281,9 +281,16 @@ def main():
     ap.add_argument("--left-context", type=int, default=4,
                     help="left-context CHUNKS carried across steps")
     ap.add_argument("--output", default=None)
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE", dest="overrides",
+                    help="override any recipe value by dotted path, e.g. "
+                         "--set training.lr_adam=0.0005 --set model.remat=true")
     args = ap.parse_args()
 
-    cfg = load_recipe(args.recipe)
+    from train import parse_overrides  # noqa: E402
+
+    cfg = load_recipe(args.recipe,
+                      overrides=parse_overrides(args.overrides))
     test_set = read_manifest_csv(args.test_manifest)
     # Use the TRAINING tokenizer (persisted by train.py) — rebuilding from
     # the test manifest would shift the char-id map.

@@ -552,6 +552,23 @@ def build_or_load_tokenizer(cfg, out_dir, train_set):
     return tokenizer
 
 
+
+def parse_overrides(pairs):
+    """--set key=value pairs -> dotted-path overrides for load_recipe (the
+    plain-YAML equivalent of HyperPyYAML/SpeechBrain CLI overrides). Values
+    are YAML-parsed so ints/floats/bools/lists work: --set model.remat=true
+    --set training.lr_adam=0.0005"""
+    import yaml as _yaml
+
+    out = {}
+    for kv in pairs or []:
+        key, sep, val = kv.partition("=")
+        if not sep:
+            raise SystemExit(f"--set expects KEY=VALUE, got {kv!r}")
+        out[key] = _yaml.safe_load(val)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("recipe")
@@ -569,9 +586,14 @@ def main():
                     help="LM run dir (from recipes/train_lm.py) for shallow "
                          "fusion in beam validation (lm_weight from the "
                          "recipe, reference yaml:246)")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE", dest="overrides",
+                    help="override any recipe value by dotted path, e.g. "
+                         "--set training.lr_adam=0.0005 --set model.remat=true")
     args = ap.parse_args()
 
-    cfg = load_recipe(args.recipe)
+    cfg = load_recipe(args.recipe,
+                      overrides=parse_overrides(args.overrides))
     if args.num_buckets:
         cfg.training.num_buckets = args.num_buckets
     out_dir = args.output or os.path.join(cfg.output_folder, cfg.name)

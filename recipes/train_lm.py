@@ -99,9 +99,16 @@ def main():
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--model-type", default=None,
                     help="override lm.model_type (transformer | rnn)")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE", dest="overrides",
+                    help="override any recipe value by dotted path, e.g. "
+                         "--set training.lr_adam=0.0005 --set model.remat=true")
     args = ap.parse_args()
 
-    cfg = load_recipe(args.recipe)
+    from train import parse_overrides  # noqa: E402
+
+    cfg = load_recipe(args.recipe,
+                      overrides=parse_overrides(args.overrides))
     lm_cfg = cfg.lm or LMConfig()
     if args.model_type:
         lm_cfg.model_type = args.model_type

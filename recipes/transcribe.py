@@ -84,9 +84,16 @@ def main():
                     help="average the last N checkpoints")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--output", default=None, help="write JSONL here too")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE", dest="overrides",
+                    help="override any recipe value by dotted path, e.g. "
+                         "--set training.lr_adam=0.0005 --set model.remat=true")
     args = ap.parse_args()
 
-    cfg = load_recipe(args.recipe)
+    from train import parse_overrides  # noqa: E402
+
+    cfg = load_recipe(args.recipe,
+                      overrides=parse_overrides(args.overrides))
     tokenizer = _eval.resolve_tokenizer(cfg, os.path.dirname(args.ckpt))
     model, fbank, td_model = build_model(cfg)
     mesh = make_mesh(devices=jax.devices()[:1])

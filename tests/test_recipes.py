@@ -546,3 +546,22 @@ augment:
     assert [x["wav"] for x in lines] == wavs
     assert all(isinstance(x["text"], str) for x in lines)
     assert jsonl.read_text().count("\n") == 3
+
+
+def test_cli_set_overrides():
+    """--set dotted-path overrides (the plain-YAML equivalent of
+    HyperPyYAML/SpeechBrain CLI overrides): YAML-typed values reach the
+    dataclass config."""
+    sys.path.insert(0, os.path.join(REPO, "recipes"))
+    from train import parse_overrides
+
+    ov = parse_overrides(["training.lr_adam=0.0005", "model.remat=true",
+                          "model.local_proj_hid_dim=[256]"])
+    cfg = load_recipe(
+        os.path.join(REPO, "recipes/LibriSpeech/branchformer_summarymixing.yaml"),
+        overrides=ov)
+    assert cfg.training.lr_adam == 0.0005
+    assert cfg.model.remat is True
+    assert cfg.model.local_proj_hid_dim == (256,)
+    with pytest.raises(SystemExit):
+        parse_overrides(["no_equals_sign"])
