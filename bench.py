@@ -81,7 +81,9 @@ def measure_decode(model, fbank, wav, wav_lens):
     # per call, for MFU / bandwidth-utilisation reporting
     cost = {}
     try:
-        ca = jax.jit(decode).lower(
+        # decode is already jitted; lower it directly (a second jit wrap
+        # would trace + AOT-compile a distinct nested program)
+        ca = decode.lower(
             params, wav, wav_lens, jnp.float32(0.0)).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
@@ -135,13 +137,14 @@ def main():
     per_iter, estimates, n_params, cost = measure_decode(
         build_model("SummaryMixing"), fbank, wav, wav_lens)
     throughput = audio_seconds / per_iter
-    # efficiency vs v5e hardware ceilings (bf16 ~197 TFLOPS, HBM ~819 GB/s)
+    # efficiency vs v5e hardware ceilings (bf16 ~197 TFLOPS, HBM 819 GB/s
+    # decimal — both peaks are decimal units, so divide raw bytes by 1e9)
     eff = {}
     if cost.get("flops"):
         eff["eff_tflops"] = round(cost["flops"] / per_iter / 1e12, 1)
         eff["mfu"] = round(cost["flops"] / per_iter / 197e12, 3)
-        eff["hbm_gb_per_s"] = round(cost["bytes"] / per_iter / 2**30, 0)
-        eff["hbm_util"] = round(cost["bytes"] / per_iter / (819 * 2**30), 3)
+        eff["hbm_gb_per_s"] = round(cost["bytes"] / per_iter / 1e9, 0)
+        eff["hbm_util"] = round(cost["bytes"] / per_iter / 819e9, 3)
 
     # honest same-chip baseline: the SAME 18L Branchformer with regularMHA
     # (the reference's own self-attention baseline, README.md:27), measured

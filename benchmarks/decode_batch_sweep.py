@@ -42,7 +42,7 @@ def main():
     for b in [int(x) for x in args.batches.split(",")]:
         wav = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
         wav_lens = jnp.full((b,), n, jnp.int32)
-        per_iter, estimates, n_params = bench.measure_decode(
+        per_iter, estimates, n_params, _cost = bench.measure_decode(
             model, fbank, wav, wav_lens)
         print(json.dumps({
             "batch": b,

@@ -117,6 +117,11 @@ def bench_attention(mixer, args):
                 (ma.temp_size_in_bytes + ma.argument_size_in_bytes
                  + ma.output_size_in_bytes) / 2**30, 3),
         }
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        if ca.get("flops"):
+            mem["flops_per_step"] = float(ca["flops"])
     except Exception:
         pass
     _, state = run_chain(trainer, state, batch, 2)   # compile + warm
@@ -137,6 +142,14 @@ def bench_attention(mixer, args):
         "audio_s_per_s": round(audio_s / step_s, 1),
         "peak_hbm_gb": peak_hbm_gb(),
         "memory": mem,
+        "eff_tflops": (round(mem["flops_per_step"] / step_s / 1e12, 1)
+                       if mem and mem.get("flops_per_step") else None),
+        # MFU vs the v5e bf16 peak (197 TFLOPS); fp32 matmuls decompose to
+        # multiple MXU passes with a different ceiling, so only bf16 runs
+        # get an MFU figure
+        "mfu": (round(mem["flops_per_step"] / step_s / 197e12, 3)
+                if args.bf16 and mem and mem.get("flops_per_step")
+                else None),
     }))
 
 

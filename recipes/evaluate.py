@@ -99,6 +99,25 @@ def resolve_tokenizer(cfg, run_dir, fallback_texts=None):
     return CharTokenizer.build(list(fallback_texts))
 
 
+def restore_eval_state(state, ckpt_dir, avg):
+    """Restore the evaluation-relevant subtrees (params, norm_stats, step,
+    epoch) from a checkpoint dir, optionally averaging the last `avg`
+    checkpoints (reference avg_checkpoints: 10, yaml:61). The training
+    optimizer state may have any structure, so it is never restored."""
+    mgr = CheckpointManager(ckpt_dir)
+    subset = {k: v for k, v in jax.tree.map(np.asarray, state).items()
+              if k in ("params", "norm_stats", "step", "epoch")}
+    if avg > 1:
+        restored = average_checkpoints(mgr, subset, num=avg)
+    else:
+        restored = mgr.restore(subset, partial=True)
+    if restored is None:
+        raise SystemExit(f"no checkpoints in {ckpt_dir}")
+    state = dict(state)
+    state.update({k: restored[k] for k in subset})
+    return state
+
+
 def _streaming_decode(cfg, args, enc_model, trainer, state, bound, batch,
                       fbank, chunk_times):
     """Chunked streaming inference: fbank + CNN, then per-chunk
@@ -173,18 +192,9 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
     )
     example = next(iter(batches(test_set, tokenizer, cfg, mesh, False, 0,
                                 fbank)))[0]
-    state = trainer.init_state(jax.random.PRNGKey(0), example)
-    mgr = CheckpointManager(args.ckpt)
-    subset = {k: v for k, v in jax.tree.map(np.asarray, state).items()
-              if k in ("params", "norm_stats", "step", "epoch")}
-    if args.avg > 1:
-        restored = average_checkpoints(mgr, subset, num=args.avg)
-    else:
-        restored = mgr.restore(subset, partial=True)
-        if restored is None:
-            raise SystemExit(f"no checkpoints in {args.ckpt}")
-    state = dict(state)
-    state.update({k: restored[k] for k in subset})
+    state = restore_eval_state(
+        trainer.init_state(jax.random.PRNGKey(0), example), args.ckpt,
+        args.avg)
 
     bound = td_model.bind({"params": state["params"]["transducer"]})
     lm_init, lm_step = (load_rnnlm(cfg, args.lm_ckpt) if args.beam
@@ -312,21 +322,9 @@ def main():
 
     example = next(iter(batches(test_set, tokenizer, cfg, mesh, False, 0,
                                 fbank)))[0]
-    state = trainer.init_state(jax.random.PRNGKey(0), example)
-    mgr = CheckpointManager(args.ckpt)
-    # restore only the evaluation-relevant subtrees; the training optimizer
-    # state may have any structure
-    subset = {k: np.asarray(v) if not isinstance(v, dict) else v
-              for k, v in jax.tree.map(np.asarray, state).items()
-              if k in ("params", "norm_stats", "step", "epoch")}
-    if args.avg > 1:
-        restored = average_checkpoints(mgr, subset, num=args.avg)
-    else:
-        restored = mgr.restore(subset, partial=True)
-        if restored is None:
-            raise SystemExit(f"no checkpoints in {args.ckpt}")
-    state = dict(state)
-    state.update({k: restored[k] for k in subset})
+    state = restore_eval_state(
+        trainer.init_state(jax.random.PRNGKey(0), example), args.ckpt,
+        args.avg)
 
     stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                            remove_spaces=cfg.remove_spaces)
@@ -361,18 +359,31 @@ def main():
                 blank_id=cfg.model.blank_index,
                 max_length=lmax,
             )
-            cache = model.apply(params, enc_t, bc.max_length + 1,
-                                method=model.decode_cache_init)
             lm_cache = (lm_make_cache(enc_t.shape[0], bc.max_length + 1)
                         if lm_step else None)
+            if cfg.model.decoder_attention_type in ("regularMHA",
+                                                    "vanillaMHA"):
+                cache = model.apply(params, enc_t, bc.max_length + 1,
+                                    method=model.decode_cache_init)
 
-            def step(last_tok, step_i, cache):
-                return model.apply(params, last_tok, step_i, cache, enc_pad,
-                                   method=model.decode_step_cached)
+                def step(last_tok, step_i, cache):
+                    return model.apply(params, last_tok, step_i, cache,
+                                       enc_pad,
+                                       method=model.decode_step_cached)
 
-            toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t, bc,
-                                            cache=cache, lm_step_fn=lm_step,
-                                            lm_cache=lm_cache)
+                toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t,
+                                                bc, cache=cache,
+                                                lm_step_fn=lm_step,
+                                                lm_cache=lm_cache)
+            else:
+                # Summary Decoder (README.md:35): full-prefix step, no KV
+                def step_plain(tokens, step_i):
+                    return model.apply(params, tokens, enc_t, len_t, step_i,
+                                       method=model.decode_position)
+
+                toks, lens, _ = s2s_beam_search(step_plain, enc_t, len_t,
+                                                ctc_t, bc, lm_step_fn=lm_step,
+                                                lm_cache=lm_cache)
             toks, lens = np.asarray(toks), np.asarray(lens)
             hyps = [list(toks[i, : lens[i]]) for i in range(toks.shape[0])]
         else:

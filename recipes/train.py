@@ -480,18 +480,29 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
             blank_id=cfg.model.blank_index,
             max_length=lmax,
         )
-        cache = model.apply(params, enc_t, bc.max_length + 1,
-                            method=model.decode_cache_init)
         lm_cache = (lm_make_cache(enc_t.shape[0], bc.max_length + 1)
                     if lm_step else None)
+        if cfg.model.decoder_attention_type in ("regularMHA", "vanillaMHA"):
+            cache = model.apply(params, enc_t, bc.max_length + 1,
+                                method=model.decode_cache_init)
 
-        def step(last_tok, step_i, cache):
-            return model.apply(params, last_tok, step_i, cache, enc_pad,
-                               method=model.decode_step_cached)
+            def step(last_tok, step_i, cache):
+                return model.apply(params, last_tok, step_i, cache, enc_pad,
+                                   method=model.decode_step_cached)
 
-        toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t, bc,
-                                        cache=cache, lm_step_fn=lm_step,
-                                        lm_cache=lm_cache)
+            toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t, bc,
+                                            cache=cache, lm_step_fn=lm_step,
+                                            lm_cache=lm_cache)
+        else:
+            # Summary Decoder (README.md:35): no KV cache — full-prefix
+            # decode step per position
+            def step_plain(tokens, step_i):
+                return model.apply(params, tokens, enc_t, len_t, step_i,
+                                   method=model.decode_position)
+
+            toks, lens, _ = s2s_beam_search(step_plain, enc_t, len_t, ctc_t,
+                                            bc, lm_step_fn=lm_step,
+                                            lm_cache=lm_cache)
         toks, lens = np.asarray(toks), np.asarray(lens)
         keep = []
         for i, u in enumerate(idx):

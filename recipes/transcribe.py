@@ -33,10 +33,6 @@ import numpy as np  # noqa: E402
 from summarymixing_tpu.config import build_model, load_recipe  # noqa: E402
 from summarymixing_tpu.data.dataio import load_wav  # noqa: E402
 from summarymixing_tpu.parallel.mesh import make_mesh  # noqa: E402
-from summarymixing_tpu.training.checkpoint import (  # noqa: E402
-    CheckpointManager,
-    average_checkpoints,
-)
 from summarymixing_tpu.training.optim import make_adamw  # noqa: E402
 
 
@@ -58,21 +54,6 @@ def _batches(paths, sample_rate, batch_size, pad_quantum):
             wav[j, : len(w)] = w
             lens[j] = len(w)
         yield ([p for p, _ in chunk], jnp.asarray(wav), jnp.asarray(lens))
-
-
-def _restore(trainer, state, ckpt_dir, avg):
-    mgr = CheckpointManager(ckpt_dir)
-    subset = {k: v for k, v in jax.tree.map(np.asarray, state).items()
-              if k in ("params", "norm_stats", "step", "epoch")}
-    if avg > 1:
-        restored = average_checkpoints(mgr, subset, num=avg)
-    else:
-        restored = mgr.restore(subset, partial=True)
-        if restored is None:
-            raise SystemExit(f"no checkpoints in {ckpt_dir}")
-    state = dict(state)
-    state.update({k: restored[k] for k in subset})
-    return state
 
 
 def main():
@@ -128,9 +109,9 @@ def main():
                                     augment=None, dct=None),
             mesh=mesh,
         )
-        state = _restore(trainer,
-                         trainer.init_state(jax.random.PRNGKey(0), example),
-                         args.ckpt, args.avg)
+        state = _eval.restore_eval_state(
+            trainer.init_state(jax.random.PRNGKey(0), example),
+            args.ckpt, args.avg)
         bound = td_model.bind({"params": state["params"]["transducer"]})
         for paths, wav, lens in batches:
             _, (enc_out, enc_lens) = trainer.eval_step(
@@ -155,9 +136,9 @@ def main():
                           eos_id=cfg.model.eos_index),
             mesh=mesh,
         )
-        state = _restore(trainer,
-                         trainer.init_state(jax.random.PRNGKey(0), example),
-                         args.ckpt, args.avg)
+        state = _eval.restore_eval_state(
+            trainer.init_state(jax.random.PRNGKey(0), example),
+            args.ckpt, args.avg)
         for paths, wav, lens in batches:
             _, hyps = trainer.eval_step(state, make_batch(wav, lens))
             for i, p in enumerate(paths):

@@ -56,7 +56,11 @@ def load_recipe(path: str, overrides: Optional[dict] = None) -> RecipeConfig:
             parts = dotted.split(".")
             node = data
             for p in parts[:-1]:
-                node = node.setdefault(p, {})
+                # a present-but-empty section ("lm:") parses as None;
+                # normalise so the override can be applied
+                if node.get(p) is None:
+                    node[p] = {}
+                node = node[p]
             node[parts[-1]] = value
     kwargs = {}
     for key, value in data.items():
@@ -104,6 +108,7 @@ def build_model(cfg: RecipeConfig):
         dropout_rate=m.transformer_dropout,
         encoder_module=m.encoder_module,
         attention_type=m.attention_type,
+        decoder_attention_type=m.decoder_attention_type,
         mode=m.mode,
         causal=m.causal,
         normalize_before=m.normalize_before,

@@ -54,6 +54,10 @@ class ModelConfig:
     attention_type: str = "SummaryMixing"
     mode: str = "SummaryMixing"
     encoder_module: str = "branchformer"
+    # decoder self-attention mixer: "regularMHA" (reference hardwired,
+    # Transformer.py:274) or "SummaryMixing" (the paper's Summary Decoder,
+    # reference README.md:35 — +Summary Decoder row)
+    decoder_attention_type: str = "regularMHA"
     d_model: int = 512
     nhead: int = 1
     num_encoder_layers: int = 18

@@ -127,6 +127,11 @@ class TransformerASR(nn.Module):
     summary_hid_dim: Sequence[int] = (1024,)
     summary_out_dim: int = 1024
     mode: str = "SummaryMixing"
+    # Decoder self-attention mixer. The reference branch hardwires
+    # "regularMHA" (Transformer.py:274); "SummaryMixing" gives the paper's
+    # Summary Decoder variant (README.md:35, arXiv:2307.07421 §4.4) which
+    # that branch dropped. Cross-attention stays regularMHA either way.
+    decoder_attention_type: str = "regularMHA"
     # rematerialize encoder layers in the backward pass (memory for FLOPs)
     remat: bool = False
     dtype: jnp.dtype | None = None
@@ -216,7 +221,13 @@ class TransformerASR(nn.Module):
                 dropout_rate=self.dropout_rate,
                 activation=self.activation,
                 normalize_before=self.normalize_before,
-                attention_type="regularMHA",  # fixed, like the reference
+                # reference default regularMHA (Transformer.py:274);
+                # "SummaryMixing" = the paper's Summary Decoder
+                attention_type=self.decoder_attention_type,
+                local_proj_hid_dim=self.local_proj_hid_dim,
+                local_proj_out_dim=self.d_model,
+                summary_hid_dim=self.summary_hid_dim,
+                mode=self.mode,
                 causal=True,
                 name="decoder",
                 **common,

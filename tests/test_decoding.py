@@ -417,3 +417,46 @@ def test_lm_fusion_wer_not_worse_on_overfit(rng):
     w_plain = wer_of(0.0)
     w_fused = wer_of(0.3)
     assert w_fused <= w_plain + 1e-9, (w_plain, w_fused)
+
+
+def test_summary_decoder_beam_search(rng):
+    """The paper's Summary Decoder variant (reference README.md:35) decodes
+    through the full-prefix (uncached) beam path — KV caching is MHA-only,
+    so the recipes fall back to decode_position for this variant."""
+    from tests.test_train_e2e import make_trainer, synth_batch
+    from summarymixing_tpu.parallel.mesh import make_mesh
+
+    trainer = make_trainer(num_decoder_layers=1,
+                           mesh=make_mesh(devices=jax.devices()[:1]),
+                           decoder_attention_type="SummaryMixing")
+    batch = synth_batch(rng, b=4)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    for _ in range(40):
+        state, m = trainer.train_step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+    model = trainer.model
+    cfg = trainer.config
+    feats = trainer.fbank(batch["wav"])
+    feat_lens = trainer.fbank.frame_lengths(batch["wav_lens"])
+    feats, _ = trainer.normalize(feats, state["norm_stats"])
+    enc_out, enc_lens = model.apply(
+        {"params": state["params"]}, feats, feat_lens, method=model.encode)
+    ctc_lp = model.apply({"params": state["params"]}, enc_out,
+                         method=model.ctc_head)
+    beam = 3
+    enc_t = tile_for_beam(enc_out, beam)
+    len_t = tile_for_beam(enc_lens, beam)
+    ctc_t = tile_for_beam(ctc_lp, beam)
+
+    def step_plain(tokens, step):
+        return model.apply({"params": state["params"]}, tokens, enc_t, len_t,
+                           step, method=model.decode_position)
+
+    config = S2SBeamConfig(beam_size=beam, ctc_weight=0.4, lm_weight=0.0,
+                           bos_id=cfg.bos_id, eos_id=cfg.eos_id,
+                           blank_id=cfg.blank_id, max_length=6, min_steps=1)
+    toks, lens, scores = s2s_beam_search(step_plain, enc_t, len_t, ctc_t,
+                                         config)
+    assert toks.shape[0] == 4 and int(np.max(np.asarray(lens))) <= 6
+    assert np.isfinite(np.asarray(scores)).all()

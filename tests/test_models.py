@@ -342,3 +342,31 @@ def test_remat_bitwise_identical(encoder_module, rng):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_summary_decoder_through_asr(rng):
+    """decoder_attention_type="SummaryMixing" (the paper's Summary Decoder,
+    reference README.md:35) is drivable through TransformerASR: forward
+    works and the full-prefix decode step is causal."""
+    src = _x(rng, b=2, t=8, d=24)
+    tgt = jnp.asarray(rng.integers(1, 10, (2, 5)), jnp.int32)
+    asr = TransformerASR(
+        tgt_vocab=10, input_size=24, d_model=D, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=2, d_ffn=64,
+        encoder_module="branchformer", attention_type="SummaryMixing",
+        decoder_attention_type="SummaryMixing", mode="SummaryMixing",
+        causal=False, csgu_linear_units=64, kernel_size=5,
+        dropout_rate=0.0, **SM_KW,
+    )
+    params = asr.init(jax.random.PRNGKey(0), src, tgt)
+    enc_out, dec_out = asr.apply(params, src, tgt)
+    assert dec_out.shape == (2, 5, D)
+    # causality of the decoder: changing tgt[t>=3] must not affect dec[:, :3]
+    tgt2 = tgt.at[:, 4].set(7)
+    _, dec2 = asr.apply(params, src, tgt2)
+    np.testing.assert_allclose(np.asarray(dec_out)[:, :4],
+                               np.asarray(dec2)[:, :4], atol=1e-5, rtol=1e-5)
+    # KV-cached stepping is MHA-only and must fail loudly
+    with pytest.raises(ValueError, match="regularMHA"):
+        asr.apply(params, jnp.zeros((2, 3, D)), 4,
+                  method=asr.decode_cache_init)

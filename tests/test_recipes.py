@@ -15,6 +15,7 @@ from summarymixing_tpu.config import build_model, load_recipe
 
 RECIPES = [
     "recipes/LibriSpeech/branchformer_summarymixing.yaml",
+    "recipes/LibriSpeech/branchformer_summarymixing_summarydecoder.yaml",
     "recipes/LibriSpeech/conformer_summarymixing_transducer.yaml",
     "recipes/AISHELL-1/branchformer_summarymixing.yaml",
     "recipes/CommonVoice/branchformer_summarymixing.yaml",

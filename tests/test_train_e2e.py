@@ -41,7 +41,8 @@ def synth_batch(rng, b=8, n=4000):
     }
 
 
-def make_trainer(num_decoder_layers=0, mesh=None):
+def make_trainer(num_decoder_layers=0, mesh=None,
+                 decoder_attention_type="regularMHA"):
     asr = TransformerASR(
         tgt_vocab=VOCAB,
         input_size=32 * 20,  # 80 mels / 4 subsample * 32 ch -> but tiny below
@@ -49,6 +50,7 @@ def make_trainer(num_decoder_layers=0, mesh=None):
         nhead=2,
         num_encoder_layers=2,
         num_decoder_layers=num_decoder_layers,
+        decoder_attention_type=decoder_attention_type,
         d_ffn=64,
         encoder_module="branchformer",
         attention_type="SummaryMixing",
