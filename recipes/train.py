@@ -281,6 +281,7 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                              max_to_keep=cfg.training.avg_checkpoints,
                              interval_minutes=cfg.training.ckpt_interval_minutes)
     state, step = None, 0
+    profiler = StepProfiler(args.profile, args.profile_steps)
     for epoch in EpochCounter(cfg.training.number_of_epochs):
         t0 = time.time()
         train_losses = []
@@ -301,6 +302,7 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                     state, step = restored, int(restored["step"])
             state, metrics = trainer.train_step(state, batch)
             step += 1
+            profiler.step(step)
             train_losses.append(metrics["loss"])  # device scalar, no sync
             if args.steps and step >= args.steps:
                 break
@@ -311,6 +313,7 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                 "training.max_batch_length or num_buckets."
             )
 
+        profiler.close()
         stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                                remove_spaces=cfg.remove_spaces)
         val_losses = []
@@ -564,6 +567,32 @@ def build_or_load_tokenizer(cfg, out_dir, train_set):
 
 
 
+
+class StepProfiler:
+    """--profile DIR: capture a jax.profiler trace of a few train steps
+    (skipping the compile step) — the tracing/profiling aux subsystem
+    (SURVEY.md §5; view with TensorBoard/XProf)."""
+
+    def __init__(self, log_dir, n_steps=5, skip=3):
+        self.log_dir, self.n, self.skip = log_dir, n_steps, skip
+        self.on = False
+
+    def step(self, step):
+        if not self.log_dir:
+            return
+        if not self.on and step == self.skip:
+            jax.profiler.start_trace(self.log_dir)
+            self.on = True
+        elif self.on and step >= self.skip + self.n:
+            self.close()
+
+    def close(self):
+        if self.on:
+            jax.profiler.stop_trace()
+            self.on = False
+            print(f"profiler trace written to {self.log_dir}")
+
+
 def parse_overrides(pairs):
     """--set key=value pairs -> dotted-path overrides for load_recipe (the
     plain-YAML equivalent of HyperPyYAML/SpeechBrain CLI overrides). Values
@@ -597,6 +626,10 @@ def main():
                     help="LM run dir (from recipes/train_lm.py) for shallow "
                          "fusion in beam validation (lm_weight from the "
                          "recipe, reference yaml:246)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of a few train steps "
+                         "to DIR (TensorBoard/XProf)")
+    ap.add_argument("--profile-steps", type=int, default=5)
     ap.add_argument("--set", action="append", default=[],
                     metavar="KEY=VALUE", dest="overrides",
                     help="override any recipe value by dotted path, e.g. "
@@ -649,6 +682,7 @@ def main():
     state = None
     step = 0
     rng_np = np.random.default_rng(cfg.seed)
+    profiler = StepProfiler(args.profile, args.profile_steps)
     for epoch in EpochCounter(cfg.training.number_of_epochs):
         t0 = time.time()
         train_losses = []
@@ -669,6 +703,7 @@ def main():
                     step = int(state["step"])
             state, metrics = trainer.train_step(state, batch)
             step += 1
+            profiler.step(step)
             train_losses.append(metrics["loss"])  # device scalar, no sync
             if ckpt.should_save():
                 ckpt.save(step, jax.tree.map(np.asarray, state))
@@ -681,6 +716,7 @@ def main():
                 "one bucket batch (drop_last). Lower "
                 "training.max_batch_length or num_buckets."
             )
+        profiler.close()
         # validation: greedy CTC WER every epoch
         stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                                remove_spaces=cfg.remove_spaces)

@@ -566,3 +566,66 @@ def test_cli_set_overrides():
     assert cfg.model.local_proj_hid_dim == (256,)
     with pytest.raises(SystemExit):
         parse_overrides(["no_equals_sign"])
+
+
+TINY_CHAR_YAML = """
+name: {name}
+seed: 1
+tokenizer_type: char
+model:
+  attention_type: SummaryMixing
+  mode: SummaryMixing-lite
+  encoder_module: branchformer
+  d_model: 32
+  nhead: 2
+  num_encoder_layers: 1
+  num_decoder_layers: 0
+  d_ffn: 32
+  csgu_linear_units: 32
+  csgu_kernel_size: 5
+  local_proj_hid_dim: [16]
+  local_proj_out_dim: 32
+  summary_hid_dim: [16]
+  summary_out_dim: 16
+  input_size: 80
+  output_neurons: 40
+  frontend_channels: [4, 4]
+training:
+  number_of_epochs: {epochs}
+  precision: fp32
+  ctc_weight: 1.0
+  lr_adam: 0.001
+  n_warmup_steps: 10
+  grad_accumulation_factor: 1
+  max_batch_length: 10.0
+  num_buckets: 2
+  max_batch_ex: 8
+  ckpt_interval_minutes: 999
+augment:
+  speed_perturb: false
+"""
+
+
+def test_profile_flag_writes_trace(tmp_path):
+    """--profile DIR captures a jax.profiler trace of a few train steps
+    (the tracing/profiling aux subsystem, SURVEY.md §5)."""
+    manifest = _make_dataset(str(tmp_path))
+    recipe = tmp_path / "tiny.yaml"
+    recipe.write_text(TINY_CHAR_YAML.format(name="tiny_profile", epochs=4))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    prof = tmp_path / "trace"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes/train.py"), str(recipe),
+         "--train-manifest", manifest, "--valid-manifest", manifest,
+         "--output", str(tmp_path / "out"), "--steps", "8",
+         "--profile", str(prof), "--profile-steps", "2"],
+        capture_output=True, text=True, timeout=500, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "profiler trace written" in res.stdout
+    files = [f for _, _, fs in os.walk(prof) for f in fs]
+    assert files
