@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# hardware RNG (rbg) for dropout, matching the recipe default
+# (training.rng_impl): threefry mask generation costs ~26% of the step
+if "--threefry" not in sys.argv:
+    jax.config.update("jax_default_prng_impl", "rbg")
+
 _cache = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache)
@@ -138,6 +143,7 @@ def bench_attention(mixer, args):
         "remat": args.remat,
         "decoder_layers": args.decoder_layers, "batch": args.batch,
         "utt_secs": args.secs, "precision": "bf16" if args.bf16 else "fp32",
+        "rng_impl": "threefry" if args.threefry else "rbg",
         "step_s": round(step_s, 4),
         "audio_s_per_s": round(audio_s / step_s, 1),
         "peak_hbm_gb": peak_hbm_gb(),
@@ -163,6 +169,9 @@ def main():
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
     ap.add_argument("--mixers", default="SummaryMixing,regularMHA")
+    ap.add_argument("--threefry", action="store_true",
+                    help="use the threefry PRNG instead of rbg (slower "
+                         "dropout; implementation-stable stream)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize encoder layers (memory for FLOPs)")
     args = ap.parse_args()
@@ -179,6 +188,8 @@ def main():
                     "--reps", str(args.reps)]
             if args.remat:
                 argv.append("--remat")
+            if args.threefry:
+                argv.append("--threefry")
             if not args.bf16:
                 argv.append("--fp32")
             subprocess.run(argv, check=True)

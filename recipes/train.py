@@ -638,6 +638,10 @@ def main():
 
     cfg = load_recipe(args.recipe,
                       overrides=parse_overrides(args.overrides))
+    # hardware RNG for dropout masks (training.rng_impl, default "rbg"):
+    # measured -26% step time vs threefry on the flagship (RESULTS.md).
+    # Must be set before the first PRNGKey of the run.
+    jax.config.update("jax_default_prng_impl", cfg.training.rng_impl)
     if args.num_buckets:
         cfg.training.num_buckets = args.num_buckets
     out_dir = args.output or os.path.join(cfg.output_folder, cfg.name)

@@ -109,6 +109,10 @@ def main():
 
     cfg = load_recipe(args.recipe,
                       overrides=parse_overrides(args.overrides))
+    # hardware RNG for dropout masks (training.rng_impl, default "rbg"):
+    # measured -26% step time vs threefry on the flagship (RESULTS.md).
+    # Must be set before the first PRNGKey of the run.
+    jax.config.update("jax_default_prng_impl", cfg.training.rng_impl)
     lm_cfg = cfg.lm or LMConfig()
     if args.model_type:
         lm_cfg.model_type = args.model_type

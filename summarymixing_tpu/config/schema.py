@@ -112,6 +112,12 @@ class TrainingConfig:
     max_grad_norm: float = 5.0
     loss_reduction: str = "batchmean"
     precision: str = "bf16"
+    # JAX PRNG implementation for the run. "rbg" (hardware RngBitGenerator)
+    # makes dropout mask generation ~free: measured 80 -> 59 ms/step (-26%)
+    # on the flagship train step (benchmarks/RESULTS.md). "threefry" gives
+    # the counter-based, implementation-stable stream. Changing this mid-run
+    # invalidates only the checkpointed rng leaf.
+    rng_impl: str = "rbg"
     ctc_weight: float = 0.3
     ce_weight: float = 0.0   # transducer CE aux (yaml:319-320, optional MTL)
     # CTC aux active only for the first N epochs (transducer recipes:
