@@ -159,6 +159,80 @@ def bench_attention(mixer, args):
     }))
 
 
+
+def bench_transducer(args):
+    """Streaming-transducer train step at recipe scale (SURVEY.md §3.3:
+    fbank -> 12L SummaryMixing-fast Conformer -> LSTM predictor -> Tjoint
+    -> RNN-T loss + CTC aux, with DCT chunk sampling), built directly from
+    the LibriSpeech transducer recipe config."""
+    from summarymixing_tpu.config import build_model, load_recipe
+    from summarymixing_tpu.training.transducer_trainer import (
+        DynChunkTrainSamplerConfig,
+        TransducerTrainer,
+        TransducerTrainerConfig,
+    )
+
+    cfg = load_recipe(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "recipes/LibriSpeech/conformer_summarymixing_transducer.yaml"))
+    enc_model, fbank, td_model = build_model(cfg)
+    t_cfg = cfg.transducer
+    trainer = TransducerTrainer(
+        enc_model, td_model,
+        make_adamw(noam_schedule(8e-4, 25000), weight_decay=0.0),
+        fbank,
+        TransducerTrainerConfig(
+            ctc_weight=cfg.training.ctc_weight,
+            blank_id=cfg.model.blank_index,
+            augment=None,
+            dct=DynChunkTrainSamplerConfig(
+                chunkwise_prob=t_cfg.chunkwise_prob,
+                chunk_size_min=t_cfg.chunk_size_min,
+                chunk_size_max=t_cfg.chunk_size_max,
+                limited_left_context_prob=t_cfg.limited_left_context_prob,
+                left_context_chunks_min=t_cfg.left_context_chunks_min,
+                left_context_chunks_max=t_cfg.left_context_chunks_max,
+            ),
+        ),
+        mesh=make_mesh(devices=jax.devices()[:1]),
+    )
+    batch = synth_batch(args.batch, args.secs,
+                        umax=40)
+    batch["tokens"] = jnp.asarray(
+        np.random.default_rng(0).integers(
+            1, cfg.model.output_neurons, (args.batch, 40)), jnp.int32)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    mem = None
+    try:
+        compiled = trainer._train_step.lower(state, batch).compile()
+        ma = compiled.memory_analysis()
+        mem = {
+            "xla_temp_gb": round(ma.temp_size_in_bytes / 2**30, 3),
+            "xla_peak_est_gb": round(
+                (ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                 + ma.output_size_in_bytes) / 2**30, 3),
+        }
+    except Exception:
+        pass
+    _, state = run_chain(trainer, state, batch, 2)
+    n1, n2 = args.reps, args.reps * 3
+    t0 = time.time()
+    _, state = run_chain(trainer, state, batch, n1)
+    t1 = time.time()
+    _, state = run_chain(trainer, state, batch, n2)
+    t2 = time.time()
+    step_s = ((t2 - t1) - (t1 - t0)) / (n2 - n1)
+    print(json.dumps({
+        "bench": "transducer_train_step",
+        "model": "conformer-summarymixing-fast-12L-transducer (recipe cfg)",
+        "batch": args.batch, "utt_secs": args.secs,
+        "rng_impl": "threefry" if args.threefry else "rbg",
+        "step_s": round(step_s, 4),
+        "audio_s_per_s": round(args.batch * args.secs / step_s, 1),
+        "memory": mem,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=18)
@@ -174,7 +248,12 @@ def main():
                          "dropout; implementation-stable stream)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize encoder layers (memory for FLOPs)")
+    ap.add_argument("--transducer", action="store_true",
+                    help="bench the streaming-transducer train step instead")
     args = ap.parse_args()
+    if args.transducer:
+        bench_transducer(args)
+        return
     mixers = args.mixers.split(",")
     if len(mixers) > 1:
         # one process per mixer: device.memory_stats() peaks are
