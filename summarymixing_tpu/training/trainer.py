@@ -199,10 +199,33 @@ class ASRTrainer:
             state["params"], state["norm_stats"], batch, step_rng,
             False, state["epoch"], state["step"],
         )
-        updates, opt_state = self.tx.update(
-            grads, state["opt_state"], state["params"]
+        grad_norm = optax.global_norm(grads)
+        # Skip the update on a non-finite loss/gradient instead of poisoning
+        # the params (the reference's Brain.fit_batch skips non-finite
+        # losses the same way). One program: zero the grads fed to the
+        # optimizer and keep the old opt_state/params via where.
+        finite = jnp.isfinite(losses["loss"]) & jnp.isfinite(grad_norm)
+        safe_grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
         )
-        params = optax.apply_updates(state["params"], updates)
+        updates, opt_state = self.tx.update(
+            safe_grads, state["opt_state"], state["params"]
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old)
+            if hasattr(new, "shape") else new,
+            opt_state, state["opt_state"],
+        )
+        params = optax.apply_updates(
+            state["params"],
+            jax.tree.map(lambda u: jnp.where(finite, u, jnp.zeros_like(u)),
+                         updates),
+        )
+        # the running input-normalization stats also saw the bad batch
+        norm_stats = jax.tree.map(
+            lambda new_s, old_s: jnp.where(finite, new_s, old_s),
+            norm_stats, state["norm_stats"],
+        )
         new_state = {
             "params": params,
             "opt_state": opt_state,
@@ -212,7 +235,8 @@ class ASRTrainer:
             "rng": rng,
         }
         metrics = {k: v for k, v in losses.items()}
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = grad_norm
+        metrics["nonfinite_skipped"] = (~finite).astype(jnp.int32)
         return new_state, metrics
 
     def _eval_step_impl(self, state, batch):

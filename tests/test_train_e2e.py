@@ -348,3 +348,35 @@ def test_concat_original_batch_doubling(rng):
         state, m = trainer.train_step(state, batch)
     assert np.isfinite(float(m["loss"]))
     assert float(m["loss"]) < float(m0["loss"]) * 1.5
+
+
+def test_nonfinite_step_skipped(rng):
+    """A batch that produces a non-finite loss must leave params and
+    optimizer state untouched (reference Brain.fit_batch skips non-finite
+    losses) and report nonfinite_skipped=1; training then continues."""
+    trainer = make_trainer(num_decoder_layers=0,
+                           mesh=make_mesh(devices=jax.devices()[:1]))
+    batch = synth_batch(rng, b=4)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, _ = trainer.train_step(state, batch)  # one good step
+    params_before = jax.tree.map(np.asarray, state["params"])
+
+    poisoned = dict(batch, wav=batch["wav"].at[0, 0].set(jnp.nan))
+    state, m = trainer.train_step(state, poisoned)
+    assert int(m["nonfinite_skipped"]) == 1
+    assert not np.isfinite(float(m["loss"]))
+    for a, b in zip(jax.tree.leaves(params_before),
+                    jax.tree.leaves(jax.tree.map(np.asarray,
+                                                 state["params"]))):
+        np.testing.assert_array_equal(a, b)
+
+    # recovery: the next good step updates params again
+    state, m2 = trainer.train_step(state, batch)
+    assert int(m2["nonfinite_skipped"]) == 0
+    changed = any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(params_before),
+                        jax.tree.leaves(jax.tree.map(np.asarray,
+                                                     state["params"])))
+    )
+    assert changed
