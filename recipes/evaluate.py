@@ -359,31 +359,14 @@ def main():
                 blank_id=cfg.model.blank_index,
                 max_length=lmax,
             )
-            lm_cache = (lm_make_cache(enc_t.shape[0], bc.max_length + 1)
-                        if lm_step else None)
-            if cfg.model.decoder_attention_type in ("regularMHA",
-                                                    "vanillaMHA"):
-                cache = model.apply(params, enc_t, bc.max_length + 1,
-                                    method=model.decode_cache_init)
+            from train import make_beam_step  # noqa: E402
 
-                def step(last_tok, step_i, cache):
-                    return model.apply(params, last_tok, step_i, cache,
-                                       enc_pad,
-                                       method=model.decode_step_cached)
-
-                toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t,
-                                                bc, cache=cache,
-                                                lm_step_fn=lm_step,
-                                                lm_cache=lm_cache)
-            else:
-                # Summary Decoder (README.md:35): full-prefix step, no KV
-                def step_plain(tokens, step_i):
-                    return model.apply(params, tokens, enc_t, len_t, step_i,
-                                       method=model.decode_position)
-
-                toks, lens, _ = s2s_beam_search(step_plain, enc_t, len_t,
-                                                ctc_t, bc, lm_step_fn=lm_step,
-                                                lm_cache=lm_cache)
+            step, cache, lm_cache = make_beam_step(
+                cfg, model, params, enc_t, len_t, enc_pad, bc, lm_step,
+                lm_make_cache)
+            toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t, bc,
+                                            cache=cache, lm_step_fn=lm_step,
+                                            lm_cache=lm_cache)
             toks, lens = np.asarray(toks), np.asarray(lens)
             hyps = [list(toks[i, : lens[i]]) for i in range(toks.shape[0])]
         else:

@@ -299,10 +299,11 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                 state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
                 restored = ckpt.restore(jax.tree.map(np.asarray, state))
                 if restored is not None:
-                    state, step = restored, int(restored["step"])
+                    state = _fix_restored_rng(restored)
+                    step = int(state["step"])
             state, metrics = trainer.train_step(state, batch)
             step += 1
-            profiler.step(step)
+            profiler.step(step, metrics["loss"])
             train_losses.append(metrics["loss"])  # device scalar, no sync
             if args.steps and step >= args.steps:
                 break
@@ -345,8 +346,7 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
         logger.log_stats(
             {"epoch": epoch, "steps": step,
              "epoch_s": round(time.time() - t0, 1)},
-            {"loss": float(np.mean([float(x) for x in train_losses]))
-             if train_losses else 0.0},
+            _epoch_loss_stats(train_losses),
             {"loss": float(np.mean([float(x) for x in val_losses]))
              if val_losses else 0.0,
              cfg.error_rate.upper(): summary["WER"]},
@@ -445,6 +445,32 @@ def make_lm_fusion(cfg, lm_ckpt_dir):
     return lm_step, make_cache
 
 
+
+def make_beam_step(cfg, model, params, enc_t, len_t, enc_pad, bc,
+                   lm_step, lm_make_cache):
+    """Beam-search step construction shared by train.py beam_validate and
+    evaluate.py: KV-cached decoder stepping for MHA decoders, full-prefix
+    decode_position for the Summary Decoder (README.md:35 — KV caching is
+    MHA-only). Returns (step_fn, cache, lm_cache)."""
+    lm_cache = (lm_make_cache(enc_t.shape[0], bc.max_length + 1)
+                if lm_step else None)
+    if cfg.model.decoder_attention_type in ("regularMHA", "vanillaMHA"):
+        cache = model.apply(params, enc_t, bc.max_length + 1,
+                            method=model.decode_cache_init)
+
+        def step(last_tok, step_i, cache):
+            return model.apply(params, last_tok, step_i, cache, enc_pad,
+                               method=model.decode_step_cached)
+
+        return step, cache, lm_cache
+
+    def step_plain(tokens, step_i):
+        return model.apply(params, tokens, enc_t, len_t, step_i,
+                           method=model.decode_position)
+
+    return step_plain, None, lm_cache
+
+
 def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
                   fbank, lm_ckpt=None, beam_size=None):
     """Joint CTC/attention beam search (the reference's valid_search stage,
@@ -483,29 +509,12 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
             blank_id=cfg.model.blank_index,
             max_length=lmax,
         )
-        lm_cache = (lm_make_cache(enc_t.shape[0], bc.max_length + 1)
-                    if lm_step else None)
-        if cfg.model.decoder_attention_type in ("regularMHA", "vanillaMHA"):
-            cache = model.apply(params, enc_t, bc.max_length + 1,
-                                method=model.decode_cache_init)
-
-            def step(last_tok, step_i, cache):
-                return model.apply(params, last_tok, step_i, cache, enc_pad,
-                                   method=model.decode_step_cached)
-
-            toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t, bc,
-                                            cache=cache, lm_step_fn=lm_step,
-                                            lm_cache=lm_cache)
-        else:
-            # Summary Decoder (README.md:35): no KV cache — full-prefix
-            # decode step per position
-            def step_plain(tokens, step_i):
-                return model.apply(params, tokens, enc_t, len_t, step_i,
-                                   method=model.decode_position)
-
-            toks, lens, _ = s2s_beam_search(step_plain, enc_t, len_t, ctc_t,
-                                            bc, lm_step_fn=lm_step,
-                                            lm_cache=lm_cache)
+        step, cache, lm_cache = make_beam_step(
+            cfg, model, params, enc_t, len_t, enc_pad, bc, lm_step,
+            lm_make_cache)
+        toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t, bc,
+                                        cache=cache, lm_step_fn=lm_step,
+                                        lm_cache=lm_cache)
         toks, lens = np.asarray(toks), np.asarray(lens)
         keep = []
         for i, u in enumerate(idx):
@@ -576,21 +585,61 @@ class StepProfiler:
     def __init__(self, log_dir, n_steps=5, skip=3):
         self.log_dir, self.n, self.skip = log_dir, n_steps, skip
         self.on = False
+        self._seen = 0          # steps seen THIS run (resume-safe)
 
-    def step(self, step):
+    def step(self, step, sync=None):
+        """Call after each train step; `sync` is a device scalar from that
+        step (e.g. the loss). Dispatch is async, so the trace boundaries
+        drain the device first — otherwise the host races ahead and the
+        window can close before one profiled step has executed."""
         if not self.log_dir:
             return
-        if not self.on and step == self.skip:
+        self._seen += 1
+        if not self.on and self._seen == self.skip:
+            if sync is not None:
+                np.asarray(sync)  # host fetch = reliable sync (CLAUDE.md)
             jax.profiler.start_trace(self.log_dir)
             self.on = True
-        elif self.on and step >= self.skip + self.n:
-            self.close()
+        elif self.on and self._seen >= self.skip + self.n:
+            self.close(sync)
 
-    def close(self):
+    def close(self, sync=None):
         if self.on:
+            if sync is not None:
+                np.asarray(sync)
             jax.profiler.stop_trace()
             self.on = False
             print(f"profiler trace written to {self.log_dir}")
+
+
+
+
+def _epoch_loss_stats(train_losses):
+    """Mean train loss over the epoch, excluding batches whose update was
+    skipped as non-finite (their NaN loss would otherwise poison the log);
+    reports the skip count alongside."""
+    arr = np.asarray([float(x) for x in train_losses], np.float64)
+    finite = arr[np.isfinite(arr)]
+    stats = {"loss": float(finite.mean()) if finite.size else 0.0}
+    skipped = int(arr.size - finite.size)
+    if skipped:
+        stats["nonfinite_skipped"] = skipped
+    return stats
+
+
+def _fix_restored_rng(state):
+    """Re-seed the rng leaf if a restored checkpoint was saved under a
+    different PRNG implementation (e.g. a pre-rbg threefry run resumed
+    under the rbg default): key shapes differ (uint32[2] vs uint32[4]) and
+    jax.random.split would crash. Only the dropout stream restarts."""
+    expected = jax.random.PRNGKey(0).shape
+    if tuple(state["rng"].shape) != tuple(expected):
+        print("NOTE: checkpointed rng was saved under a different PRNG "
+              "implementation; re-seeding the dropout stream "
+              f"(training.rng_impl now gives key shape {tuple(expected)})")
+        state = dict(state)
+        state["rng"] = jax.random.PRNGKey(int(state["step"]))
+    return state
 
 
 def parse_overrides(pairs):
@@ -703,11 +752,11 @@ def main():
                 state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
                 restored = ckpt.restore(jax.tree.map(np.asarray, state))
                 if restored is not None:
-                    state = restored
+                    state = _fix_restored_rng(restored)
                     step = int(state["step"])
             state, metrics = trainer.train_step(state, batch)
             step += 1
-            profiler.step(step)
+            profiler.step(step, metrics["loss"])
             train_losses.append(metrics["loss"])  # device scalar, no sync
             if ckpt.should_save():
                 ckpt.save(step, jax.tree.map(np.asarray, state))
@@ -758,8 +807,7 @@ def main():
         logger.log_stats(
             {"epoch": epoch, "steps": step,
              "epoch_s": round(time.time() - t0, 1)},
-            {"loss": float(np.mean([float(x) for x in train_losses]))
-             if train_losses else 0.0},
+            _epoch_loss_stats(train_losses),
             valid_stats,
         )
         state = trainer.next_epoch(state)

@@ -115,8 +115,9 @@ class TrainingConfig:
     # JAX PRNG implementation for the run. "rbg" (hardware RngBitGenerator)
     # makes dropout mask generation ~free: measured 80 -> 59 ms/step (-26%)
     # on the flagship train step (benchmarks/RESULTS.md). "threefry" gives
-    # the counter-based, implementation-stable stream. Changing this mid-run
-    # invalidates only the checkpointed rng leaf.
+    # the counter-based, implementation-stable stream. Resuming a
+    # checkpoint saved under a different impl re-seeds the dropout stream
+    # (key shapes differ; recipes/train.py::_fix_restored_rng).
     rng_impl: str = "rbg"
     ctc_weight: float = 0.3
     ce_weight: float = 0.0   # transducer CE aux (yaml:319-320, optional MTL)

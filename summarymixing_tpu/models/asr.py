@@ -12,7 +12,10 @@ TransformerInterface (Transformer.py:34-281):
 - abs-sine positional encoding added for fixed_abs_sine (and for the
   SummaryMixing encoder), RelPosMHAXL table otherwise; hypermixing gets none
   (:396-407)
-- decoder hardwired to regularMHA like the reference (Transformer.py:274).
+- decoder self-attention defaults to regularMHA like the reference
+  (Transformer.py:274); `decoder_attention_type="SummaryMixing"` enables
+  the paper's Summary Decoder variant (README.md:35) the reference
+  branch dropped.
 - `encode` / `decode_step` for encoder-only use and beam search (:453-560)
 - EncoderWrapper (:687-741) -> `EncoderASR` here.
 

@@ -629,3 +629,25 @@ def test_profile_flag_writes_trace(tmp_path):
     assert "profiler trace written" in res.stdout
     files = [f for _, _, fs in os.walk(prof) for f in fs]
     assert files
+
+
+def test_fix_restored_rng():
+    """Resuming a checkpoint saved under a different PRNG implementation
+    re-seeds the rng leaf instead of crashing jax.random.split (key shapes
+    differ between threefry uint32[2] and rbg uint32[4])."""
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(REPO, "recipes"))
+    from train import _fix_restored_rng
+
+    native = jax.random.PRNGKey(0)
+    other_shape = (4,) if native.shape == (2,) else (2,)
+    state = {"rng": np.zeros(other_shape, np.uint32),
+             "step": np.asarray(7, np.int32)}
+    fixed = _fix_restored_rng(state)
+    assert tuple(fixed["rng"].shape) == tuple(native.shape)
+    jax.random.split(fixed["rng"])  # must not raise
+
+    ok = {"rng": np.asarray(native), "step": np.asarray(7, np.int32)}
+    assert _fix_restored_rng(ok)["rng"] is ok["rng"]  # untouched
