@@ -230,7 +230,12 @@ class NormStats:
     def mean_std(stats: dict) -> Tuple[Array, Array]:
         mean = stats["mean"]
         var = stats["m2"] / jnp.maximum(stats["count"] - 1.0, 1.0)
-        return mean, jnp.sqrt(jnp.maximum(var, 1e-10))
+        std = jnp.sqrt(jnp.maximum(var, 1e-10))
+        # fresh stats (count 0, e.g. a torch-converted checkpoint without
+        # normalizer state): neutral normalization instead of std=1e-5
+        # amplifying features 1e5x
+        seen = stats["count"] > 0
+        return jnp.where(seen, mean, 0.0), jnp.where(seen, std, 1.0)
 
 
 @dataclass(frozen=True)

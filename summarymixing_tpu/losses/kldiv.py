@@ -16,7 +16,9 @@ Array = jax.Array
 def _length_mask(lengths: Optional[Array], b: int, u: int, dtype) -> Array:
     if lengths is None:
         return jnp.ones((b, u), dtype)
-    return (jnp.arange(u)[None, :] < lengths[:, None]).astype(dtype)
+    from summarymixing_tpu.ops.masks import length_to_mask
+
+    return length_to_mask(lengths, u).astype(dtype)
 
 
 def kldiv_loss(

@@ -230,7 +230,11 @@ class TransformerASR(nn.Module):
                 local_proj_hid_dim=self.local_proj_hid_dim,
                 local_proj_out_dim=self.d_model,
                 summary_hid_dim=self.summary_hid_dim,
-                mode=self.mode,
+                # the decoder's self-attention is causal (lookahead
+                # sum_mask), which lite cannot express — the paper's
+                # Summary Decoder is the full cell (arXiv:2307.07421 §4.4)
+                mode=("SummaryMixing"
+                      if self.mode == "SummaryMixing-lite" else self.mode),
                 causal=True,
                 name="decoder",
                 **common,

@@ -174,8 +174,20 @@ class MultiheadAttention(nn.Module):
 def rel_shift(x: Array) -> Array:
     """TXL relative shift: x [B, H, T, 2T-1] (keys ordered most-past ->
     most-future) -> [B, H, T, T] where out[..., t, s] = x[..., t, (T-1) - t + s].
-    Pure reshape/slice — no gather, TPU friendly."""
+    Pure reshape/slice — no gather, TPU friendly.
+
+    Square attention only (T queries over T keys): the reshape trick needs
+    w == 2T-1 with matching query count. Cross-attention with mismatched
+    lengths has no well-defined relative alignment — use regularMHA there
+    (the reference's decoders are hardwired regularMHA, Transformer.py:274).
+    """
     b, h, t, w = x.shape  # w == 2t - 1
+    if w != 2 * t - 1:
+        raise ValueError(
+            f"rel_shift requires square attention (got {t} queries, "
+            f"pos width {w} != 2*{t}-1); RelPosMHAXL cross-attention with "
+            "mismatched query/key lengths is unsupported — use regularMHA"
+        )
     x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # [B,H,T,2T]
     x = x.reshape(b, h, 2 * t, t)
     x = x[:, :, 1:, :]  # drop first row

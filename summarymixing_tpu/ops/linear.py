@@ -47,17 +47,23 @@ Array = jax.Array
 gelu_exact = partial(jax.nn.gelu, approximate=False)
 
 
-def uniform_fan_in_init(scale: float = 1.0):
-    """Uniform(-s/sqrt(fan_in), s/sqrt(fan_in)) over the per-split input dim.
+def uniform_fan_in_init(scale: float = 1.0, fan_in: int | None = None):
+    """Uniform(-s/sqrt(fan_in), s/sqrt(fan_in)) — the effective distribution
+    of the reference's kaiming_uniform_(a=sqrt(5)) (VanillaNN.py:92-97):
+    with a=sqrt(5), bound = sqrt(6 / (6 * fan_in)) = 1/sqrt(fan_in).
 
-    This is the effective distribution of the reference's
-    kaiming_uniform_(a=sqrt(5)) on 2-D weights (VanillaNN.py:92-97): with
-    a=sqrt(5), bound = sqrt(6 / (6 * fan_in)) = 1/sqrt(fan_in).
+    torch computes fan_in on ITS tensor layouts (fan_in = size(1) *
+    prod(size()[2:])), which does not transfer to jax's [in, out] Dense
+    kernels or ParallelLinear's per-head tensors — pass `fan_in` explicitly
+    wherever the layout differs (ParallelLinear does below). The shape[-2]
+    fallback matches torch for jax [in, out] Dense kernels only.
     """
 
     def init(key, shape, dtype=jnp.float32):
-        fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
-        bound = scale / math.sqrt(fan_in)
+        fi = fan_in
+        if fi is None:
+            fi = shape[-2] if len(shape) >= 2 else shape[-1]
+        bound = scale / math.sqrt(fi)
         return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
     return init
@@ -83,8 +89,11 @@ class ParallelLinear(nn.Module):
     n_split: int = 1
     use_bias: bool = True
     combine_out_dims: bool = True
-    kernel_init: Callable = uniform_fan_in_init()
-    bias_init: Callable = uniform_fan_in_init()
+    # None = the reference's exact kaiming_uniform(a=sqrt(5)) bounds on
+    # torch's layouts: kernel [n_split, in, out] -> fan_in = in * out,
+    # bias [n_split, out] -> fan_in = out (VanillaNN.py:85-97)
+    kernel_init: Callable | None = None
+    bias_init: Callable | None = None
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -110,9 +119,11 @@ class ParallelLinear(nn.Module):
         split_in = x.shape[-1]
         split_out = self.features // self.n_split
 
+        kernel_init = self.kernel_init or uniform_fan_in_init(
+            fan_in=split_in * split_out)
         kernel = self.param(
             "kernel",
-            self.kernel_init,
+            kernel_init,
             (self.n_split, split_in, split_out),
             self.param_dtype,
         )
@@ -120,8 +131,10 @@ class ParallelLinear(nn.Module):
         # One batched matmul on the MXU: heads are the matmul batch dim.
         y = jnp.einsum("btmf,mfh->btmh", x, kernel, preferred_element_type=x.dtype)
         if self.use_bias:
+            bias_init = self.bias_init or uniform_fan_in_init(
+                fan_in=split_out)
             bias = self.param(
-                "bias", self.bias_init, (self.n_split, split_out), self.param_dtype
+                "bias", bias_init, (self.n_split, split_out), self.param_dtype
             )
             y = y + bias.astype(y.dtype)
         if self.combine_out_dims:
@@ -164,7 +177,6 @@ class SummaryNet(nn.Module):
                     features=feats,
                     n_split=self.n_split,
                     combine_out_dims=(i == n_layers - 1),
-                    bias_init=uniform_fan_in_init(),
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"layer_{i}",
@@ -173,9 +185,10 @@ class SummaryNet(nn.Module):
                 x = nn.Dense(
                     features=feats,
                     kernel_init=uniform_fan_in_init(),
+                    # torch Linear draws the bias from the WEIGHT's fan_in
                     bias_init=nn.initializers.zeros
                     if self.zero_bias_init
-                    else uniform_fan_in_init(),
+                    else uniform_fan_in_init(fan_in=x.shape[-1]),
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
                     name=f"layer_{i}",

@@ -85,6 +85,8 @@ def combine_padding(sum_mask: Optional[Array], pad_mask: Optional[Array]) -> Opt
     Returns [B, T, T] when both are given."""
     if sum_mask is None or pad_mask is None:
         return sum_mask
+    if sum_mask.ndim == 3:            # already per-utterance [B, T, T]
+        return sum_mask * pad_mask[:, None, :]
     return sum_mask[None, :, :] * pad_mask[:, None, :]
 
 

@@ -219,6 +219,14 @@ class SummaryMixing(nn.Module):
             pad_mask = pad_mask.astype(x.dtype)
         if sum_mask is not None:
             sum_mask = sum_mask.astype(jnp.float32)
+            if self.mode == "SummaryMixing-lite":
+                # the lite summary is a single global masked mean — there is
+                # no per-step weighting to restrict, so silently accepting a
+                # causal/chunked mask would train non-causally
+                raise ValueError(
+                    "SummaryMixing-lite has no sum_mask path; use the full "
+                    "or fast mode for causal / limited-context mixing"
+                )
 
         if self.mode in ("SummaryMixing", "SummaryMixing-expdecay"):
             return self._mix(x, sum_mask, pad_mask, deterministic)
@@ -234,7 +242,16 @@ class SummaryMixing(nn.Module):
 
         if self.mode == "SummaryMixing-expdecay":
             decay = laplace_weights(t, self.decay_constant)
-            sum_mask = decay if sum_mask is None else decay * sum_mask
+            if sum_mask is None:
+                # embed padding into the decay columns so the rowsum
+                # normalises by valid decay mass only. The reference divides
+                # by the raw rowsum (summary_mixing.py:233-235), attenuating
+                # short utterances in proportion to bucket padding — a
+                # padding-variance bug this build's strict-invariance
+                # convention does not replicate.
+                sum_mask = decay[None, :, :] * pad_mask[:, :, 0][:, None, :]
+            else:
+                sum_mask = decay * sum_mask
 
         if sum_mask is None:
             pooled = masked_time_mean(summary, pad_mask)

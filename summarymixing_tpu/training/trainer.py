@@ -55,6 +55,12 @@ class TrainerConfig:
     # no feature augmentation before this step (VoxPopuli yaml:41)
     augment_warmup_steps: int = 0
     normalize_update_until_epoch: int = 4
+    # reference TransformerASR._init_params (TransformerASR.py:681-684):
+    # AFTER construction, every >1-D parameter of the ASR module is redrawn
+    # xavier-normal, overwriting the SummaryMixing cell's own init — a quirk
+    # every reference-trained model inherits, so from-scratch training
+    # reproduces it (False for experiments keeping the cell's native init)
+    xavier_init_overwrite: bool = True
 
 
 class ASRTrainer:
@@ -86,9 +92,15 @@ class ASRTrainer:
         feats = self.fbank(example_batch["wav"][:1])
         feat_len = self.fbank.frame_lengths(example_batch["wav_lens"][:1])
         tokens_bos = self._add_bos(example_batch["tokens"][:1])
+        rng, init_rng = jax.random.split(rng)
         params = self.model.init(
             {"params": rng}, feats, feat_len, tokens_bos
         )["params"]
+        if self.config.xavier_init_overwrite and "asr" in params:
+            from summarymixing_tpu.utils.init import xavier_normal_overwrite
+
+            params = dict(params)
+            params["asr"] = xavier_normal_overwrite(init_rng, params["asr"])
         state = {
             "params": params,
             "opt_state": self.tx.init(params),

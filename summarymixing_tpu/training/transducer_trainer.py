@@ -76,6 +76,9 @@ class TransducerTrainerConfig:
     augment_warmup_steps: int = 0
     normalize_update_until_epoch: int = 4
     dct: Optional[DynChunkTrainSamplerConfig] = DynChunkTrainSamplerConfig()
+    # reference TransformerASR.py:681-684 xavier-normal overwrite of the
+    # ASR module (see trainer.py)
+    xavier_init_overwrite: bool = True
 
 
 class TransducerTrainer:
@@ -104,12 +107,18 @@ class TransducerTrainer:
         self._eval_loss = jax.jit(self._eval_loss_impl)
 
     def init_state(self, rng: Array, example_batch: Dict[str, Array]) -> Dict:
-        r1, r2 = jax.random.split(rng)
+        r1, r2, r3 = jax.random.split(rng, 3)
         feats = self.fbank(example_batch["wav"][:1])
         feat_len = self.fbank.frame_lengths(example_batch["wav_lens"][:1])
         enc_params = self.encoder_model.init({"params": r1}, feats, feat_len)[
             "params"
         ]
+        if self.config.xavier_init_overwrite and "asr" in enc_params:
+            from summarymixing_tpu.utils.init import xavier_normal_overwrite
+
+            enc_params = dict(enc_params)
+            enc_params["asr"] = xavier_normal_overwrite(
+                r3, enc_params["asr"])
         enc_out, _ = self.encoder_model.apply(
             {"params": enc_params}, feats, feat_len,
             method=self.encoder_model.encode,

@@ -64,6 +64,11 @@ def test_torch_oracle_parity(mode, nhead, masked, rng):
     p = draw_summary_mixing(
         1234 + nhead, fea, nhead, [32], local_out, [64], summary_out, mode
     )
+    if masked and mode == "SummaryMixing-lite":
+        # deliberate deviation: the reference's lite path silently IGNORES
+        # sum_mask (no per-step weighting exists); this build raises
+        # instead of training non-causally (see test below)
+        pytest.skip("lite + sum_mask raises by design")
     sum_mask_t = pad_t = sum_mask_j = pad_j = None
     if masked:
         # random binary context mask with nonzero rows + padding mask
@@ -211,3 +216,56 @@ def test_fully_masked_rows_do_not_nan(rng):
     # two stacked applications (the contamination path)
     out2 = cell.apply(params, out, sum_mask=sm, pad_mask=pad)
     assert np.isfinite(np.asarray(out2)[0, :10]).all()
+
+
+def test_lite_rejects_sum_mask(rng):
+    """SummaryMixing-lite has no per-step weighting, so a causal/chunked
+    sum_mask cannot be honoured; the reference silently ignores it
+    (summary_mixing.py:286-310 takes no sum_mask) — this build raises so a
+    'causal' config can never train non-causally by accident."""
+    x = jnp.asarray(rng.standard_normal((2, 5, 8)), jnp.float32)
+    cell = make_cell("SummaryMixing-lite", 1, fea=8)
+    params = cell.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="lite"):
+        cell.apply(params, x, sum_mask=jnp.ones((5, 5)))
+
+
+def test_expdecay_padding_invariance(rng):
+    """exp-decay summaries must not depend on how much trailing padding the
+    bucket adds (the reference normalises by the decay mass of ALL columns
+    including padding, summary_mixing.py:233-235 — deviation documented in
+    the cell)."""
+    batch, time, fea = 2, 6, 8
+    x = rng.standard_normal((batch, time, fea)).astype(np.float32)
+    cell = make_cell("SummaryMixing-expdecay", 1, fea=fea)
+    params = cell.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    lens = np.array([time, time - 3])
+    pad = (np.arange(time)[None, :] < lens[:, None]).astype(np.float32)
+    out1 = cell.apply(params, jnp.asarray(x), pad_mask=jnp.asarray(pad))
+
+    extra = 4
+    x2 = np.concatenate(
+        [x, rng.standard_normal((batch, extra, fea)).astype(np.float32)], 1)
+    pad2 = (np.arange(time + extra)[None, :] < lens[:, None]).astype(
+        np.float32)
+    out2 = cell.apply(params, jnp.asarray(x2), pad_mask=jnp.asarray(pad2))
+    for b in range(batch):
+        np.testing.assert_allclose(np.asarray(out1)[b, : lens[b]],
+                                   np.asarray(out2)[b, : lens[b]],
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_parallel_linear_init_matches_torch_bounds(rng):
+    """kaiming_uniform(a=sqrt(5)) bounds on the reference's tensor layouts
+    (VanillaNN.py:85-97): kernel [n_split, in, out] -> 1/sqrt(in*out)
+    (torch fan_in = size(1)*prod(size()[2:])), bias [n_split, out] ->
+    1/sqrt(out)."""
+    from summarymixing_tpu.ops.linear import ParallelLinear
+
+    pl = ParallelLinear(features=64, n_split=4)
+    p = pl.init(jax.random.PRNGKey(0), jnp.ones((2, 5, 32)))["params"]
+    k, b = np.asarray(p["kernel"]), np.asarray(p["bias"])
+    kb = 1.0 / np.sqrt(8 * 16)       # split_in=8, split_out=16
+    bb = 1.0 / np.sqrt(16)
+    assert np.abs(k).max() <= kb * 1.0001 and np.abs(k).max() > kb * 0.9
+    assert np.abs(b).max() <= bb * 1.0001 and np.abs(b).max() > bb * 0.8

@@ -380,3 +380,35 @@ def test_nonfinite_step_skipped(rng):
                                                      state["params"])))
     )
     assert changed
+
+
+def test_xavier_overwrite_applied_to_asr_subtree(rng):
+    """The reference's model-level xavier-normal re-init
+    (TransformerASR.py:681-684) runs at trainer init: ASR params differ
+    from the flax/module init, CNN frontend params are untouched, and
+    disabling the flag restores the module init."""
+    mesh = make_mesh(devices=jax.devices()[:1])
+    batch = synth_batch(rng, b=2)
+
+    def init_params(xavier):
+        trainer = make_trainer(num_decoder_layers=0, mesh=mesh)
+        trainer.config = TrainerConfig(ctc_weight=1.0, augment=None,
+                                       xavier_init_overwrite=xavier)
+        return trainer.init_state(jax.random.PRNGKey(0), batch)["params"]
+
+    p_on = init_params(True)
+    p_off = init_params(False)
+    asr_same = all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(p_on["asr"]),
+                        jax.tree.leaves(p_off["asr"]))
+    )
+    assert not asr_same
+    for a, b in zip(jax.tree.leaves(p_on["cnn"]),
+                    jax.tree.leaves(p_off["cnn"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # only >1-D leaves are redrawn (biases/norm scales untouched)
+    for a, b in zip(jax.tree.leaves(p_on["asr"]),
+                    jax.tree.leaves(p_off["asr"])):
+        if np.asarray(a).ndim <= 1:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
