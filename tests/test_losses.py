@@ -163,3 +163,30 @@ def test_kldiv_smoothing_penalises_confidence(rng):
     l_soft = kldiv_loss(soft, tgt, label_smoothing=smooth)
     # with heavy smoothing, the overconfident model is worse
     assert float(l_conf) > float(l_soft)
+
+
+def test_ctc_matches_optax(rng):
+    """The native unrolled alpha recursion == optax.ctc_loss across lengths
+    (incl. zero-length targets, repeated labels, padded frames)."""
+    import optax
+    from summarymixing_tpu.losses.ctc import ctc_loss
+
+    b, t, v, u = 4, 20, 9, 5
+    logits = jnp.asarray(rng.standard_normal((b, t, v)), jnp.float32)
+    lp = jax.nn.log_softmax(logits, -1)
+    targets = jnp.asarray([[1, 2, 2, 3, 4],
+                           [5, 5, 5, 0, 0],
+                           [1, 0, 0, 0, 0],
+                           [0, 0, 0, 0, 0]], jnp.int32)
+    tlens = jnp.asarray([5, 3, 1, 0])
+    ilens = jnp.asarray([20, 14, 9, 6])
+    ours = ctc_loss(lp, ilens, targets, tlens, reduction="none")
+    logit_pad = (jnp.arange(t)[None, :] >= ilens[:, None]).astype(jnp.float32)
+    label_pad = (jnp.arange(u)[None, :] >= tlens[:, None]).astype(jnp.float32)
+    want = optax.ctc_loss(lp, logit_pad, targets, label_pad, blank_id=0)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    # gradients finite
+    g = jax.grad(lambda x: ctc_loss(jax.nn.log_softmax(x, -1), ilens,
+                                    targets, tlens))(logits)
+    assert np.isfinite(np.asarray(g)).all()
