@@ -56,7 +56,7 @@ from summarymixing_tpu.decoding.s2s_beam import (
     s2s_beam_search,
     tile_for_beam,
 )
-from summarymixing_tpu.frontend.features import InputNormalization, NormStats
+from summarymixing_tpu.frontend.features import NormStats
 from summarymixing_tpu.ops.masks import length_to_mask
 from summarymixing_tpu.parallel.mesh import make_mesh
 from summarymixing_tpu.training.checkpoint import CheckpointManager, average_checkpoints

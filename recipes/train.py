@@ -58,7 +58,7 @@ from summarymixing_tpu.data.batching import (
     pad_batch,
     prefetch,
 )
-from summarymixing_tpu.data.dataio import load_wav, read_manifest_csv
+from summarymixing_tpu.data.dataio import read_manifest_csv
 from summarymixing_tpu.data.tokenizer import CharTokenizer
 from summarymixing_tpu.frontend.augment import speed_perturb_batch
 from summarymixing_tpu.frontend.features import Fbank

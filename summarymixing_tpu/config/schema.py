@@ -6,7 +6,7 @@ the reference recipes finds the same knobs with the same meanings."""
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 
 @dataclass

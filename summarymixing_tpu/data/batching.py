@@ -11,11 +11,10 @@ duration budget."""
 
 from __future__ import annotations
 
-import math
 import queue
 import threading
 from dataclasses import dataclass
-from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Iterable, Iterator, List, Sequence, Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ import json
 import os
 import wave
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

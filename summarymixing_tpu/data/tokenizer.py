@@ -10,7 +10,7 @@ code, so the wheel is used as-is when installed and cleanly gated when not
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 try:  # pragma: no cover - environment dependent
     import sentencepiece as _spm

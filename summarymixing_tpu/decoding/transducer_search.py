@@ -14,7 +14,6 @@ state_beam 2.3 / expand_beam 2.3 (arXiv:1904.02619) + lm_weight 0.5 (test).
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Tuple
 

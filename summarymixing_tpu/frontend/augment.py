@@ -21,7 +21,7 @@ Randomness: every function takes a jax PRNG key (replaces torch global RNG).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax

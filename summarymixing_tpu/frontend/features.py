@@ -28,7 +28,6 @@ Example:
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple

@@ -30,7 +30,7 @@ Example (mirrors the reference doctest, Branchformer.py:148-156):
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ mixers (attn_mask/pad_mask/pos_embs).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ scan) and an explicit-state `step` (greedy/beam search)."""
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ Mask convention: float 1=valid/allowed everywhere (see ops/masks.py).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
