@@ -248,6 +248,10 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
     summary = stats.summarize()
     summary["utterances"] = n_utts
     summary["wall_s"] = round(time.time() - t0, 1)
+    audio_s = sum(u.duration for u in test_set)
+    summary["audio_s"] = round(audio_s, 1)
+    # wall-clock RTF incl. batching/host work (the reference reports none)
+    summary["rtf"] = round(summary["wall_s"] / max(audio_s, 1e-9), 5)
     if args.streaming:
         summary["decode"] = "transducer_streaming_greedy"
         summary["chunk_frames"] = args.chunk_size
@@ -388,6 +392,10 @@ def main():
     summary = stats.summarize()
     summary["utterances"] = n_utts
     summary["wall_s"] = round(time.time() - t0, 1)
+    audio_s = sum(u.duration for u in test_set)
+    summary["audio_s"] = round(audio_s, 1)
+    # wall-clock RTF incl. batching/host work (the reference reports none)
+    summary["rtf"] = round(summary["wall_s"] / max(audio_s, 1e-9), 5)
     summary["decode"] = (
         ("beam+lm" if lm_step else "beam") if args.beam else "greedy_ctc"
     )
