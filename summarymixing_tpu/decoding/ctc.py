@@ -1,8 +1,12 @@
 """CTC decoding: greedy (device-side, static shapes) and host collapse.
 
-Greedy CTC is the decode path of the minimum end-to-end slice (BASELINE.json
-config #1). Beam search with CTC prefix scoring lives in
-decoding/s2s_beam.py (joint CTC/attention) per SURVEY.md §2.3."""
+Capability parity: speechbrain.decoders.ctc_greedy_decode — argmax per
+frame, collapse repeats, strip blanks — as used by the recipes' per-epoch
+validation decode (the reference Brain's valid stage before the beam
+stages of branchformer_summarymixing.yaml:248-269). Greedy CTC is also
+the decode path of the minimum end-to-end slice (BASELINE.json config #1).
+Beam search with CTC prefix scoring lives in decoding/s2s_beam.py (joint
+CTC/attention) per SURVEY.md §2.3."""
 
 from __future__ import annotations
 

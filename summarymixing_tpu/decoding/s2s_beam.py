@@ -130,6 +130,15 @@ def s2s_beam_search(
             _NEG,
             base_lp,
         )
+        if use_ctc:
+            # the blank id is not a transcript token: the reference's
+            # CTCPrefixScorer sets psi[:, blank] = -inf. Without this,
+            # psi(g + blank) ~= psi(g) makes blank the single BEST CTC
+            # delta and an uncertain attention decoder emits blank into
+            # the transcript.
+            base_lp = jnp.where(
+                jnp.arange(v)[None, :] == config.blank_id, _NEG, base_lp
+            )
 
         if use_ctc:
             cand_lp, cand_ids = jax.lax.top_k(base_lp, k)  # [N, K]

@@ -43,8 +43,16 @@ def transducer_greedy_decode(
     per-chunk enc_proj/enc_lengths; tokens/lengths accumulate across chunks —
     the incremental decode of reference TransducerBeamSearcher over
     `encode_streaming` chunks (SURVEY.md §3.4), with the decoder state as an
-    explicit carry."""
+    explicit carry. `max_tokens` must be sized for the WHOLE stream on the
+    first chunk: the carried token buffer cannot grow, so the chunk-derived
+    default would silently truncate later chunks (enforced below)."""
     b, t, j = enc_proj.shape
+    if return_carry and carry is None and max_tokens is None:
+        raise ValueError(
+            "streaming decode (return_carry=True) requires max_tokens sized "
+            "for the whole stream — the carried token buffer cannot grow "
+            "past the first chunk's default"
+        )
     if carry is not None:
         pred_state, dec_proj, tokens0, lens0 = carry
         umax = tokens0.shape[1]

@@ -460,3 +460,58 @@ def test_summary_decoder_beam_search(rng):
                                          config)
     assert toks.shape[0] == 4 and int(np.max(np.asarray(lens))) <= 6
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_beam_never_emits_blank(rng):
+    """The reference CTCPrefixScorer sets psi[:, blank] = -inf: a literal
+    blank extension scores psi(g+blank) ~= psi(g), the best possible CTC
+    delta, so without masking an uncertain attention decoder emits blank
+    into the transcript."""
+    trainer, state, batch, _ = _train_tiny_joint(rng, steps=5)  # uncertain
+    model = trainer.model
+    cfg = trainer.config
+    feats = trainer.fbank(batch["wav"])
+    feat_lens = trainer.fbank.frame_lengths(batch["wav_lens"])
+    feats, _ = trainer.normalize(feats, state["norm_stats"])
+    enc_out, enc_lens = model.apply(
+        {"params": state["params"]}, feats, feat_lens, method=model.encode)
+    ctc_lp = model.apply({"params": state["params"]}, enc_out,
+                         method=model.ctc_head)
+    beam = 4
+    enc_t = tile_for_beam(enc_out, beam)
+    len_t = tile_for_beam(enc_lens, beam)
+    ctc_t = tile_for_beam(ctc_lp, beam)
+
+    def step(tokens, s):
+        return model.apply({"params": state["params"]}, tokens, enc_t, len_t,
+                           s, method=model.decode_position)
+
+    config = S2SBeamConfig(beam_size=beam, ctc_weight=0.4, lm_weight=0.0,
+                           bos_id=cfg.bos_id, eos_id=cfg.eos_id,
+                           blank_id=cfg.blank_id, max_length=8, min_steps=1)
+    toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t, config)
+    toks, lens = np.asarray(toks), np.asarray(lens)
+    for i in range(toks.shape[0]):
+        assert cfg.blank_id not in toks[i, : lens[i]], toks[i, : lens[i]]
+
+
+def test_streaming_greedy_requires_max_tokens():
+    """return_carry=True without max_tokens would silently truncate later
+    chunks at the first chunk's budget — must raise instead."""
+    from summarymixing_tpu.decoding.transducer_search import (
+        transducer_greedy_decode,
+    )
+
+    def predictor_init(b):
+        return {"h": jnp.zeros((b, 1))}
+
+    def predictor_step(state, tok):
+        return state, jnp.zeros((tok.shape[0], 4))
+
+    def joint_step(enc_frame, proj):
+        return jnp.zeros((enc_frame.shape[0], 5))
+
+    with pytest.raises(ValueError, match="max_tokens"):
+        transducer_greedy_decode(
+            jnp.zeros((1, 4, 3)), jnp.asarray([4]), predictor_init,
+            predictor_step, joint_step, return_carry=True)
