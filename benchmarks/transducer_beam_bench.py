@@ -40,7 +40,7 @@ def main():
                     help="host utterances to time (slow), extrapolated")
     args = ap.parse_args()
 
-    m = TransducerModel(vocab=args.vocab, enc_dim=512, dec_dim=512,
+    m = TransducerModel(vocab=args.vocab, dec_dim=512,
                         joint_dim=640)
     rng = np.random.default_rng(0)
     enc = jnp.asarray(rng.standard_normal((args.batch, args.frames, 512)),

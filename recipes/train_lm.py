@@ -142,9 +142,10 @@ def main():
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, inp, tgt, lens):
+    def train_step(params, opt_state, inp, tgt, lens, rng):
         def loss_fn(p):
-            logits = model.apply({"params": p}, inp)
+            logits = model.apply({"params": p}, inp, deterministic=False,
+                                 rngs={"dropout": rng})
             lp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
             mask = (jnp.arange(inp.shape[1])[None, :] < lens[:, None])
@@ -164,8 +165,9 @@ def main():
         for inp, tgt, lens in lm_batches(token_seqs, lm_cfg.max_seq_len,
                                          lm_cfg.batch_tokens,
                                          cfg.seed + epoch):
-            params, opt_state, loss = train_step(params, opt_state, inp,
-                                                 tgt, lens)
+            params, opt_state, loss = train_step(
+                params, opt_state, inp, tgt, lens,
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step))
             losses.append(loss)
             step += 1
             if args.steps and step >= args.steps:

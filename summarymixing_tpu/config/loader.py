@@ -126,6 +126,7 @@ def build_model(cfg: RecipeConfig):
         # (reference yaml:169 activation: !ref <activation> = GELU)
         activation=act,
         remat=m.remat,
+        max_length=m.max_length,
         dtype=dtype,
     )
     model = SpeechRecognizer(
@@ -149,7 +150,7 @@ def build_model(cfg: RecipeConfig):
         t = cfg.transducer
         transducer = TransducerModel(
             vocab=m.output_neurons,
-            enc_dim=m.d_model,
+            joint_type=t.joint,
             dec_dim=t.dec_dim,
             joint_dim=t.joint_dim,
             blank_id=m.blank_index,

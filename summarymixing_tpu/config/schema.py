@@ -73,6 +73,11 @@ class ModelConfig:
     summary_hid_dim: Tuple[int, ...] = (512,)
     summary_out_dim: int = 512
     causal: bool = False
+    # positional-encoding table length in post-subsample frames (~40 ms
+    # each). Streams/utterances longer than this clamp to the last PE
+    # window — raise for very long-form audio (reference yaml max_length
+    # is the same knob on PositionalEncoding)
+    max_length: int = 2500
     # rematerialize encoder layers in the backward pass: peak activation
     # memory O(T) instead of O(layers*T) for one extra forward's FLOPs
     # (TPU-native memory lever; no reference equivalent)
@@ -92,6 +97,8 @@ class ModelConfig:
 @dataclass
 class TransducerConfig:
     joint_dim: int = 640
+    # joint combination (reference transducer yaml:322-324): sum | concat
+    joint: str = "sum"
     dec_dim: int = 512
     dec_emb_dropout: float = 0.2
     dec_dropout: float = 0.1

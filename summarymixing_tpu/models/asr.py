@@ -98,6 +98,9 @@ class ASRStreamingState:
 
     encoder: object          # ConformerStreamingState
     frame_offset: jax.Array  # absolute position of the next chunk's frame 0
+    # chunk size the state was built for (static; 0 = unchecked) — chunks
+    # of a different size would silently break DCT train/infer equivalence
+    chunk_size: int = struct.field(pytree_node=False, default=0)
 
 
 class TransformerASR(nn.Module):
@@ -141,6 +144,17 @@ class TransformerASR(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        if self.decoder_attention_type not in ("regularMHA", "vanillaMHA",
+                                               "SummaryMixing"):
+            # RelPosMHAXL needs pos tables the decode paths do not build,
+            # and its rel-shift is square-attention-only (cross-attention
+            # T != S is undefined) — reject up front instead of crashing
+            # deep in the first forward
+            raise ValueError(
+                "decoder_attention_type must be regularMHA (the reference, "
+                "Transformer.py:274) or SummaryMixing (the paper's Summary "
+                f"Decoder); got {self.decoder_attention_type!r}"
+            )
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         self.src_proj = nn.Dense(self.d_model, name="src_proj", **common)
         self.src_dropout = nn.Dropout(rate=self.dropout_rate)
@@ -364,11 +378,7 @@ class TransformerASR(nn.Module):
     ) -> Array:
         """One decoding step for search: run the decoder over the prefix and
         return the hidden state of the last position (reference :453-499)."""
-        enc_pad_mask = None
-        if enc_len is not None:
-            enc_pad_mask = length_to_mask(enc_len, enc_out.shape[1])
-        dec = self._decode_inner(tgt, enc_out, enc_pad_mask, None, True)
-        return dec[:, -1]
+        return self.decode_prefix(tgt, enc_out, enc_len)[:, -1]
 
     def decode_prefix(
         self,
@@ -414,17 +424,32 @@ class TransformerASR(nn.Module):
         if self.encoder_module != "conformer":
             raise ValueError("streaming requires encoder_module='conformer'")
         left = dynchunk.left_context_size_frames()
+        chunk = dynchunk.chunk_size if isinstance(dynchunk.chunk_size, int) \
+            else 0
         return ASRStreamingState(
             encoder=self.encoder.init_streaming_state(batch, left, dtype),
             frame_offset=jnp.zeros((), jnp.int32),
+            chunk_size=chunk,
         )
 
     def encode_streaming(self, src: Array, state: "ASRStreamingState"):
-        """Encode one chunk [B, chunk, F] -> ([B, chunk, D], new state)."""
+        """Encode one chunk [B, chunk, F] -> ([B, chunk, D], new state).
+
+        Positions are absolute via the carried frame offset; streams longer
+        than `max_length` frames post-subsample clamp to the last PE window
+        (raise model.max_length for very long streams). The chunk length
+        must match the DynChunkTrainConfig the state was built for, or
+        boundary semantics no longer match DCT training."""
         if src.ndim == 4:
             b, t, f, c = src.shape
             src = src.reshape(b, t, f * c)
         chunk = src.shape[1]
+        if state.chunk_size and chunk != state.chunk_size:
+            raise ValueError(
+                f"chunk length {chunk} != streaming state's chunk_size "
+                f"{state.chunk_size}: mixer context windows and DCConv "
+                "boundaries would no longer match DCT training"
+            )
         src = self.src_proj(src)
         if (
             self.positional_encoding == "fixed_abs_sine"
@@ -441,7 +466,8 @@ class TransformerASR(nn.Module):
             pos_embs = relpos_xl_table(total, self.d_model, src.dtype)
         out, enc_state = self.encoder.streaming_step(src, state.encoder, pos_embs)
         return out, ASRStreamingState(
-            encoder=enc_state, frame_offset=state.frame_offset + chunk
+            encoder=enc_state, frame_offset=state.frame_offset + chunk,
+            chunk_size=state.chunk_size,
         )
 
 

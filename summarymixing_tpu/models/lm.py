@@ -113,6 +113,9 @@ class RNNLM(nn.Module):
         self.dnn = nn.Dense(self.dnn_neurons, param_dtype=self.param_dtype,
                             name="dnn")
         self.out = nn.Dense(self.vocab, param_dtype=self.param_dtype, name="out")
+        # applied after each LSTM layer and the DNN activation in training
+        # (the reference RNNLM regularises its RNN/DNN stack the same way)
+        self.drop = nn.Dropout(rate=self.dropout_rate)
 
     def initial_state(self, batch: int):
         rng = jax.random.PRNGKey(0)
@@ -121,25 +124,28 @@ class RNNLM(nn.Module):
             for cell in self.cells
         ]
 
-    def step(self, carry, token: Array) -> Tuple[list, Array]:
+    def step(self, carry, token: Array,
+             deterministic: bool = True) -> Tuple[list, Array]:
         """One token step: carry (list of LSTM states), token [B] ->
         (new_carry, logits [B, vocab])."""
         x = self.emb(token)
         new_carry = []
         for cell, c in zip(self.cells, carry):
             c2, x = cell(c, x)
+            x = self.drop(x, deterministic=deterministic)
             new_carry.append(c2)
-        x = jax.nn.leaky_relu(self.dnn(x))
+        x = self.drop(jax.nn.leaky_relu(self.dnn(x)),
+                      deterministic=deterministic)
         return new_carry, self.out(x)
 
-    def __call__(self, tokens: Array) -> Array:
+    def __call__(self, tokens: Array, deterministic: bool = True) -> Array:
         """tokens [B, U] -> logits [B, U, vocab] via scan over steps."""
         b = tokens.shape[0]
         carry = self.initial_state(b)
         _, logits = nn.scan(
-            lambda mdl, c, t: mdl.step(c, t),
+            lambda mdl, c, t: mdl.step(c, t, deterministic),
             variable_broadcast="params",
-            split_rngs={"params": False},
+            split_rngs={"params": False, "dropout": True},
             in_axes=1, out_axes=1,
         )(self, carry, tokens)
         return logits

@@ -96,7 +96,15 @@ def make_mixer(
         if activation is not None:
             kwargs["activation"] = activation
         return SummaryMixing(**kwargs)
-    return None  # cnnonly
+    # "cnnonly" is a Branchformer-only option (the cgMLP branch alone,
+    # reference Branchformer.py:201-204); Branchformer guards it BEFORE
+    # calling this factory, so reaching here with it is a caller bug —
+    # fail loudly instead of returning an uncallable None
+    raise ValueError(
+        "attention_type 'cnnonly' is only supported by the Branchformer "
+        "encoder (reference Branchformer.py:201-204); conformer/transformer "
+        "layers need a token mixer"
+    )
 
 
 def apply_mixer(

@@ -127,9 +127,10 @@ class TransducerModel(nn.Module):
     joint (+ proj_ctc head for the CTC aux loss, + dec_lin for CE aux)."""
 
     vocab: int
-    enc_dim: int = 512
     dec_dim: int = 512
     joint_dim: int = 640
+    # "sum" (reference transducer yaml:324 joint: sum) or "concat"
+    joint_type: str = "sum"
     blank_id: int = 0
     activation: Callable = gelu_exact
     emb_dropout: float = 0.2
@@ -147,6 +148,7 @@ class TransducerModel(nn.Module):
         )
         self.joint = TransducerJoint(
             vocab=self.vocab, activation=self.activation,
+            joint=self.joint_type,
             param_dtype=self.param_dtype, name="joint",
         )
         self.proj_ctc = nn.Dense(self.vocab, param_dtype=self.param_dtype,

@@ -84,6 +84,9 @@ class TransformerEncoderLayer(nn.Module):
     local_proj_hid_dim: Sequence[int] = (512,)
     local_proj_out_dim: int = 512
     summary_hid_dim: Sequence[int] = (1024,)
+    # NOTE: deliberately overridden to d_model inside the layer — the mixer
+    # output feeds the residual stream. Kept only for signature parity with
+    # the Branchformer stack (which consumes it in its merge MLP instead).
     summary_out_dim: int = 1024
     mode: str = "SummaryMixing"
     dtype: jnp.dtype | None = None

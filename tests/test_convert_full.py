@@ -133,7 +133,7 @@ def test_transducer_model_conversion_parity(rng):
         asr=asr, vocab_size=VOC, frontend_channels=(4, 2),
         frontend_dropout=0.0,
     )
-    td = TransducerModel(vocab=VOC, enc_dim=DM, dec_dim=12, joint_dim=20,
+    td = TransducerModel(vocab=VOC, dec_dim=12, joint_dim=20,
                          activation=gelu_exact)
 
     feats = rng.standard_normal((2, 16, 80)).astype(np.float32)

@@ -370,3 +370,46 @@ def test_summary_decoder_through_asr(rng):
     with pytest.raises(ValueError, match="regularMHA"):
         asr.apply(params, jnp.zeros((2, 3, D)), 4,
                   method=asr.decode_cache_init)
+
+
+def test_invalid_config_surface_rejected(rng):
+    """Unusable option combinations fail loudly at construction instead of
+    crashing deep in the first forward (or silently returning None
+    mixers)."""
+    from summarymixing_tpu.models.mixers import make_mixer
+
+    with pytest.raises(ValueError, match="Branchformer"):
+        ConformerEncoder(
+            num_layers=1, d_model=D, d_ffn=64, nhead=2, kernel_size=5,
+            attention_type="cnnonly",
+            local_proj_hid_dim=(16,), local_proj_out_dim=D,
+            summary_hid_dim=(24,),
+        ).init(jax.random.PRNGKey(0), _x(rng))
+    with pytest.raises(ValueError, match="decoder_attention_type"):
+        TransformerASR(
+            tgt_vocab=10, input_size=24, d_model=D, nhead=2,
+            num_encoder_layers=1, num_decoder_layers=1, d_ffn=64,
+            encoder_module="branchformer", attention_type="SummaryMixing",
+            decoder_attention_type="RelPosMHAXL", causal=False,
+            csgu_linear_units=64, kernel_size=5, **SM_KW,
+        ).init(jax.random.PRNGKey(0), _x(rng, d=24),
+               jnp.ones((2, 3), jnp.int32))
+
+
+def test_rnnlm_dropout_active(rng):
+    """RNNLM dropout regularises training forwards (non-deterministic
+    draws differ) and is off for deterministic fusion stepping."""
+    from summarymixing_tpu.models.lm import RNNLM
+
+    lm = RNNLM(vocab=12, embedding_dim=6, rnn_layers=1, rnn_neurons=10,
+               dnn_neurons=8, dropout_rate=0.5)
+    toks = jnp.asarray(rng.integers(0, 12, (2, 5)), jnp.int32)
+    params = lm.init(jax.random.PRNGKey(0), toks)
+    o1 = lm.apply(params, toks, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(1)})
+    o2 = lm.apply(params, toks, deterministic=False,
+                  rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    d1 = lm.apply(params, toks)
+    d2 = lm.apply(params, toks)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))

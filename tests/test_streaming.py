@@ -114,7 +114,7 @@ def test_streaming_transducer_pipeline(rng):
     mask = chunked_context_mask(t, chunk, left_chunks)
     eparams = enc.init(jax.random.PRNGKey(0), x, src_mask=mask,
                        chunk_size=jnp.asarray(chunk))
-    td = TransducerModel(vocab=vocab, enc_dim=D, dec_dim=12, joint_dim=16)
+    td = TransducerModel(vocab=vocab, dec_dim=12, joint_dim=16)
     toks0 = jnp.zeros((b, 3), jnp.int32)
     enc_full = enc.apply(eparams, x, src_mask=mask,
                          chunk_size=jnp.asarray(chunk))

@@ -26,7 +26,7 @@ def test_one_hot_no_blank():
 
 
 def make_model():
-    return TransducerModel(vocab=VOCAB, enc_dim=16, dec_dim=12, joint_dim=20)
+    return TransducerModel(vocab=VOCAB, dec_dim=12, joint_dim=20)
 
 
 def test_transducer_model_shapes(rng):
@@ -151,7 +151,7 @@ def test_transducer_trainer_overfits(rng):
         frontend_dropout=0.0,
     )
     td_model = TransducerModel(
-        vocab=VOCAB, enc_dim=16, dec_dim=12, joint_dim=20,
+        vocab=VOCAB, dec_dim=12, joint_dim=20,
         emb_dropout=0.0, dec_dropout=0.0,
     )
     trainer = TransducerTrainer(
@@ -300,3 +300,16 @@ def test_batched_beam_len_never_exceeds_token_buffer():
     )
     assert toks.shape[-1] == umax
     assert int(np.max(np.asarray(out_lens))) <= umax
+
+
+def test_concat_joint_variant(rng):
+    """joint="concat" (reference transducer yaml:322-324 option) is
+    selectable end-to-end and produces valid logits."""
+    m = TransducerModel(vocab=VOCAB, dec_dim=12, joint_dim=20,
+                        joint_type="concat")
+    enc = jnp.asarray(rng.standard_normal((2, 5, 16)), jnp.float32)
+    toks = jnp.asarray(rng.integers(0, VOCAB, (2, 3)), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), enc, toks, method=m.init_all)
+    logits = m.apply(params, enc, toks)
+    assert logits.shape == (2, 5, 3, VOCAB)
+    assert np.isfinite(np.asarray(logits)).all()
