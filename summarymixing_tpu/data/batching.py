@@ -139,23 +139,45 @@ def prefetch(iterator: Iterable, size: int = 2) -> Iterator:
     re-raised in the consumer."""
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterator:
-                q.put(item)
+                if not _put(item):
+                    return      # consumer gone — drop batches, free memory
         except BaseException as e:  # noqa: BLE001 - forwarded to consumer
-            q.put(("__prefetch_error__", e))
+            _put(("__prefetch_error__", e))
         finally:
-            q.put(_END)
+            _put(_END)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, tuple) and len(item) == 2 \
-                and item[0] == "__prefetch_error__":
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] == "__prefetch_error__":
+                raise item[1]
+            yield item
+    finally:
+        # consumer exited (break / exception / close): release the producer,
+        # which would otherwise block in q.put forever pinning device-array
+        # batches for the rest of the process
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

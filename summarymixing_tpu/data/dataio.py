@@ -73,7 +73,9 @@ def load_wav(path: str, expected_rate: Optional[int] = None) -> np.ndarray:
             raise ValueError(f"unsupported sample width {width}")
         if channels > 1:
             audio = audio.reshape(-1, channels)
-    except wave.Error:
+    except (wave.Error, ValueError):
+        # stdlib wave handles 16/32-bit PCM; scipy covers the rest
+        # (24-bit reads as int32, 8-bit as uint8, IEEE float as float)
         from scipy.io import wavfile
 
         rate, audio = wavfile.read(path)
@@ -81,6 +83,9 @@ def load_wav(path: str, expected_rate: Optional[int] = None) -> np.ndarray:
             audio = audio.astype(np.float32) / 32768.0
         elif audio.dtype == np.int32:
             audio = audio.astype(np.float32) / 2147483648.0
+        elif audio.dtype == np.uint8:
+            # 8-bit WAV is unsigned with a +128 DC offset
+            audio = (audio.astype(np.float32) - 128.0) / 128.0
         else:
             audio = audio.astype(np.float32)
     if audio.ndim > 1:

@@ -46,7 +46,12 @@ class CharTokenizer:
         return [self.vocab.get(c, self.unk_id) for c in text]
 
     def decode(self, ids: Sequence[int]) -> str:
-        inv = {i: c for c, i in self.vocab.items()}
+        inv = getattr(self, "_inv", None)
+        if inv is None or len(inv) != len(self.vocab):
+            # cached inverse map (rebuilt per hypothesis otherwise — O(vocab)
+            # in the eval scoring loop); invalidated if vocab is replaced
+            inv = {i: c for c, i in self.vocab.items()}
+            object.__setattr__(self, "_inv", inv)
         return "".join(inv.get(i, "") for i in ids if i >= 4)
 
 

@@ -175,13 +175,24 @@ def spec_augment(
         if n_hi > n_lo else jnp.asarray(n_lo, jnp.int32)
     )
     if config.shuffle_augmentations:
-        # rank_of[i] = position of stage i in a random order
-        rank_of = jnp.argsort(jnp.argsort(jax.random.uniform(k_perm, (3,))))
-    else:
-        rank_of = jnp.arange(3)  # first-N semantics (speechbrain Augmenter)
+        # speechbrain Augmenter shuffle permutes EXECUTION order too (drops
+        # sampled from an already-warped tensor differ from warp-after-drop),
+        # then applies the first n of the permuted list: round r executes
+        # stage order[r] iff r < n, via lax.switch so the order stays traced
+        order = jnp.argsort(jax.random.uniform(k_perm, (3,)))
+        branches = [
+            (lambda cur, kk=kk, stage=stage: stage(kk, cur))
+            for kk, stage in zip(keys, stages)
+        ]
+        out = x
+        for r in range(3):
+            applied = jax.lax.switch(order[r], branches, out)
+            out = jnp.where(r < n, applied, out)
+        return out
     out = x
     for i, (kk, stage) in enumerate(zip(keys, stages)):
-        out = jnp.where(rank_of[i] < n, stage(kk, out), out)
+        # first-N semantics (speechbrain Augmenter without shuffle)
+        out = jnp.where(i < n, stage(kk, out), out)
     return out
 
 

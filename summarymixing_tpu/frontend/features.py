@@ -256,7 +256,11 @@ class InputNormalization:
         if update:
             new_stats = NormStats.update(stats, x, pad_mask)
             if epoch is not None:
-                keep = epoch < self.update_until_epoch
+                # `epoch` is the trainers' 0-based counter; the reference
+                # tests its 1-BASED epoch_counter.current against the same
+                # threshold (update_until_epoch 4 -> updates during data
+                # epochs 1-3), hence the +1
+                keep = epoch + 1 < self.update_until_epoch
                 new_stats = jax.tree.map(
                     lambda new, old: jnp.where(keep, new, old), new_stats, stats
                 )

@@ -59,7 +59,7 @@ def convert_depthwise_conv1d(weight: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(weight[:, 0, :].T)
 
 
-def _mlp_from_torch(prefix: str, sd: Dict[str, np.ndarray], n_split: int) -> dict:
+def _mlp_from_torch(prefix: str, sd: Dict[str, np.ndarray]) -> dict:
     """Convert a VanillaNN (reference VanillaNN.py) subtree. SpeechBrain
     Sequential names blocks `linear`, `linear_0`, ... with the underlying
     torch module at `.w` for plain Linear and direct weights for
@@ -137,7 +137,7 @@ def convert_branchformer_layer(
         tree["merge_proj"] = convert_linear(
             sd[f"{prefix}.merge_proj.weight"], sd[f"{prefix}.merge_proj.bias"])
     else:  # deep VanillaNN merge (SummaryMixing, Branchformer.py:221-226)
-        tree["merge_proj"] = _mlp_from_torch(f"{prefix}.merge_proj", sd, 1)
+        tree["merge_proj"] = _mlp_from_torch(f"{prefix}.merge_proj", sd)
     return tree
 
 
@@ -348,16 +348,14 @@ def convert_summary_mixing(
     state-dict subtree into the flax SummaryMixing param tree."""
     tree = {}
     if mode in ("SummaryMixing", "SummaryMixing-expdecay"):
-        tree["local_proj"] = _mlp_from_torch(f"{prefix}.local_proj", sd, nhead)
-        tree["summary_proj"] = _mlp_from_torch(f"{prefix}.summary_proj", sd, nhead)
+        tree["local_proj"] = _mlp_from_torch(f"{prefix}.local_proj", sd)
+        tree["summary_proj"] = _mlp_from_torch(f"{prefix}.summary_proj", sd)
         tree["summary_local_merging"] = _mlp_from_torch(
-            f"{prefix}.summary_local_merging", sd, 1
-        )
+            f"{prefix}.summary_local_merging", sd)
     elif mode == "SummaryMixing-fast":
-        tree["global_proj"] = _mlp_from_torch(f"{prefix}.global_proj", sd, 1)
+        tree["global_proj"] = _mlp_from_torch(f"{prefix}.global_proj", sd)
         tree["summary_local_merging"] = _mlp_from_torch(
-            f"{prefix}.summary_local_merging", sd, 1
-        )
+            f"{prefix}.summary_local_merging", sd)
     else:
-        tree["summary_proj"] = _mlp_from_torch(f"{prefix}.summary_proj", sd, nhead)
+        tree["summary_proj"] = _mlp_from_torch(f"{prefix}.summary_proj", sd)
     return tree

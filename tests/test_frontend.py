@@ -196,3 +196,85 @@ def test_frame_signal_and_window(rng):
                                atol=1e-6)
     w = np.asarray(hamming_window(400))
     assert abs(w[0] - 0.08) < 1e-6 and w.max() <= 1.0
+
+
+def test_norm_freeze_matches_reference_epoch_base(rng):
+    """The reference tests its 1-BASED epoch counter against
+    update_until_epoch (=4 -> updates data epochs 1-3). Our trainers use a
+    0-based counter, so stats must already be frozen at 0-based epoch 3."""
+    norm = InputNormalization(update_until_epoch=4)
+    stats = NormStats.init(4)
+    x = jnp.asarray(rng.standard_normal((2, 5, 4)), jnp.float32)
+    _, stats = norm(x, stats, update=True, epoch=jnp.asarray(0))
+    count1 = float(stats["count"])
+    _, stats = norm(x, stats, update=True, epoch=jnp.asarray(2))
+    assert float(stats["count"]) > count1          # still updating (epoch 3)
+    frozen = float(stats["count"])
+    _, stats = norm(x, stats, update=True, epoch=jnp.asarray(3))
+    assert float(stats["count"]) == frozen          # frozen at data epoch 4
+
+
+def test_shuffle_augmentations_permutes_order(rng):
+    """shuffle_augmentations permutes EXECUTION order (speechbrain
+    Augmenter shuffle): with all 3 stages always applied, different
+    permutation draws must be able to produce different outputs (drop
+    sampled from a warped tensor != warp of a dropped tensor)."""
+    from summarymixing_tpu.frontend.augment import (
+        SpecAugmentConfig,
+        spec_augment,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 400, 80)), jnp.float32)
+    cfg = SpecAugmentConfig(min_augmentations=3, max_augmentations=3,
+                            shuffle_augmentations=True, replace="zeros")
+    outs = {np.asarray(
+        spec_augment(jax.random.PRNGKey(k), x, None, cfg)).tobytes()
+        for k in range(6)}
+    assert len(outs) > 1
+
+
+def test_prefetch_early_exit_releases_producer():
+    """Breaking out of a prefetch loop must unblock the producer thread
+    (it used to block forever in q.put, pinning decoded batches)."""
+    import threading
+    import time as _time
+
+    from summarymixing_tpu.data.batching import prefetch
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    it = prefetch(gen(), size=2)
+    assert next(it) == 0
+    it.close()     # same cleanup path as `break` leaving the for-loop
+    _time.sleep(0.5)
+    n_after = len(produced)
+    _time.sleep(0.3)
+    assert len(produced) == n_after    # producer stopped
+    assert n_after < 100
+    assert threading.active_count() < 20
+
+
+def test_load_wav_8bit_fallback(tmp_path, rng):
+    """8-bit WAVs decode through the scipy fallback with the unsigned
+    +128 offset removed (they used to crash or pass through unscaled)."""
+    import wave as _wave
+
+    from summarymixing_tpu.data.dataio import load_wav
+
+    path = str(tmp_path / "u8.wav")
+    audio = (np.sin(2 * np.pi * 440 * np.arange(800) / 8000) * 0.5)
+    u8 = ((audio * 127) + 128).astype(np.uint8)
+    with _wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(u8.tobytes())
+    out = load_wav(path)
+    assert out.dtype == np.float32
+    assert abs(float(np.mean(out))) < 0.05          # DC offset removed
+    assert 0.3 < float(np.abs(out).max()) <= 1.0
