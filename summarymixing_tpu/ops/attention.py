@@ -65,8 +65,6 @@ class MultiheadAttention(nn.Module):
     d_model: int
     nhead: int
     dropout_rate: float = 0.0
-    kdim: Optional[int] = None
-    vdim: Optional[int] = None
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 

@@ -28,7 +28,13 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
-    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    if n_data * n_model != len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} does not use all {len(devices)} "
+            "devices — pass an exact device list or divisible axis sizes "
+            "(silently idling chips costs throughput)"
+        )
+    arr = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(arr, ("data", "model"))
 
 

@@ -62,6 +62,46 @@ class TrainerConfig:
     xavier_init_overwrite: bool = True
 
 
+
+def apply_safe_update(tx, state, grads, losses, norm_stats, rng):
+    """Shared optimizer update with the non-finite skip (reference
+    Brain.fit_batch semantics, one compiled program): on a non-finite loss
+    or gradient norm, params / optimizer state / normalizer stats keep
+    their old values via where(). Returns (new_state, grad_norm, finite)."""
+    grad_norm = optax.global_norm(grads)
+    finite = jnp.isfinite(losses["loss"]) & jnp.isfinite(grad_norm)
+    safe_grads = jax.tree.map(
+        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+    )
+    updates, opt_state = tx.update(
+        safe_grads, state["opt_state"], state["params"]
+    )
+    opt_state = jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old)
+        if hasattr(new, "shape") else new,
+        opt_state, state["opt_state"],
+    )
+    params = optax.apply_updates(
+        state["params"],
+        jax.tree.map(lambda u: jnp.where(finite, u, jnp.zeros_like(u)),
+                     updates),
+    )
+    # the running input-normalization stats also saw the bad batch
+    norm_stats = jax.tree.map(
+        lambda new_s, old_s: jnp.where(finite, new_s, old_s),
+        norm_stats, state["norm_stats"],
+    )
+    new_state = {
+        "params": params,
+        "opt_state": opt_state,
+        "norm_stats": norm_stats,
+        "step": state["step"] + 1,
+        "epoch": state["epoch"],
+        "rng": rng,
+    }
+    return new_state, grad_norm, finite
+
+
 class ASRTrainer:
     """Joint CTC/attention (or CTC-only when the model has no decoder)."""
 
@@ -91,7 +131,7 @@ class ASRTrainer:
         feats = self.fbank(example_batch["wav"][:1])
         feat_len = self.fbank.frame_lengths(example_batch["wav_lens"][:1])
         tokens_bos = self._add_bos(example_batch["tokens"][:1])
-        rng, init_rng = jax.random.split(rng)
+        rng, init_rng, train_rng = jax.random.split(rng, 3)
         params = self.model.init(
             {"params": rng}, feats, feat_len, tokens_bos
         )["params"]
@@ -106,7 +146,9 @@ class ASRTrainer:
             "norm_stats": NormStats.init(self.fbank.n_mels),
             "step": jnp.zeros((), jnp.int32),
             "epoch": jnp.zeros((), jnp.int32),
-            "rng": jax.random.PRNGKey(0),
+            # training-time stochasticity (dropout/SpecAugment) seeded
+            # from the caller rng — different seeds must diverge
+            "rng": train_rng,
         }
         rep = replicate(self.mesh)
         if self.param_sharding_fn is not None:
@@ -210,41 +252,9 @@ class ASRTrainer:
             state["params"], state["norm_stats"], batch, step_rng,
             False, state["epoch"], state["step"],
         )
-        grad_norm = optax.global_norm(grads)
-        # Skip the update on a non-finite loss/gradient instead of poisoning
-        # the params (the reference's Brain.fit_batch skips non-finite
-        # losses the same way). One program: zero the grads fed to the
-        # optimizer and keep the old opt_state/params via where.
-        finite = jnp.isfinite(losses["loss"]) & jnp.isfinite(grad_norm)
-        safe_grads = jax.tree.map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+        new_state, grad_norm, finite = apply_safe_update(
+            self.tx, state, grads, losses, norm_stats, rng
         )
-        updates, opt_state = self.tx.update(
-            safe_grads, state["opt_state"], state["params"]
-        )
-        opt_state = jax.tree.map(
-            lambda new, old: jnp.where(finite, new, old)
-            if hasattr(new, "shape") else new,
-            opt_state, state["opt_state"],
-        )
-        params = optax.apply_updates(
-            state["params"],
-            jax.tree.map(lambda u: jnp.where(finite, u, jnp.zeros_like(u)),
-                         updates),
-        )
-        # the running input-normalization stats also saw the bad batch
-        norm_stats = jax.tree.map(
-            lambda new_s, old_s: jnp.where(finite, new_s, old_s),
-            norm_stats, state["norm_stats"],
-        )
-        new_state = {
-            "params": params,
-            "opt_state": opt_state,
-            "norm_stats": norm_stats,
-            "step": state["step"] + 1,
-            "epoch": state["epoch"],
-            "rng": rng,
-        }
         metrics = {k: v for k, v in losses.items()}
         metrics["grad_norm"] = grad_norm
         metrics["nonfinite_skipped"] = (~finite).astype(jnp.int32)

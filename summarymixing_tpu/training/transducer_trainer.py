@@ -107,7 +107,7 @@ class TransducerTrainer:
         self._eval_loss = jax.jit(self._eval_loss_impl)
 
     def init_state(self, rng: Array, example_batch: Dict[str, Array]) -> Dict:
-        r1, r2, r3 = jax.random.split(rng, 3)
+        r1, r2, r3, train_rng = jax.random.split(rng, 4)
         feats = self.fbank(example_batch["wav"][:1])
         feat_len = self.fbank.frame_lengths(example_batch["wav_lens"][:1])
         enc_params = self.encoder_model.init({"params": r1}, feats, feat_len)[
@@ -135,7 +135,8 @@ class TransducerTrainer:
             "norm_stats": NormStats.init(self.fbank.n_mels),
             "step": jnp.zeros((), jnp.int32),
             "epoch": jnp.zeros((), jnp.int32),
-            "rng": jax.random.PRNGKey(0),
+            # training-time stochasticity seeded from the caller rng
+            "rng": train_rng,
         }
         rep = replicate(self.mesh)
         return jax.tree.map(lambda x: jax.device_put(x, rep), state)
@@ -192,7 +193,11 @@ class TransducerTrainer:
         losses = {}
         l_t = transducer_loss(
             logits, tokens, enc_lens, token_lens, blank_id=cfg.blank_id,
-            reduction="batchmean",
+            # the reference passes NO reduction to transducer_cost
+            # (conformer_summarymixing_transducer.yaml:333-336), so the
+            # speechbrain default "mean" applies — only ctc_cost gets the
+            # yaml's loss_reduction "batchmean" (yaml:297-299)
+            reduction="mean",
         )
         losses["transducer"] = l_t
         loss = l_t
@@ -228,41 +233,14 @@ class TransducerTrainer:
             state["params"], state["norm_stats"], batch, step_rng, False,
             state["epoch"], state["step"],
         )
-        grad_norm = optax.global_norm(grads)
-        # skip non-finite updates (reference Brain.fit_batch semantics);
-        # see trainer.py for the one-program where() formulation
-        finite = jnp.isfinite(losses["loss"]) & jnp.isfinite(grad_norm)
-        safe_grads = jax.tree.map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
-        )
-        updates, opt_state = self.tx.update(
-            safe_grads, state["opt_state"], state["params"]
-        )
-        opt_state = jax.tree.map(
-            lambda new, old: jnp.where(finite, new, old)
-            if hasattr(new, "shape") else new,
-            opt_state, state["opt_state"],
-        )
-        params = optax.apply_updates(
-            state["params"],
-            jax.tree.map(lambda u: jnp.where(finite, u, jnp.zeros_like(u)),
-                         updates),
-        )
-        # the running input-normalization stats also saw the bad batch
-        norm_stats = jax.tree.map(
-            lambda new_s, old_s: jnp.where(finite, new_s, old_s),
-            norm_stats, state["norm_stats"],
+        from summarymixing_tpu.training.trainer import apply_safe_update
+
+        new_state, _grad_norm, finite = apply_safe_update(
+            self.tx, state, grads, losses, norm_stats, rng
         )
         losses = dict(losses)
         losses["nonfinite_skipped"] = (~finite).astype(jnp.int32)
-        return {
-            "params": params,
-            "opt_state": opt_state,
-            "norm_stats": norm_stats,
-            "step": state["step"] + 1,
-            "epoch": state["epoch"],
-            "rng": rng,
-        }, losses
+        return new_state, losses
 
     def _eval_loss_impl(self, state, batch):
         _, (losses, _, enc) = self._forward_loss(
