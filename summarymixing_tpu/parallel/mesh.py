@@ -31,7 +31,7 @@ def make_mesh(
     if n_data * n_model != len(devices):
         raise ValueError(
             f"mesh {n_data}x{n_model} does not use all {len(devices)} "
-            "devices — pass an exact device list or divisible axis sizes "
+            "devices — choose axis sizes whose product is the device count "
             "(silently idling chips costs throughput)"
         )
     arr = np.asarray(devices).reshape(n_data, n_model)

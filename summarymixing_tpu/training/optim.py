@@ -118,3 +118,50 @@ def make_two_stage_adam_sgd(
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
+
+
+def apply_safe_update(tx, state, grads, losses, norm_stats, rng):
+    """Shared optimizer update with the non-finite skip (reference
+    Brain.fit_batch semantics, one compiled program): on a non-finite loss
+    or gradient norm, params / optimizer state / normalizer stats keep
+    their old values via where(). Returns (new_state, grad_norm, finite).
+
+    Used by both the ASR and transducer train steps; state is the trainer
+    state dict {params, opt_state, norm_stats, step, epoch, rng}.
+    """
+    grad_norm = optax.global_norm(grads)
+    finite = jnp.isfinite(losses["loss"]) & jnp.isfinite(grad_norm)
+    safe_grads = jax.tree.map(
+        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+    )
+    updates, opt_state = tx.update(
+        safe_grads, state["opt_state"], state["params"]
+    )
+    # Non-array leaves (not representable under where-selection) revert to
+    # the old value: this helper exists for the skip path, and reverting is
+    # the conservative choice there; in the jitted train steps every optax
+    # state leaf is an array, so this branch never fires in practice.
+    opt_state = jax.tree.map(
+        lambda new, old: jnp.where(finite, new, old)
+        if hasattr(new, "shape") else old,
+        opt_state, state["opt_state"],
+    )
+    params = optax.apply_updates(
+        state["params"],
+        jax.tree.map(lambda u: jnp.where(finite, u, jnp.zeros_like(u)),
+                     updates),
+    )
+    # the running input-normalization stats also saw the bad batch
+    norm_stats = jax.tree.map(
+        lambda new_s, old_s: jnp.where(finite, new_s, old_s),
+        norm_stats, state["norm_stats"],
+    )
+    new_state = {
+        "params": params,
+        "opt_state": opt_state,
+        "norm_stats": norm_stats,
+        "step": state["step"] + 1,
+        "epoch": state["epoch"],
+        "rng": rng,
+    }
+    return new_state, grad_norm, finite

@@ -29,6 +29,7 @@ from summarymixing_tpu.decoding.ctc import collapse_ctc, ctc_greedy_decode
 from summarymixing_tpu.frontend.augment import SpecAugmentConfig, spec_augment
 from summarymixing_tpu.frontend.features import Fbank, InputNormalization, NormStats
 from summarymixing_tpu.losses import ctc_loss, kldiv_loss
+from summarymixing_tpu.training.optim import apply_safe_update
 from summarymixing_tpu.parallel.mesh import (
     data_parallel_sharding,
     make_mesh,
@@ -61,45 +62,6 @@ class TrainerConfig:
     # reproduces it (False for experiments keeping the cell's native init)
     xavier_init_overwrite: bool = True
 
-
-
-def apply_safe_update(tx, state, grads, losses, norm_stats, rng):
-    """Shared optimizer update with the non-finite skip (reference
-    Brain.fit_batch semantics, one compiled program): on a non-finite loss
-    or gradient norm, params / optimizer state / normalizer stats keep
-    their old values via where(). Returns (new_state, grad_norm, finite)."""
-    grad_norm = optax.global_norm(grads)
-    finite = jnp.isfinite(losses["loss"]) & jnp.isfinite(grad_norm)
-    safe_grads = jax.tree.map(
-        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
-    )
-    updates, opt_state = tx.update(
-        safe_grads, state["opt_state"], state["params"]
-    )
-    opt_state = jax.tree.map(
-        lambda new, old: jnp.where(finite, new, old)
-        if hasattr(new, "shape") else new,
-        opt_state, state["opt_state"],
-    )
-    params = optax.apply_updates(
-        state["params"],
-        jax.tree.map(lambda u: jnp.where(finite, u, jnp.zeros_like(u)),
-                     updates),
-    )
-    # the running input-normalization stats also saw the bad batch
-    norm_stats = jax.tree.map(
-        lambda new_s, old_s: jnp.where(finite, new_s, old_s),
-        norm_stats, state["norm_stats"],
-    )
-    new_state = {
-        "params": params,
-        "opt_state": opt_state,
-        "norm_stats": norm_stats,
-        "step": state["step"] + 1,
-        "epoch": state["epoch"],
-        "rng": rng,
-    }
-    return new_state, grad_norm, finite
 
 
 class ASRTrainer:

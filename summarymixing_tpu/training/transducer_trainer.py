@@ -26,6 +26,7 @@ from summarymixing_tpu.frontend.features import Fbank, InputNormalization, NormS
 from summarymixing_tpu.losses import ctc_loss, nll_loss, transducer_loss
 from summarymixing_tpu.models.asr import DynChunkTrainConfig
 from summarymixing_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from summarymixing_tpu.training.optim import apply_safe_update
 
 Array = jax.Array
 
@@ -202,18 +203,33 @@ class TransducerTrainer:
         losses["transducer"] = l_t
         loss = l_t
         if cfg.ctc_weight > 0.0:
-            ctc_lp = self.transducer_model.apply(
-                {"params": params["transducer"]}, enc_out,
-                method=self.transducer_model.ctc_head,
-            )
-            l_ctc = ctc_loss(ctc_lp, enc_lens, tokens, token_lens,
-                             blank_id=cfg.blank_id)
-            losses["ctc"] = l_ctc
-            w = cfg.ctc_weight
+
+            def _ctc_aux():
+                ctc_lp = self.transducer_model.apply(
+                    {"params": params["transducer"]}, enc_out,
+                    method=self.transducer_model.ctc_head,
+                )
+                return ctc_loss(
+                    ctc_lp, enc_lens, tokens, token_lens,
+                    blank_id=cfg.blank_id,
+                ).astype(jnp.float32)
+
             if cfg.number_of_ctc_epochs is not None:
-                # epoch-gated aux (traced epoch -> same compiled program)
-                w = w * (epoch < cfg.number_of_ctc_epochs).astype(l_ctc.dtype)
-            loss = loss + w * l_ctc
+                # Epoch-gated aux (traced epoch -> same compiled program).
+                # lax.cond rather than a 0-weight multiply: after the gate
+                # the CTC head/loss (and its backward) are not computed at
+                # all — matching the reference's Python-level epoch gate
+                # (train.py `epoch <= number_of_ctc_epochs`) and keeping a
+                # degenerate CTC batch from leaking 0 * huge into the loss.
+                l_ctc = jax.lax.cond(
+                    epoch < cfg.number_of_ctc_epochs,
+                    _ctc_aux,
+                    lambda: jnp.zeros((), jnp.float32),
+                )
+            else:
+                l_ctc = _ctc_aux()
+            losses["ctc"] = l_ctc
+            loss = loss + cfg.ctc_weight * l_ctc
         if cfg.ce_weight > 0.0:
             # CE over the prediction network: position u predicts tokens[u]
             ce_lp = self.transducer_model.apply(
@@ -233,12 +249,11 @@ class TransducerTrainer:
             state["params"], state["norm_stats"], batch, step_rng, False,
             state["epoch"], state["step"],
         )
-        from summarymixing_tpu.training.trainer import apply_safe_update
-
-        new_state, _grad_norm, finite = apply_safe_update(
+        new_state, grad_norm, finite = apply_safe_update(
             self.tx, state, grads, losses, norm_stats, rng
         )
         losses = dict(losses)
+        losses["grad_norm"] = grad_norm
         losses["nonfinite_skipped"] = (~finite).astype(jnp.int32)
         return new_state, losses
 

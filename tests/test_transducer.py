@@ -170,6 +170,62 @@ def test_transducer_trainer_overfits(rng):
     assert np.isfinite(float(metrics["transducer"]))
 
 
+def test_ctc_aux_epoch_gate(rng):
+    """After number_of_ctc_epochs the CTC aux is gated off entirely
+    (lax.cond): reported ctc loss is exactly 0, the total equals the
+    transducer term (+ any CE), and the step is still applied."""
+    from summarymixing_tpu.models.asr import TransformerASR
+    from summarymixing_tpu.models.speech_recognizer import SpeechRecognizer
+    from summarymixing_tpu.parallel.mesh import make_mesh
+    from summarymixing_tpu.training.optim import make_adamw
+    from summarymixing_tpu.training.transducer_trainer import (
+        TransducerTrainer,
+        TransducerTrainerConfig,
+    )
+    from tests.test_train_e2e import synth_batch
+
+    asr = TransformerASR(
+        tgt_vocab=VOCAB, input_size=80, d_model=16, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=0, d_ffn=32,
+        encoder_module="conformer", attention_type="SummaryMixing",
+        mode="SummaryMixing-fast", causal=False, kernel_size=5,
+        local_proj_hid_dim=(16,), local_proj_out_dim=16,
+        summary_hid_dim=(16,), dropout_rate=0.0,
+    )
+    enc_model = SpeechRecognizer(
+        asr=asr, vocab_size=VOCAB, frontend_channels=(4, 4),
+        frontend_dropout=0.0,
+    )
+    td_model = TransducerModel(
+        vocab=VOCAB, dec_dim=12, joint_dim=20,
+        emb_dropout=0.0, dec_dropout=0.0,
+    )
+    trainer = TransducerTrainer(
+        enc_model, td_model, make_adamw(3e-3),
+        config=TransducerTrainerConfig(
+            ctc_weight=0.3, number_of_ctc_epochs=1),
+        mesh=make_mesh(devices=jax.devices()[:1]),
+    )
+    batch = synth_batch(rng, b=2, n=3200)
+    batch["tokens"] = jnp.asarray(
+        np.random.default_rng(1).integers(1, VOCAB, (2, 3)).astype(np.int32))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    state, m_on = trainer.train_step(state, batch)
+    assert float(m_on["ctc"]) > 0.0
+    assert float(m_on["nonfinite_skipped"]) == 0
+
+    state["epoch"] = jnp.asarray(2, jnp.int32)
+    prev_step = int(state["step"])
+    state, m_off = trainer.train_step(state, batch)
+    assert float(m_off["ctc"]) == 0.0
+    np.testing.assert_allclose(
+        float(m_off["loss"]), float(m_off["transducer"]), rtol=1e-6)
+    assert float(m_off["nonfinite_skipped"]) == 0
+    assert np.isfinite(float(m_off["grad_norm"]))
+    assert int(state["step"]) == prev_step + 1
+
+
 def test_ce_aux_loss(rng):
     from summarymixing_tpu.losses import nll_loss
     m = make_model()
