@@ -4,5 +4,22 @@ from summarymixing_tpu.parallel.mesh import (
     replicate,
     data_parallel_sharding,
 )
+from summarymixing_tpu.parallel.sequence import (
+    make_seq_mesh,
+    time_sharding,
+    shard_time,
+    sequence_parallel_encode,
+    sequence_parallel_ctc_decode,
+)
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_sharding"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "data_parallel_sharding",
+    "make_seq_mesh",
+    "time_sharding",
+    "shard_time",
+    "sequence_parallel_encode",
+    "sequence_parallel_ctc_decode",
+]
