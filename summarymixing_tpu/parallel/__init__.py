@@ -4,6 +4,11 @@ from summarymixing_tpu.parallel.mesh import (
     replicate,
     data_parallel_sharding,
 )
+from summarymixing_tpu.parallel.pipeline import (
+    make_pipeline_mesh,
+    pipeline_layer_stack,
+    pipeline_branchformer_encode,
+)
 from summarymixing_tpu.parallel.sequence import (
     make_seq_mesh,
     time_sharding,
@@ -17,6 +22,9 @@ __all__ = [
     "shard_batch",
     "replicate",
     "data_parallel_sharding",
+    "make_pipeline_mesh",
+    "pipeline_layer_stack",
+    "pipeline_branchformer_encode",
     "make_seq_mesh",
     "time_sharding",
     "shard_time",
