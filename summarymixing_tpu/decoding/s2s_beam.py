@@ -197,7 +197,25 @@ def s2s_beam_search(
                 dec_cache, lm_cache_c)
 
     carry = (tokens, scores, lengths, finished, ctc_state, cache, lm_cache)
-    carry = jax.lax.fori_loop(0, lmax, step_fn, carry)
+
+    # while_loop instead of fori_loop: once EVERY hypothesis across the
+    # batch has emitted eos, further steps are frozen no-ops (finished
+    # rows only extend with eos at score-delta 0), so exiting early is
+    # exact — and on real speech most utterances finish long before the
+    # static max_length cap, making test-scale beam decode data-bound
+    # instead of cap-bound. Decode takes no gradients, so while_loop's
+    # non-differentiability costs nothing.
+    def _cond(step_carry):
+        step, c = step_carry
+        return (step < lmax) & ~jnp.all(c[3])
+
+    def _body(step_carry):
+        step, c = step_carry
+        return step + 1, step_fn(step, c)
+
+    _, carry = jax.lax.while_loop(
+        _cond, _body, (jnp.asarray(0, jnp.int32), carry)
+    )
     tokens, scores, lengths, finished = carry[:4]
 
     # unfinished hypotheses count full length; length-normalise if configured
