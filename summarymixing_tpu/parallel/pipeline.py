@@ -28,7 +28,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def make_pipeline_mesh(
@@ -63,9 +63,11 @@ def pipeline_layer_stack(layer_module, mesh: Mesh, n_micro: int):
 
     layer_module: a single layer (e.g. BranchformerEncoderLayer) whose
     apply signature is (x, src_mask, pad_mask, pos_embs, deterministic).
-    Returns fn(stacked_params, x [B,T,D], src_mask, pad_mask [B,T,1]) ->
-    [B,T,D], where stacked_params leaves carry a leading [L] layer axis
-    (the scan_layers=True layout) with L divisible by the pipe-axis size.
+    Returns fn(stacked_params, x [B,T,D], src_mask, pad_mask [B,T]) ->
+    [B,T,D] (pad_mask uses the encoder-level [B,T] convention,
+    models/asr.py length_to_mask), where stacked_params leaves carry a
+    leading [L] layer axis (the scan_layers=True layout) with L divisible
+    by the pipe-axis size.
 
     Inference/eval schedule (deterministic=True). The returned fn is
     jittable and differentiable (it is all lax ops), so a training step
@@ -100,8 +102,16 @@ def pipeline_layer_stack(layer_module, mesh: Mesh, n_micro: int):
             # stage 0 ingests microbatch t (dead batches after M: zeros)
             safe_t = jnp.minimum(t, m - 1)
             inp = jax.lax.dynamic_index_in_dim(xs, safe_t, 0, False)
-            pad = jax.lax.dynamic_index_in_dim(pads, safe_t, 0, False)
             x_in = jnp.where(idx == 0, inp, state)
+            # stage idx processes microbatch t - idx at step t, so its pad
+            # mask must be indexed per stage — indexing by the ingest step
+            # would apply microbatch t's valid-frame counts to every stage
+            # (wrong masked time-mean whenever pads differ across
+            # microbatches; the pad is replicated data so a clipped local
+            # index is cheaper than ppermuting it alongside the activation)
+            pad = jax.lax.dynamic_index_in_dim(
+                pads, jnp.clip(t - idx, 0, m - 1), 0, False
+            )
             y = stage_fn(stage_params, x_in, src_mask, pad)
             # the LAST stage finishes microbatch t-(S-1) at step t
             pos = jnp.clip(t - (n_stages - 1), 0, m - 1)

@@ -102,7 +102,6 @@ def sequence_parallel_encode(model, mesh: Mesh):
     inserts the per-layer mean-psum + conv halos (module docstring). T
     must be a multiple of the seq-axis size (see _check_time_divisible).
     """
-    rep = NamedSharding(mesh, P())
     len_sh = NamedSharding(mesh, P("data"))
     feat_sh = time_sharding(mesh, 3)
     n_seq = mesh.shape["seq"]
@@ -118,7 +117,10 @@ def sequence_parallel_encode(model, mesh: Mesh):
     # no out_shardings: T' = ceil(T/4) need not divide the seq axis; the
     # in-graph constraint keeps the layers time-sharded and GSPMD pads the
     # ragged trailing shard internally
-    jitted = jax.jit(encode, in_shardings=(rep, feat_sh, len_sh))
+    # params in_sharding None: keep whatever sharding the caller committed
+    # (replicated, or TP/FSDP rules from parallel.mesh over the "model"
+    # axis) instead of forcing an all-gather to replicated on every call
+    jitted = jax.jit(encode, in_shardings=(None, feat_sh, len_sh))
 
     def call(params, feats, feat_lengths):
         _check_time_divisible(feats, n_seq)
@@ -134,7 +136,6 @@ def sequence_parallel_ctc_decode(model, mesh: Mesh):
 
     Returns fn(params, feats, feat_lengths) ->
     (tokens [B, T'] replicated, enc_lengths [B])."""
-    rep = NamedSharding(mesh, P())
     len_sh = NamedSharding(mesh, P("data"))
     feat_sh = time_sharding(mesh, 3)
     n_seq = mesh.shape["seq"]
@@ -148,7 +149,7 @@ def sequence_parallel_ctc_decode(model, mesh: Mesh):
         log_probs = model.apply(params, enc, method=model.ctc_head)
         return jax.numpy.argmax(log_probs, axis=-1), out_len
 
-    jitted = jax.jit(decode, in_shardings=(rep, feat_sh, len_sh))
+    jitted = jax.jit(decode, in_shardings=(None, feat_sh, len_sh))
 
     def call(params, feats, feat_lengths):
         _check_time_divisible(feats, n_seq)

@@ -30,8 +30,11 @@ def _encoder(num_layers=8):
 
 def _data(rng, b=8, t=24, d=16):
     x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
-    lens = np.full((b,), t)
-    lens[1::2] = t - 5
+    # lengths that differ BETWEEN microbatches, not only within one: a
+    # repeating within-microbatch pattern made every microbatch's pad
+    # identical and hid a bug where stages applied the ingest step's pad
+    # to every in-flight microbatch
+    lens = t - (np.arange(b) % (t // 2))
     pad = (jnp.arange(t)[None, :] < jnp.asarray(lens)[:, None]).astype(
         jnp.float32
     )  # [B, T], the encoder-level mask convention (asr.py length_to_mask)
