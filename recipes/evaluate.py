@@ -294,6 +294,11 @@ def main():
                     help="encoder frames per streaming chunk (40 ms each)")
     ap.add_argument("--left-context", type=int, default=4,
                     help="left-context CHUNKS carried across steps")
+    ap.add_argument("--seq-parallel", type=int, default=0, metavar="N",
+                    help="shard the encoder's time axis over N devices "
+                         "(parallel/sequence.py) for the greedy decode — "
+                         "the long-form scaling path; requires "
+                         "n_devices %% N == 0 and greedy (non-beam) mode")
     ap.add_argument("--output", default=None)
     ap.add_argument("--set", action="append", default=[],
                     metavar="KEY=VALUE", dest="overrides",
@@ -333,6 +338,27 @@ def main():
     stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                            remove_spaces=cfg.remove_spaces)
     params = {"params": state["params"]}
+
+    sp_decode = None
+    if args.seq_parallel > 1:
+        if args.beam:
+            raise SystemExit("--seq-parallel supports greedy decode only "
+                             "(the beam loop is token-sequential)")
+        from summarymixing_tpu.decoding.ctc import collapse_ctc
+        from summarymixing_tpu.parallel.sequence import (
+            make_seq_mesh,
+            sequence_parallel_ctc_decode,
+        )
+
+        n_dev = len(jax.devices())
+        if n_dev % args.seq_parallel:
+            raise SystemExit(f"{n_dev} devices not divisible by "
+                             f"--seq-parallel {args.seq_parallel}")
+        sp_mesh = make_seq_mesh(n_data=n_dev // args.seq_parallel,
+                                n_seq=args.seq_parallel)
+        sp_decode = sequence_parallel_ctc_decode(
+            model, sp_mesh, blank_id=cfg.model.blank_index)
+
     from train import make_lm_fusion, static_decode_length  # noqa: E402
 
     lm_step, lm_make_cache = (make_lm_fusion(cfg, args.lm_ckpt)
@@ -373,6 +399,21 @@ def main():
                                             lm_cache=lm_cache)
             toks, lens = np.asarray(toks), np.asarray(lens)
             hyps = [list(toks[i, : lens[i]]) for i in range(toks.shape[0])]
+        elif sp_decode is not None:
+            # pad the WAV (not the features) so the frame count divides
+            # the seq axis: appended zero samples only append silence
+            # frames past each utterance's feat_len — valid frames are
+            # untouched, unlike feature-time padding which perturbs the
+            # frontend conv boundary (parallel/sequence.py)
+            wav = batch["wav"]
+            rem = (-fbank.num_frames(wav.shape[1])) % args.seq_parallel
+            if rem:
+                wav = jnp.pad(wav, ((0, 0), (0, rem * fbank.hop_length)))
+            feats = fbank(wav)
+            feat_lens = fbank.frame_lengths(batch["wav_lens"])
+            feats, _ = trainer.normalize(feats, state["norm_stats"])
+            ids, keep, _ = sp_decode(params, feats, feat_lens)
+            hyps = collapse_ctc(ids, keep)
         else:
             _, hyps = trainer.eval_step(state, batch)
         # eval batches are padded to fixed size by repeating utterances;
@@ -397,8 +438,12 @@ def main():
     # wall-clock RTF incl. batching/host work (the reference reports none)
     summary["rtf"] = round(summary["wall_s"] / max(audio_s, 1e-9), 5)
     summary["decode"] = (
-        ("beam+lm" if lm_step else "beam") if args.beam else "greedy_ctc"
+        ("beam+lm" if lm_step else "beam") if args.beam
+        else ("greedy_ctc_seq_parallel" if sp_decode is not None
+              else "greedy_ctc")
     )
+    if sp_decode is not None:
+        summary["seq_parallel"] = args.seq_parallel
     if lm_step:
         summary["lm_weight"] = cfg.decoding.lm_weight
     print(json.dumps(summary))

@@ -129,13 +129,18 @@ def sequence_parallel_encode(model, mesh: Mesh):
     return call
 
 
-def sequence_parallel_ctc_decode(model, mesh: Mesh):
-    """Jitted greedy-CTC decode path (encode + ctc head + argmax) with the
-    whole graph time-sharded: the per-frame argmax is embarrassingly
-    parallel over T, so only the final [B, T'] token ids are gathered.
+def sequence_parallel_ctc_decode(model, mesh: Mesh, blank_id: int = 0):
+    """Jitted greedy-CTC decode path (encode + ctc head + greedy marks)
+    with the whole graph time-sharded: the per-frame argmax and the
+    collapse marks (a one-frame shifted compare — one halo frame) are
+    embarrassingly parallel over T, so only [B, T'] ids/marks leave the
+    shards.
 
-    Returns fn(params, feats, feat_lengths) ->
-    (tokens [B, T'] replicated, enc_lengths [B])."""
+    Returns fn(params, feats, feat_lengths) -> (ids [B, T'], keep
+    [B, T'], enc_lengths [B]) — the decoding.ctc greedy contract; feed to
+    decoding.ctc.collapse_ctc for the ragged token lists."""
+    from summarymixing_tpu.decoding.ctc import ctc_greedy_decode
+
     len_sh = NamedSharding(mesh, P("data"))
     feat_sh = time_sharding(mesh, 3)
     n_seq = mesh.shape["seq"]
@@ -147,7 +152,8 @@ def sequence_parallel_ctc_decode(model, mesh: Mesh):
         )
         enc = shard_time(enc, mesh)
         log_probs = model.apply(params, enc, method=model.ctc_head)
-        return jax.numpy.argmax(log_probs, axis=-1), out_len
+        ids, keep = ctc_greedy_decode(log_probs, out_len, blank_id)
+        return ids, keep, out_len
 
     jitted = jax.jit(decode, in_shardings=(None, feat_sh, len_sh))
 

@@ -211,6 +211,19 @@ augment:
     summary = _json.loads(res.stdout.strip().splitlines()[-1])
     assert "WER" in summary and summary["utterances"] == 16
 
+    # time-sharded greedy decode (--seq-parallel) must reproduce the
+    # single-device WER exactly (parallel/sequence.py)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes/evaluate.py"), str(recipe),
+         "--test-manifest", manifest, "--ckpt", str(out / "save"),
+         "--avg", "1", "--seq-parallel", "4"],
+        capture_output=True, text=True, timeout=400, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    sp_summary = _json.loads(res.stdout.strip().splitlines()[-1])
+    assert sp_summary["decode"] == "greedy_ctc_seq_parallel"
+    assert sp_summary["WER"] == summary["WER"]
+
 
 def test_lm_fusion_eval_smoke(tmp_path):
     """The reference's full test-decode pipeline (VERDICT round-1 item 1):

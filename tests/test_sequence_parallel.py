@@ -77,21 +77,23 @@ def test_time_sharded_encode_matches_single_device(rng, encoder_module, mode):
 
 
 def test_time_sharded_greedy_ctc_matches_single_device(rng):
+    from summarymixing_tpu.decoding.ctc import collapse_ctc, ctc_greedy_decode
+
     model = _make_model("branchformer")
     feats, lens = _feats(rng)
     params = model.init(jax.random.PRNGKey(0), feats, lens)
 
     enc, out_len = model.apply(params, feats, lens, method=model.encode)
-    ref_tokens = jnp.argmax(
-        model.apply(params, enc, method=model.ctc_head), axis=-1
+    ref_ids, ref_keep = ctc_greedy_decode(
+        model.apply(params, enc, method=model.ctc_head), out_len
     )
 
     mesh = make_seq_mesh(n_data=2, n_seq=4)
     sp_decode = sequence_parallel_ctc_decode(model, mesh)
-    sp_tokens, sp_len = sp_decode(params, feats, lens)
+    sp_ids, sp_keep, sp_len = sp_decode(params, feats, lens)
 
     np.testing.assert_array_equal(np.asarray(sp_len), np.asarray(out_len))
-    np.testing.assert_array_equal(np.asarray(sp_tokens), np.asarray(ref_tokens))
+    assert collapse_ctc(sp_ids, sp_keep) == collapse_ctc(ref_ids, ref_keep)
 
 
 def test_seq_mesh_rejects_non_divisible():
