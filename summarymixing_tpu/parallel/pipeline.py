@@ -69,26 +69,43 @@ def pipeline_layer_stack(layer_module, mesh: Mesh, n_micro: int):
     leading [L] layer axis (the scan_layers=True layout) with L divisible
     by the pipe-axis size.
 
-    Inference/eval schedule (deterministic=True). The returned fn is
-    jittable and differentiable (it is all lax ops), so a training step
-    may close over it; per-microbatch dropout rng threading is the one
-    extension a full PP training recipe would add.
+    The returned fn is jittable and differentiable (all lax ops), so a
+    training step may close over it. Pass rng= for training-mode dropout:
+    the key is folded per (microbatch, absolute layer) so every in-flight
+    microbatch draws an independent mask on every layer of every stage
+    (the folding differs from flax nn.scan's internal split, so dropout
+    patterns are implementation-defined — as they are between any two
+    frameworks; deterministic outputs are exactly equal, tested).
     """
     n_stages = mesh.shape["pipe"]
 
-    def stage_fn(stage_params, x, src_mask, pad_mask):
+    def stage_fn(stage_params, x, src_mask, pad_mask, mb_key, stage_idx):
         # apply this stage's L/S layers sequentially (inner scan)
-        def body(carry, layer_params):
-            y = layer_module.apply(
-                {"params": layer_params}, carry, src_mask, pad_mask,
-                None, True,
-            )
+        l_per_stage = jax.tree.leaves(stage_params)[0].shape[0]
+
+        def body(carry, inp):
+            layer_params, li = inp
+            if mb_key is not None:
+                # independent dropout per (microbatch, absolute layer)
+                rngs = {"dropout": jax.random.fold_in(
+                    mb_key, stage_idx * l_per_stage + li)}
+                y = layer_module.apply(
+                    {"params": layer_params}, carry, src_mask, pad_mask,
+                    None, False, rngs=rngs,
+                )
+            else:
+                y = layer_module.apply(
+                    {"params": layer_params}, carry, src_mask, pad_mask,
+                    None, True,
+                )
             return y, None
 
-        x, _ = jax.lax.scan(body, x, stage_params)
+        x, _ = jax.lax.scan(
+            body, x, (stage_params, jnp.arange(l_per_stage))
+        )
         return x
 
-    def pp_local(stage_params, xs, src_mask, pads):
+    def pp_local(stage_params, xs, src_mask, pads, rng):
         # shard_map body: one pipe stage per device slice.
         # stage_params leaves [1, L/S, ...] (local slice) -> [L/S, ...]
         stage_params = jax.tree.map(lambda p: p[0], stage_params)
@@ -109,10 +126,11 @@ def pipeline_layer_stack(layer_module, mesh: Mesh, n_micro: int):
             # (wrong masked time-mean whenever pads differ across
             # microbatches; the pad is replicated data so a clipped local
             # index is cheaper than ppermuting it alongside the activation)
-            pad = jax.lax.dynamic_index_in_dim(
-                pads, jnp.clip(t - idx, 0, m - 1), 0, False
-            )
-            y = stage_fn(stage_params, x_in, src_mask, pad)
+            mb = jnp.clip(t - idx, 0, m - 1)
+            pad = jax.lax.dynamic_index_in_dim(pads, mb, 0, False)
+            mb_key = (jax.random.fold_in(rng, mb)
+                      if rng is not None else None)
+            y = stage_fn(stage_params, x_in, src_mask, pad, mb_key, idx)
             # the LAST stage finishes microbatch t-(S-1) at step t
             pos = jnp.clip(t - (n_stages - 1), 0, m - 1)
             write = (idx == n_stages - 1) & (t >= n_stages - 1)
@@ -135,12 +153,12 @@ def pipeline_layer_stack(layer_module, mesh: Mesh, n_micro: int):
     sharded = jax.shard_map(
         pp_local,
         mesh=mesh,
-        in_specs=(P("pipe"), P(None, "data"), P(), P(None, "data")),
+        in_specs=(P("pipe"), P(None, "data"), P(), P(None, "data"), P()),
         out_specs=P(None, "data"),
         check_vma=False,
     )
 
-    def call(stacked_params, x, src_mask=None, pad_mask=None):
+    def call(stacked_params, x, src_mask=None, pad_mask=None, rng=None):
         n_layers = jax.tree.leaves(stacked_params)[0].shape[0]
         if n_layers % n_stages:
             raise ValueError(
@@ -167,7 +185,7 @@ def pipeline_layer_stack(layer_module, mesh: Mesh, n_micro: int):
             pad_mask = jnp.ones(x.shape[:2], x.dtype)
         xs = _microbatch(x, n_micro)
         pads = _microbatch(pad_mask, n_micro)
-        out = sharded(staged, xs, src_mask, pads)
+        out = sharded(staged, xs, src_mask, pads, rng)
         return out.reshape(x.shape)
 
     return call
@@ -189,8 +207,8 @@ def pipeline_branchformer_encode(encoder, mesh: Mesh, n_micro: int):
     final_norm = nn.LayerNorm(epsilon=1e-6, dtype=encoder.dtype,
                               param_dtype=encoder.param_dtype)
 
-    def call(encoder_params, x, src_mask=None, pad_mask=None):
-        y = stack(encoder_params["layers"], x, src_mask, pad_mask)
+    def call(encoder_params, x, src_mask=None, pad_mask=None, rng=None):
+        y = stack(encoder_params["layers"], x, src_mask, pad_mask, rng=rng)
         return final_norm.apply({"params": encoder_params["norm"]}, y)
 
     return call

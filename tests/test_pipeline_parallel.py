@@ -89,6 +89,39 @@ def test_pipeline_rejects_bad_partitions(rng):
         )
 
 
+def test_pipeline_training_mode_dropout(rng):
+    """rng= threads training-mode dropout: independent per (microbatch,
+    layer), deterministic given the key, different from the eval path,
+    and with finite gradients."""
+    enc = BranchformerEncoder(
+        num_layers=4, d_model=16, nhead=2, kernel_size=5,
+        dropout_rate=0.3, attention_type="SummaryMixing",
+        csgu_linear_units=32, local_proj_hid_dim=(16,),
+        local_proj_out_dim=16, summary_hid_dim=(16,), summary_out_dim=16,
+        mode="SummaryMixing", scan_layers=True,
+    )
+    x, pad = _data(rng, b=8)
+    params = enc.init(jax.random.PRNGKey(0), x, None, pad)["params"]
+    mesh = make_pipeline_mesh(n_data=2, n_pipe=4)
+    pp = pipeline_branchformer_encode(enc, mesh, n_micro=4)
+
+    key = jax.random.PRNGKey(42)
+    out_train = pp(params, x, None, pad, rng=key)
+    out_train2 = pp(params, x, None, pad, rng=key)
+    out_eval = pp(params, x, None, pad)
+    np.testing.assert_array_equal(np.asarray(out_train),
+                                  np.asarray(out_train2))
+    assert not np.allclose(np.asarray(out_train), np.asarray(out_eval))
+    # different key -> different masks
+    out_k2 = pp(params, x, None, pad, rng=jax.random.PRNGKey(7))
+    assert not np.allclose(np.asarray(out_train), np.asarray(out_k2))
+
+    g = jax.grad(
+        lambda p: jnp.sum(pp(p, x, None, pad, rng=key) ** 2)
+    )(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
 def test_pipeline_under_jit_and_grad(rng):
     """The schedule is jittable and differentiable (all lax ops): a loss
     through the pipelined stack has finite grads matching the sequential
