@@ -130,6 +130,56 @@ def test_beam_search_decodes_overfit_model(rng):
     )
 
 
+def test_beam_search_early_exit_is_exact(rng):
+    """Raising max_length must not change the result once every beam has
+    emitted eos: the while_loop exits at the all-finished step, so the
+    extra cap is never walked (and with the overfit model, hypotheses
+    finish after ~4 tokens)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    trainer, state, batch, _ = _train_tiny_joint(rng)
+    model = trainer.model
+    cfg = trainer.config
+
+    feats = trainer.fbank(batch["wav"])
+    feat_lens = trainer.fbank.frame_lengths(batch["wav_lens"])
+    feats, _ = trainer.normalize(feats, state["norm_stats"])
+    enc_out, enc_lens = model.apply(
+        {"params": state["params"]}, feats, feat_lens, method=model.encode
+    )
+    ctc_lp = model.apply(
+        {"params": state["params"]}, enc_out, method=model.ctc_head
+    )
+    beam = 4
+    enc_t = tile_for_beam(enc_out, beam)
+    len_t = tile_for_beam(enc_lens, beam)
+    ctc_t = tile_for_beam(ctc_lp, beam)
+
+    def decode_step(tokens, step):
+        return model.apply(
+            {"params": state["params"]}, tokens, enc_t, len_t, step,
+            method=model.decode_position,
+        )
+
+    outs = []
+    for lmax in (6, 24):
+        config = S2SBeamConfig(
+            beam_size=beam, ctc_weight=0.4, lm_weight=0.0,
+            bos_id=cfg.bos_id, eos_id=cfg.eos_id, blank_id=cfg.blank_id,
+            max_length=lmax, min_steps=1,
+        )
+        toks, lens, scores = s2s_beam_search(
+            decode_step, enc_t, len_t, ctc_t, config
+        )
+        outs.append((np.asarray(toks), np.asarray(lens),
+                     np.asarray(scores)))
+    (t0, l0, s0), (t1, l1, s1) = outs
+    np.testing.assert_array_equal(l0, l1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-6)
+    for i in range(t0.shape[0]):
+        np.testing.assert_array_equal(t0[i, : l0[i]], t1[i, : l1[i]])
+
+
 def test_transformer_lm_shapes(rng):
     lm = TransformerLM(vocab=20, d_model=32, nhead=2, num_layers=2, d_ffn=64)
     toks = jnp.asarray(rng.integers(0, 20, (2, 7)), jnp.int32)
