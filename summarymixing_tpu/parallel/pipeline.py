@@ -19,6 +19,21 @@ This is deliberately an explicit shard_map + ppermute schedule rather
 than GSPMD auto-sharding: pipelining is the one parallelism family where
 the SCHEDULE (who computes which microbatch when) is the design, so it
 must be written, not inferred (scaling-book pipelining recipe).
+
+Example
+-------
+>>> import jax, jax.numpy as jnp
+>>> from flax import linen as nn
+>>> class Scale(nn.Module):  # stand-in layer with the encoder signature
+...     @nn.compact
+...     def __call__(self, x, src_mask, pad_mask, pos_embs, deterministic):
+...         return x * self.param("s", nn.initializers.ones, ())
+>>> mesh = make_pipeline_mesh(n_data=1, n_pipe=2,
+...                           devices=jax.devices()[:2])
+>>> stacked = {"s": jnp.asarray([2.0, 3.0])}       # a 2-layer stack
+>>> fn = pipeline_layer_stack(Scale(), mesh, n_micro=2)
+>>> float(fn(stacked, jnp.ones((2, 4, 1)))[0, 0, 0])   # 1 * 2 * 3
+6.0
 """
 
 from __future__ import annotations

@@ -30,6 +30,15 @@ Correctness subtlety: anything that REDUCES over T must be length-masked
 package's single mask convention (multiplicative float, 1 = valid)
 already guarantees that, and tests/test_sequence_parallel.py asserts
 numerical agreement between the time-sharded and single-device paths.
+
+Example
+-------
+>>> import jax, jax.numpy as jnp
+>>> mesh = make_seq_mesh(n_data=2, n_seq=2, devices=jax.devices()[:4])
+>>> x = jnp.ones((2, 8, 4))
+>>> y = jax.jit(lambda v: shard_time(v, mesh))(x)
+>>> tuple(y.sharding.spec)[:2]
+('data', 'seq')
 """
 
 from __future__ import annotations

@@ -17,6 +17,8 @@ MODULES = [
     "summarymixing_tpu.models.branchformer",
     "summarymixing_tpu.models.conformer",
     "summarymixing_tpu.models.asr",
+    "summarymixing_tpu.parallel.sequence",
+    "summarymixing_tpu.parallel.pipeline",
 ]
 
 
