@@ -1,0 +1,153 @@
+"""Convert a reference (SpeechBrain/torch) checkpoint into an orbax run
+directory consumable by recipes/evaluate.py / transcribe.py.
+
+This is the CLI around utils/convert.py's full-model converters (whose
+numerics are pinned against clean-room torch oracles in
+tests/test_convert_full.py): it maps the torch `model.ckpt` state dict —
+the ModuleList [CNN, Transformer, seq_lin, ctc_lin] of reference
+branchformer_summarymixing.yaml:214-215, or the transducer ModuleList of
+transducer yaml:369-370 — onto the recipe's flax parameter tree and
+saves it as a checkpoint, so evaluating a reference-trained model is:
+
+  python recipes/convert_checkpoint.py recipe.yaml \\
+      --torch-ckpt save/.../model.ckpt \\
+      [--norm-ckpt save/.../normalizer.ckpt] \\
+      [--tokenizer path/to/tokenizer.(json|model)] \\
+      --output converted_run
+  python recipes/evaluate.py recipe.yaml --test-manifest test.csv \\
+      --ckpt converted_run/save [--beam]
+
+--norm-ckpt maps the reference InputNormalization statistics
+(glob_mean/glob_std, speechbrain normalization.py _save/_load format)
+onto the Welford NormStats the frontend carries; without it the features
+are normalized with zero stats and WER will be garbage — a warning says
+so."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# the axon sitecustomize overrides JAX_PLATFORMS; honor it explicitly the
+# way the other recipe entry points do (conversion is pure host work —
+# CPU is the right backend)
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
+import jax.numpy as jnp
+import numpy as np
+
+from summarymixing_tpu.config import build_model, load_recipe
+from summarymixing_tpu.frontend.features import NormStats
+from summarymixing_tpu.training.checkpoint import CheckpointManager
+from summarymixing_tpu.utils.convert import (
+    convert_full_model,
+    convert_transducer_model,
+    load_torch_checkpoint,
+)
+
+
+def norm_stats_from_reference(path: str, n_mels: int) -> dict:
+    """Map a reference normalizer.ckpt (torch dict with glob_mean /
+    glob_std and a count) onto Welford NormStats: m2 = var * count."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    mean = np.asarray(sd["glob_mean"], np.float32).reshape(-1)
+    std = np.asarray(sd["glob_std"], np.float32).reshape(-1)
+    count = float(np.asarray(sd.get("count", 1e8)))
+    if mean.shape[0] != n_mels:
+        raise SystemExit(
+            f"normalizer stats have {mean.shape[0]} dims, recipe n_mels "
+            f"is {n_mels}"
+        )
+    return {
+        "count": jnp.asarray(count, jnp.float32),
+        "mean": jnp.asarray(mean),
+        "m2": jnp.asarray(std.astype(np.float64) ** 2 * count, jnp.float32),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("recipe")
+    ap.add_argument("--torch-ckpt", required=True,
+                    help="reference model.ckpt (torch state dict)")
+    ap.add_argument("--norm-ckpt", default=None,
+                    help="reference normalizer.ckpt (InputNormalization "
+                         "glob stats)")
+    ap.add_argument("--tokenizer", default=None,
+                    help="tokenizer file to place in the run dir "
+                         "(tokenizer.json from data/subword.py, a "
+                         "sentencepiece tokenizer.model, or a "
+                         "tokenizer_vocab.json char map)")
+    ap.add_argument("--output", required=True, help="run directory to write")
+    args = ap.parse_args()
+
+    cfg = load_recipe(args.recipe)
+    model, fbank, td_model = build_model(cfg)
+    sd = load_torch_checkpoint(args.torch_ckpt)
+
+    m = cfg.model
+    if td_model is not None:
+        params = convert_transducer_model(
+            sd, nhead=m.nhead, mode=m.mode,
+            num_encoder_layers=m.num_encoder_layers,
+        )
+    else:
+        params = convert_full_model(
+            sd, nhead=m.nhead, mode=m.mode,
+            num_encoder_layers=m.num_encoder_layers,
+            num_decoder_layers=m.num_decoder_layers,
+        )
+
+    if args.norm_ckpt:
+        norm_stats = norm_stats_from_reference(args.norm_ckpt,
+                                               cfg.features.n_mels)
+    else:
+        print("WARNING: no --norm-ckpt given — saving ZERO input-"
+              "normalization stats; decode quality will be wrong unless "
+              "the training run did not normalize")
+        norm_stats = NormStats.init(cfg.features.n_mels)
+
+    state = {
+        "params": jax.tree.map(jnp.asarray, params),
+        "norm_stats": norm_stats,
+        # a converted model is fully trained: freeze the normalizer
+        "step": jnp.asarray(10 ** 9, jnp.int32),
+        "epoch": jnp.asarray(10 ** 6, jnp.int32),
+    }
+
+    os.makedirs(args.output, exist_ok=True)
+    save_dir = os.path.join(args.output, "save")
+    CheckpointManager(save_dir).save(0, state, force=True)
+
+    if args.tokenizer:
+        base = os.path.basename(args.tokenizer)
+        if base not in ("tokenizer.json", "tokenizer.model",
+                        "tokenizer_vocab.json"):
+            ext = os.path.splitext(base)[1]
+            base = {".model": "tokenizer.model",
+                    ".json": "tokenizer.json"}.get(ext)
+            if base is None:
+                raise SystemExit(
+                    "--tokenizer must be a .json (subword/char) or "
+                    ".model (sentencepiece) file")
+        shutil.copy(args.tokenizer, os.path.join(args.output, base))
+
+    n_params = sum(int(np.asarray(p).size) for p in jax.tree.leaves(params))
+    print(f"converted {n_params:,} parameters -> {save_dir} "
+          f"(evaluate with --ckpt {save_dir})")
+
+
+if __name__ == "__main__":
+    main()

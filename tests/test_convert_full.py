@@ -99,6 +99,99 @@ def test_converted_greedy_transcripts_identical(converted, rng):
         hyp_f.append(nxt_f)
 
 
+def test_convert_checkpoint_cli(tmp_path, rng):
+    """recipes/convert_checkpoint.py: torch model.ckpt + normalizer.ckpt
+    -> orbax run dir; restored params reproduce the torch oracle's
+    encoder outputs through the recipe-built model."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    import torch
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    torch_model = build_oracle(nhead=1, seed=3)
+    torch.save(torch_model.state_dict(), tmp_path / "model.ckpt")
+    torch.save(
+        {"glob_mean": torch.zeros(80), "glob_std": torch.ones(80),
+         "count": torch.tensor(100.0)},
+        tmp_path / "normalizer.ckpt",
+    )
+    recipe = tmp_path / "oracle.yaml"
+    recipe.write_text(
+        """
+name: convert_cli_smoke
+tokenizer_type: char
+model:
+  attention_type: SummaryMixing
+  mode: SummaryMixing
+  encoder_module: branchformer
+  d_model: 16
+  nhead: 1
+  num_encoder_layers: 2
+  num_decoder_layers: 1
+  d_ffn: 24
+  transformer_dropout: 0.0
+  activation: gelu_exact
+  csgu_linear_units: 16
+  csgu_kernel_size: 5
+  local_proj_hid_dim: [8]
+  local_proj_out_dim: 16
+  summary_hid_dim: [8]
+  summary_out_dim: 16
+  input_size: 40
+  output_neurons: 12
+  frontend_channels: [4, 2]
+training:
+  precision: fp32
+"""
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "recipes/convert_checkpoint.py"),
+         str(recipe), "--torch-ckpt", str(tmp_path / "model.ckpt"),
+         "--norm-ckpt", str(tmp_path / "normalizer.ckpt"),
+         "--output", str(tmp_path / "run")],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "converted" in res.stdout
+
+    from summarymixing_tpu.config import build_model, load_recipe
+    from summarymixing_tpu.frontend.features import NormStats
+    from summarymixing_tpu.training.checkpoint import CheckpointManager
+
+    cfg = load_recipe(str(recipe))
+    model, fbank, td = build_model(cfg)
+    assert td is None
+    feats = rng.standard_normal((2, 16, 80)).astype(np.float32)
+    feat_lens = jnp.full((2,), 16, jnp.int32)
+    init_bos = jnp.ones((2, 3), jnp.int32)
+    template = {
+        # init WITH target tokens so the decoder branch creates its params
+        "params": model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                             feat_lens, init_bos)["params"],
+        "norm_stats": NormStats.init(80),
+        "step": jnp.zeros((), jnp.int32),
+        "epoch": jnp.zeros((), jnp.int32),
+    }
+    restored = CheckpointManager(str(tmp_path / "run" / "save")).restore(
+        template
+    )
+    assert restored is not None
+    assert float(restored["norm_stats"]["count"]) == 100.0
+
+    tokens_bos = np.concatenate(
+        [np.ones((2, 1)), rng.integers(3, V, (2, 4))], axis=1
+    ).astype(np.int64)
+    enc_t, _, _ = oracle_forward(torch_model, feats, tokens_bos)
+    out = model.apply({"params": restored["params"]}, jnp.asarray(feats),
+                      feat_lens, jnp.asarray(tokens_bos.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(out["enc_out"]), enc_t,
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_transducer_model_conversion_parity(rng):
     """Conformer-transducer checkpoint conversion (the second flagship,
     VERDICT r1 item 2): encoder outputs and joint/CTC log-probs must match
