@@ -16,11 +16,24 @@ The returned score is the *delta* psi(g+c) - psi(g), which beam search adds
 to its running joint score. eos candidates score the full-sequence CTC
 probability logaddexp(r_nb[T-1, g], r_b[T-1, g]) instead.
 
-TPU notes: one lax.scan over T per decode step, vectorised over
-[N hypotheses x K candidates] on the VPU; states are [N, T] (selected
-hypotheses only — beam search gathers them on prune). K is the pruned
-candidate count (partial CTC scoring), keeping the per-step cost
-O(T * N * K) instead of O(T * N * V).
+TPU notes: the three recurrences have closed forms, so the default
+implementation has NO sequential T-loop (impl="parallel"):
+
+    r_nb[t] = C[t] + clse_t( phi[t-1] - C[t-1] )        C = cumsum x_cand
+    r_b [t] = B[t] + clse_t( r_nb[t-1] - B[t-1] )       B = cumsum x_blank
+    psi     = logsumexp_t( phi[t-1] + x_cand[t] )
+
+where clse is an inclusive cumulative logsumexp computed with
+jax.lax.associative_scan (logaddexp is associative) — O(log T) depth
+instead of T sequential steps, the same closed-form trick as the
+transducer lattice row (losses/transducer.py). The sequential lax.scan
+formulation is kept as impl="scan" (correctness oracle; parity test in
+tests/test_decoding.py). Padding frames contribute x = 0 and are
+excluded from psi; their r values are garbage but the scans are causal
+and padding is a per-row suffix, so garbage never reaches valid frames.
+States are [N, T] (selected hypotheses only — beam search gathers them
+on prune). K is the pruned candidate count (partial CTC scoring),
+keeping the per-step cost O(T * N * K) instead of O(T * N * V).
 """
 
 from __future__ import annotations
@@ -60,6 +73,11 @@ def ctc_prefix_init(x: Array, input_lengths: Array, blank_id: int = 0) -> CTCPre
     )
 
 
+def _cumlogsumexp(u: Array, axis: int) -> Array:
+    """Inclusive cumulative logsumexp (logaddexp is associative)."""
+    return jax.lax.associative_scan(jnp.logaddexp, u, axis=axis)
+
+
 def ctc_prefix_score(
     state: CTCPrefixState,
     x: Array,
@@ -67,13 +85,15 @@ def ctc_prefix_score(
     cand: Array,
     blank_id: int = 0,
     eos_id: Optional[int] = None,
+    impl: str = "parallel",
 ) -> Tuple[Array, CTCPrefixState]:
     """Score K candidate extensions for each of N hypotheses.
 
     x [N, T, V]; cand [N, K] int. Returns (score_delta [N, K],
     candidate_states) where candidate_states holds r/psi for EVERY candidate
     ([N, K, T] / [N, K]); beam search gathers the chosen ones via
-    `ctc_prefix_select`."""
+    `ctc_prefix_select`. impl: "parallel" (closed-form, no sequential
+    T-loop — default) or "scan" (the sequential oracle)."""
     n, t, v = x.shape
     k = cand.shape[1]
     valid = (jnp.arange(t)[None, :] < input_lengths[:, None])  # [N, T]
@@ -81,7 +101,11 @@ def ctc_prefix_score(
     x_cand = jnp.take_along_axis(
         x, cand[:, None, :], axis=2
     )  # [N, T, K]
-    x_cand = jnp.where(valid[..., None], x_cand, _NEG)
+    # padding frames contribute nothing: 0 in the parallel cumsums (their
+    # r values are suffix garbage, see module docstring), and psi masks
+    # them explicitly below / via _NEG in the scan oracle
+    pad_fill = 0.0 if impl == "parallel" else _NEG
+    x_cand = jnp.where(valid[..., None], x_cand, pad_fill)
     x_blank = jnp.where(valid, x[..., blank_id], 0.0)  # [N, T]
 
     same_as_last = cand == state.last[:, None]  # [N, K]
@@ -91,19 +115,6 @@ def ctc_prefix_score(
         state.r_b[..., None],
         jnp.logaddexp(state.r_b, state.r_nb)[..., None],
     )  # [N, T, K]
-
-    # scan over frames
-    def step(carry, inputs):
-        r_nb_p, r_b_p, psi_p = carry  # [N, K] each
-        xc_t, xb_t, phi_pm1 = inputs
-        # r at frame t
-        r_nb_t = xc_t + jnp.logaddexp(r_nb_p, phi_pm1)
-        r_b_t = xb_t[:, None] + jnp.logaddexp(r_nb_p, r_b_p)
-        psi_t = jnp.logaddexp(psi_p, phi_pm1 + xc_t)
-        r_nb_t = jnp.maximum(r_nb_t, _NEG)
-        r_b_t = jnp.maximum(r_b_t, _NEG)
-        psi_t = jnp.maximum(psi_t, _NEG)
-        return (r_nb_t, r_b_t, psi_t), (r_nb_t, r_b_t)
 
     # frame 0: r_nb[0, c] = x[0, c] (only if prefix empty — represented by
     # phi[-1] seed below); seed phi[-1] = 0 for the empty prefix, else -inf.
@@ -115,20 +126,60 @@ def ctc_prefix_score(
         [phi_m1[:, None, :], phi[:, :-1, :]], axis=1
     )  # [N, T, K]: phi at t-1
 
-    init = (
-        jnp.full((n, k), _NEG, x.dtype),
-        jnp.full((n, k), _NEG, x.dtype),
-        jnp.full((n, k), _NEG, x.dtype),
-    )
-    xs = (
-        jnp.moveaxis(x_cand, 1, 0),       # [T, N, K]
-        jnp.moveaxis(x_blank, 1, 0),      # [T, N]
-        jnp.moveaxis(phi_shift, 1, 0),    # [T, N, K]
-    )
-    (_, _, psi), (r_nb_all, r_b_all) = jax.lax.scan(step, init, xs)
-    # [T, N, K] -> [N, K, T]
-    r_nb_all = jnp.moveaxis(r_nb_all, 0, 2)
-    r_b_all = jnp.moveaxis(r_b_all, 0, 2)
+    if impl == "parallel":
+        # closed forms (module docstring): no sequential T-loop
+        c_cum = jnp.cumsum(x_cand, axis=1)                  # C[t]
+        c_shift = c_cum - x_cand                            # C[t-1]
+        r_nb_all = c_cum + _cumlogsumexp(phi_shift - c_shift, axis=1)
+        r_nb_all = jnp.maximum(r_nb_all, _NEG)              # [N, T, K]
+
+        b_cum = jnp.cumsum(x_blank, axis=1)[..., None]      # B[t] [N,T,1]
+        b_shift = b_cum - x_blank[..., None]                # B[t-1]
+        r_nb_shift = jnp.concatenate(
+            [jnp.full((n, 1, k), _NEG, x.dtype), r_nb_all[:, :-1]], axis=1
+        )
+        r_b_all = b_cum + _cumlogsumexp(r_nb_shift - b_shift, axis=1)
+        r_b_all = jnp.maximum(r_b_all, _NEG)
+
+        psi_terms = jnp.where(
+            valid[..., None], phi_shift + x_cand, _NEG
+        )
+        psi = jnp.maximum(
+            jax.nn.logsumexp(psi_terms, axis=1), _NEG
+        )  # [N, K]
+        # [N, T, K] -> [N, K, T]
+        r_nb_all = jnp.moveaxis(r_nb_all, 1, 2)
+        r_b_all = jnp.moveaxis(r_b_all, 1, 2)
+    elif impl == "scan":
+
+        def step(carry, inputs):
+            r_nb_p, r_b_p, psi_p = carry  # [N, K] each
+            xc_t, xb_t, phi_pm1 = inputs
+            # r at frame t
+            r_nb_t = xc_t + jnp.logaddexp(r_nb_p, phi_pm1)
+            r_b_t = xb_t[:, None] + jnp.logaddexp(r_nb_p, r_b_p)
+            psi_t = jnp.logaddexp(psi_p, phi_pm1 + xc_t)
+            r_nb_t = jnp.maximum(r_nb_t, _NEG)
+            r_b_t = jnp.maximum(r_b_t, _NEG)
+            psi_t = jnp.maximum(psi_t, _NEG)
+            return (r_nb_t, r_b_t, psi_t), (r_nb_t, r_b_t)
+
+        init = (
+            jnp.full((n, k), _NEG, x.dtype),
+            jnp.full((n, k), _NEG, x.dtype),
+            jnp.full((n, k), _NEG, x.dtype),
+        )
+        xs = (
+            jnp.moveaxis(x_cand, 1, 0),       # [T, N, K]
+            jnp.moveaxis(x_blank, 1, 0),      # [T, N]
+            jnp.moveaxis(phi_shift, 1, 0),    # [T, N, K]
+        )
+        (_, _, psi), (r_nb_all, r_b_all) = jax.lax.scan(step, init, xs)
+        # [T, N, K] -> [N, K, T]
+        r_nb_all = jnp.moveaxis(r_nb_all, 0, 2)
+        r_b_all = jnp.moveaxis(r_b_all, 0, 2)
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
     score = psi - state.psi[:, None]  # [N, K] delta
 
     if eos_id is not None:

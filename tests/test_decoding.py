@@ -52,6 +52,50 @@ def test_ctc_prefix_scorer_sums_to_ctc_forward(rng):
     np.testing.assert_allclose(total, want, rtol=1e-4, atol=1e-4)
 
 
+def test_ctc_prefix_parallel_matches_scan_oracle(rng):
+    """The closed-form (associative-scan) scorer must match the
+    sequential lax.scan formulation on scores AND carried states, over
+    multiple chained steps with ragged lengths."""
+    from summarymixing_tpu.decoding.ctc_prefix import (
+        ctc_prefix_init,
+        ctc_prefix_score,
+        ctc_prefix_select,
+    )
+
+    n, t, v, k = 3, 17, 9, 4
+    x = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(v), size=(n, t))), jnp.float32
+    )
+    lens = jnp.asarray([17, 11, 5], jnp.int32)
+
+    st_p = ctc_prefix_init(x, lens)
+    st_s = ctc_prefix_init(x, lens)
+    for step in range(3):
+        cand = jnp.asarray(
+            rng.integers(1, v, (n, k)).astype(np.int32))
+        sc_p, cs_p = ctc_prefix_score(st_p, x, lens, cand, eos_id=2,
+                                      impl="parallel")
+        sc_s, cs_s = ctc_prefix_score(st_s, x, lens, cand, eos_id=2,
+                                      impl="scan")
+        np.testing.assert_allclose(np.asarray(sc_p), np.asarray(sc_s),
+                                   rtol=1e-5, atol=1e-5)
+        # compare carried states on VALID frames only (the parallel form
+        # leaves garbage in each row's padding suffix by design)
+        for fld in ("r_nb", "r_b"):
+            a = np.asarray(getattr(cs_p, fld))
+            b = np.asarray(getattr(cs_s, fld))
+            for i, L in enumerate(np.asarray(lens)):
+                np.testing.assert_allclose(a[i, :, :L], b[i, :, :L],
+                                           rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cs_p.psi),
+                                   np.asarray(cs_s.psi),
+                                   rtol=1e-5, atol=1e-5)
+        hyp = jnp.arange(n)
+        pick = jnp.asarray(rng.integers(0, k, (n,)).astype(np.int32))
+        st_p = ctc_prefix_select(cs_p, hyp, pick)
+        st_s = ctc_prefix_select(cs_s, hyp, pick)
+
+
 def test_ctc_prefix_scorer_repeat_vs_distinct(rng):
     """Extending with the same token as last requires an intervening blank,
     so p(aa) must be <= p(ab) when emissions are symmetric-ish; sanity check
