@@ -136,9 +136,21 @@ def main():
         if base not in ("tokenizer.json", "tokenizer.model",
                         "tokenizer_vocab.json"):
             ext = os.path.splitext(base)[1]
-            base = {".model": "tokenizer.model",
-                    ".json": "tokenizer.json"}.get(ext)
-            if base is None:
+            if ext == ".model":
+                base = "tokenizer.model"
+            elif ext == ".json":
+                # disambiguate by content: a subword tokenizer carries
+                # "pieces" (data/subword.py save format); a bare dict is
+                # the char id map — naming it tokenizer.json would make
+                # resolve_tokenizer feed it to SubwordTokenizer.load
+                import json as _json
+
+                with open(args.tokenizer) as f:
+                    data = _json.load(f)
+                base = ("tokenizer.json"
+                        if isinstance(data, dict) and "pieces" in data
+                        else "tokenizer_vocab.json")
+            else:
                 raise SystemExit(
                     "--tokenizer must be a .json (subword/char) or "
                     ".model (sentencepiece) file")

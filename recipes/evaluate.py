@@ -319,6 +319,11 @@ def main():
     model, fbank, td_model = build_model(cfg)
     mesh = make_mesh()
     if td_model is not None:
+        if args.seq_parallel > 1:
+            raise SystemExit(
+                "--seq-parallel currently supports the attention recipes' "
+                "greedy CTC decode only (the transducer decode loop is "
+                "token-sequential)")
         return eval_transducer(cfg, args, model, td_model, fbank, mesh,
                                tokenizer, test_set)
     trainer = ASRTrainer(
@@ -412,8 +417,8 @@ def main():
             feats = fbank(wav)
             feat_lens = fbank.frame_lengths(batch["wav_lens"])
             feats, _ = trainer.normalize(feats, state["norm_stats"])
-            ids, keep, _ = sp_decode(params, feats, feat_lens)
-            hyps = collapse_ctc(ids, keep)
+            ids, keep_mask, _ = sp_decode(params, feats, feat_lens)
+            hyps = collapse_ctc(ids, keep_mask)
         else:
             _, hyps = trainer.eval_step(state, batch)
         # eval batches are padded to fixed size by repeating utterances;

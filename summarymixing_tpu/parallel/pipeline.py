@@ -143,8 +143,12 @@ def pipeline_layer_stack(layer_module, mesh: Mesh, n_micro: int):
             # index is cheaper than ppermuting it alongside the activation)
             mb = jnp.clip(t - idx, 0, m - 1)
             pad = jax.lax.dynamic_index_in_dim(pads, mb, 0, False)
-            mb_key = (jax.random.fold_in(rng, mb)
-                      if rng is not None else None)
+            # fold the data-shard index too: the key enters shard_map
+            # replicated, and without it every data shard would draw
+            # identical dropout masks for its local batch slice
+            mb_key = (jax.random.fold_in(
+                jax.random.fold_in(rng, jax.lax.axis_index("data")), mb)
+                if rng is not None else None)
             y = stage_fn(stage_params, x_in, src_mask, pad, mb_key, idx)
             # the LAST stage finishes microbatch t-(S-1) at step t
             pos = jnp.clip(t - (n_stages - 1), 0, m - 1)
