@@ -381,10 +381,14 @@ def main():
             enc_out, enc_lens = model.apply(params, feats, feat_lens,
                                             method=model.encode)
             ctc_lp = model.apply(params, enc_out, method=model.ctc_head)
+            from train import maybe_compact_ctc  # noqa: E402
+
+            ctc_lp, scorer_lens = maybe_compact_ctc(cfg, ctc_lp, enc_lens)
             beam = cfg.decoding.test_beam_size
             enc_t = tile_for_beam(enc_out, beam)
             len_t = tile_for_beam(enc_lens, beam)
             ctc_t = tile_for_beam(ctc_lp, beam)
+            scorer_len_t = tile_for_beam(scorer_lens, beam)
             enc_pad = length_to_mask(len_t, enc_t.shape[1])
             bc = S2SBeamConfig(
                 beam_size=beam,
@@ -399,8 +403,9 @@ def main():
             step, cache, lm_cache = make_beam_step(
                 cfg, model, params, enc_t, len_t, enc_pad, bc, lm_step,
                 lm_make_cache)
-            toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t, bc,
-                                            cache=cache, lm_step_fn=lm_step,
+            toks, lens, _ = s2s_beam_search(step, enc_t, scorer_len_t, ctc_t,
+                                            bc, cache=cache,
+                                            lm_step_fn=lm_step,
                                             lm_cache=lm_cache)
             toks, lens = np.asarray(toks), np.asarray(lens)
             hyps = [list(toks[i, : lens[i]]) for i in range(toks.shape[0])]

@@ -471,6 +471,22 @@ def make_beam_step(cfg, model, params, enc_t, len_t, enc_pad, bc,
     return step_plain, None, lm_cache
 
 
+def maybe_compact_ctc(cfg, ctc_lp, enc_lens):
+    """Blank-skip compaction of the CTC time axis for the prefix scorer
+    (cfg.decoding.ctc_blank_skip > 0; ctc_prefix.py::compact_blank_frames).
+    Returns (ctc_lp, scorer_lens) — scorer lengths only; the decoder's
+    cross-attention keeps the real encoder lengths."""
+    if cfg.decoding.ctc_blank_skip <= 0.0:
+        return ctc_lp, enc_lens
+    from summarymixing_tpu.decoding.ctc_prefix import compact_blank_frames
+
+    cap = cfg.decoding.ctc_frame_cap or max(ctc_lp.shape[1] // 4, 1)
+    ctc_lp, scorer_lens, _ = compact_blank_frames(
+        ctc_lp, enc_lens, cfg.model.blank_index, cap,
+        cfg.decoding.ctc_blank_skip)
+    return ctc_lp, scorer_lens
+
+
 def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
                   fbank, lm_ckpt=None, beam_size=None):
     """Joint CTC/attention beam search (the reference's valid_search stage,
@@ -498,9 +514,11 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
         enc_out, enc_lens = model.apply(params, feats, feat_lens,
                                         method=model.encode)
         ctc_lp = model.apply(params, enc_out, method=model.ctc_head)
+        ctc_lp, scorer_lens = maybe_compact_ctc(cfg, ctc_lp, enc_lens)
         enc_t = tile_for_beam(enc_out, beam)
         len_t = tile_for_beam(enc_lens, beam)
         ctc_t = tile_for_beam(ctc_lp, beam)
+        scorer_len_t = tile_for_beam(scorer_lens, beam)
         enc_pad = length_to_mask(len_t, enc_t.shape[1])
         bc = S2SBeamConfig(
             beam_size=beam, ctc_weight=cfg.decoding.ctc_weight_decode,
@@ -512,7 +530,7 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
         step, cache, lm_cache = make_beam_step(
             cfg, model, params, enc_t, len_t, enc_pad, bc, lm_step,
             lm_make_cache)
-        toks, lens, _ = s2s_beam_search(step, enc_t, len_t, ctc_t, bc,
+        toks, lens, _ = s2s_beam_search(step, enc_t, scorer_len_t, ctc_t, bc,
                                         cache=cache, lm_step_fn=lm_step,
                                         lm_cache=lm_cache)
         toks, lens = np.asarray(toks), np.asarray(lens)

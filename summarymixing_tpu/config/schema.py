@@ -191,6 +191,14 @@ class DecodingConfig:
     ctc_weight_decode: float = 0.40
     min_decode_ratio: float = 0.0
     max_decode_ratio: float = 1.0
+    # CTC blank-skip compaction for the joint-beam prefix scorer
+    # (decoding/ctc_prefix.py::compact_blank_frames). 0.0 = off (exact).
+    # Enabled: frames with blank prob >= ctc_blank_skip collapse into
+    # synthetic blank frames; ctc_frame_cap = max kept frames per
+    # utterance (0 -> T//4; the scorer's static time axis becomes
+    # 2*cap+1, which is what sets the speedup)
+    ctc_blank_skip: float = 0.0
+    ctc_frame_cap: int = 0
     # transducer beam (transducer yaml:150-156)
     beam_size: int = 10
     nbest: int = 1

@@ -609,3 +609,170 @@ def test_streaming_greedy_requires_max_tokens():
         transducer_greedy_decode(
             jnp.zeros((1, 4, 3)), jnp.asarray([4]), predictor_init,
             predictor_step, joint_step, return_carry=True)
+
+
+# ---------------------------------------------------------------------------
+# Blank-skip compaction of the prefix scorer's time axis
+# (ctc_prefix.py::compact_blank_frames)
+# ---------------------------------------------------------------------------
+
+
+_FLOOR = -500.0  # scores below this mean "impossible path"; the full
+# scorer saturates them at -1e5, the compacted one at ~-1e3 (_GAP_NEG) —
+# numerically different, semantically both -inf (and once a prefix is
+# impossible, clamped-psi DELTAS are meaningless on both sides)
+
+
+def _chain_compare(x1, lens1, x2, lens2, steps=3, k=4, seed=7, atol=0.0):
+    """Roll the full and compacted scorers side by side over the same
+    random non-eos candidates, argmax-selecting from the FULL scores, and
+    assert per-step match on rows whose prefix is still possible."""
+    n = x1.shape[0]
+    st1 = ctc_prefix_init(x1, lens1)
+    st2 = ctc_prefix_init(x2, lens2)
+    r = np.random.default_rng(seed)
+    alive = np.ones((n,), bool)
+    compared = 0
+    for _ in range(steps):
+        cand = jnp.asarray(r.integers(3, x1.shape[2], size=(n, k)))
+        a, cs1 = ctc_prefix_score(st1, x1, lens1, cand, 0, eos_id=2)
+        b, cs2 = ctc_prefix_score(st2, x2, lens2, cand, 0, eos_id=2)
+        a, b = np.asarray(a), np.asarray(b)
+        possible = (a > _FLOOR) & alive[:, None]
+        if atol:
+            np.testing.assert_allclose(a[possible], b[possible], atol=atol)
+        else:
+            np.testing.assert_array_equal(a[possible], b[possible])
+        assert (b[alive[:, None] & ~(a > _FLOOR)] < _FLOOR).all()
+        compared += int(possible.sum())
+        pick = jnp.argmax(jnp.asarray(a), axis=1)
+        alive &= a[np.arange(n), np.asarray(pick)] > _FLOOR
+        st1 = ctc_prefix_select(cs1, jnp.arange(n), pick)
+        st2 = ctc_prefix_select(cs2, jnp.arange(n), pick)
+    assert compared > 0  # the comparison must not be vacuous
+
+
+def test_compact_blank_frames_exact_at_threshold_one(rng):
+    """threshold=1.0 keeps every valid frame -> the compacted tensor is
+    the original plus a zero-blank trailing frame, and the scorer chain
+    must match bit-for-bit."""
+    from summarymixing_tpu.decoding.ctc_prefix import compact_blank_frames
+
+    x = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(6), size=(3, 12))), jnp.float32)
+    lens = jnp.asarray([12, 9, 1])
+    x2, lens2, kept = compact_blank_frames(x, lens, 0, 0, 1.0)
+    np.testing.assert_array_equal(np.asarray(kept), [12, 9, 1])
+    np.testing.assert_array_equal(np.asarray(lens2), [13, 10, 2])
+    _chain_compare(x, lens, x2, lens2)
+
+
+def test_compact_blank_frames_peaky(rng):
+    """On a peaky distribution (blank-certain frames dominate) the
+    compacted axis shrinks and scores stay close to the full scorer."""
+    from summarymixing_tpu.decoding.ctc_prefix import compact_blank_frames
+
+    t_len, v = 48, 8
+    probs = np.full((2, t_len, v), 1e-9)
+    probs[:, :, 0] = 1.0
+    for t in (3, 11, 12, 30, 41):
+        probs[:, t, :] = rng.dirichlet(np.ones(v) * 0.3, size=2)
+    probs /= probs.sum(-1, keepdims=True)
+    x = jnp.asarray(np.log(probs), jnp.float32)
+    lens = jnp.asarray([t_len, 44])
+    x2, lens2, kept = compact_blank_frames(x, lens, 0, 0, 0.95)
+    assert int(np.asarray(kept).max()) == 5
+    assert int(np.asarray(lens2).max()) <= 11  # 5 kept + <=5 gaps + tail
+    _chain_compare(x, lens, x2, lens2, seed=9, atol=1e-3)
+
+
+def test_compact_blank_frames_all_blank_row():
+    """A fully blank-certain utterance: no kept frames; eos scores the
+    total blank mass, any real token is (effectively) impossible."""
+    from summarymixing_tpu.decoding.ctc_prefix import compact_blank_frames
+
+    probs = np.full((1, 10, 4), 1e-9)
+    probs[:, :, 0] = 1.0
+    probs /= probs.sum(-1, keepdims=True)
+    x = jnp.asarray(np.log(probs), jnp.float32)
+    lens = jnp.asarray([10])
+    x2, lens2, kept = compact_blank_frames(x, lens, 0, 0, 0.95)
+    assert int(kept[0]) == 0 and int(lens2[0]) == 1
+    st = ctc_prefix_init(x2, lens2)
+    sc, _ = ctc_prefix_score(st, x2, lens2, jnp.asarray([[1, 2]]), 0,
+                             eos_id=2)
+    # eos == full-utterance blank sum; non-eos suppressed
+    full_blank = float(np.log(probs[0, :, 0]).sum())
+    np.testing.assert_allclose(float(sc[0, 1]), full_blank, atol=1e-5)
+    assert float(sc[0, 0]) < -500.0
+
+
+def test_compact_blank_frames_cap_overflow(rng):
+    """More informative frames than the cap: keeps the most non-blank
+    ones, everything stays finite and runnable."""
+    from summarymixing_tpu.decoding.ctc_prefix import compact_blank_frames
+
+    x = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(6), size=(2, 20))), jnp.float32)
+    lens = jnp.asarray([20, 15])
+    x2, lens2, kept = compact_blank_frames(x, lens, 0, 4, 0.999999)
+    assert x2.shape[1] == 9 and int(np.asarray(kept).max()) == 4
+    st = ctc_prefix_init(x2, lens2)
+    for seed in (5, 6):
+        cand = jnp.asarray(
+            np.random.default_rng(seed).integers(3, 6, size=(2, 3)))
+        sc, cs = ctc_prefix_score(st, x2, lens2, cand, 0, eos_id=2)
+        assert np.isfinite(np.asarray(sc)).all()
+        st = ctc_prefix_select(cs, jnp.arange(2), jnp.argmax(sc, axis=1))
+
+
+def test_beam_search_with_compaction_matches_full(rng):
+    """End to end: beam search fed compacted CTC log-probs (peaky case)
+    decodes the same tokens as with the full tensor."""
+    from summarymixing_tpu.decoding.ctc_prefix import compact_blank_frames
+
+    batch, beam, t_len, v, d = 2, 4, 32, 10, 16
+    # peaky ctc head: blank almost everywhere, spikes at a few frames
+    probs = np.full((batch, t_len, v), 1e-8)
+    probs[:, :, 0] = 1.0
+    spike_toks = [3, 5, 8]
+    for bi in range(batch):
+        for j, t in enumerate((4, 13, 27)):
+            probs[bi, t, :] = 1e-4
+            probs[bi, t, spike_toks[j]] = 1.0
+    probs /= probs.sum(-1, keepdims=True)
+    ctc_lp = jnp.asarray(np.log(probs), jnp.float32)
+    enc_lens = jnp.asarray([t_len, 28])
+
+    # attention decoder that softly prefers the true sequence then eos
+    # (the realistic regime: decoder and CTC agree on the possible paths)
+    att_tables = np.full((5, v), -8.0)
+    for j, tok in enumerate(spike_toks):
+        att_tables[j, tok] = 0.0
+    att_tables[3, 2] = 0.0  # eos
+    att_tables[4, 2] = 0.0
+
+    def step(tokens, step_i):
+        tab = jax.nn.log_softmax(
+            jnp.asarray(att_tables, jnp.float32), axis=-1)
+        row = tab[jnp.minimum(step_i, 4)]
+        return jnp.broadcast_to(row, (batch * beam, v))
+
+    cfg = S2SBeamConfig(beam_size=beam, ctc_weight=0.4, max_length=8,
+                        blank_id=0, bos_id=1, eos_id=2)
+    enc_dummy = jnp.zeros((batch * beam, t_len, 4), jnp.float32)
+    t0, l0, s0 = s2s_beam_search(
+        step, enc_dummy, tile_for_beam(enc_lens, beam),
+        tile_for_beam(ctc_lp, beam), cfg)
+
+    ctc2, lens2, _ = compact_blank_frames(ctc_lp, enc_lens, 0, 8, 0.95)
+    assert ctc2.shape[1] < t_len
+    t1, l1, s1 = s2s_beam_search(
+        step, enc_dummy, tile_for_beam(lens2, beam),
+        tile_for_beam(ctc2, beam), cfg)
+    np.testing.assert_array_equal(np.asarray(l0), [3, 3])
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    for i in range(batch):
+        np.testing.assert_array_equal(
+            np.asarray(t0)[i, : int(l0[i])], np.asarray(t1)[i, : int(l1[i])])
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-3)
