@@ -36,7 +36,7 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def build_model(mixer):
+def build_model(mixer, act_int8=False):
     from functools import partial as _partial
 
     from summarymixing_tpu.models.asr import TransformerASR
@@ -53,6 +53,7 @@ def build_model(mixer):
         kernel_size=31, local_proj_hid_dim=(512,), local_proj_out_dim=512,
         summary_hid_dim=(512,), summary_out_dim=512, dropout_rate=0.0,
         branchformer_activation=gelu_tanh,
+        act_int8=act_int8,
         dtype=jnp.bfloat16,
     )
     return SpeechRecognizer(asr=asr, vocab_size=vocab, dtype=jnp.bfloat16)

@@ -480,7 +480,11 @@ def maybe_compact_ctc(cfg, ctc_lp, enc_lens):
         return ctc_lp, enc_lens
     from summarymixing_tpu.decoding.ctc_prefix import compact_blank_frames
 
-    cap = cfg.decoding.ctc_frame_cap or max(ctc_lp.shape[1] // 4, 1)
+    # default cap T//4 (~2x the typical token count of peaky CTC at 25
+    # frames/s with BPE), floored at 32 so short utterances never fold
+    # real token frames into the blank runs
+    cap = cfg.decoding.ctc_frame_cap or min(max(ctc_lp.shape[1] // 4, 32),
+                                            ctc_lp.shape[1])
     ctc_lp, scorer_lens, _ = compact_blank_frames(
         ctc_lp, enc_lens, cfg.model.blank_index, cap,
         cfg.decoding.ctc_blank_skip)

@@ -126,6 +126,7 @@ def build_model(cfg: RecipeConfig):
         # (reference yaml:169 activation: !ref <activation> = GELU)
         activation=act,
         remat=m.remat,
+        act_int8=m.act_int8,
         max_length=m.max_length,
         dtype=dtype,
     )

@@ -82,6 +82,11 @@ class ModelConfig:
     # memory O(T) instead of O(layers*T) for one extra forward's FLOPs
     # (TPU-native memory lever; no reference equivalent)
     remat: bool = False
+    # W8A8 int8 cgMLP projections for inference (ops/quant.py). Measured
+    # SLOWER than bf16 through XLA on v5e (RESULTS.md "int8 W8A8
+    # decode") — kept as the documented closure of that question; leave
+    # false in production
+    act_int8: bool = False
     # frontend (reference yaml:147-154)
     input_size: int = 640
     frontend_channels: Tuple[int, ...] = (64, 32)

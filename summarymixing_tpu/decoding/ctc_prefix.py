@@ -54,6 +54,19 @@ _NEG = -1e5  # finite "log zero" (see losses/transducer.py)
 _GAP_NEG = -1e3
 
 
+def _pad_time_axis(n: int) -> int:
+    """Round a static time-axis size up for the scorer's associative
+    scans: power-of-two divisibility makes the halving recursion clean
+    (measured 39.4 ms/step at T=750 vs 8.2 ms at T=384, RESULTS.md).
+    >=128 -> next multiple of 128; below -> next power of two."""
+    if n >= 128:
+        return -(-n // 128) * 128
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 class CTCPrefixState(NamedTuple):
     r_nb: Array      # [N, T] prefix-ends-nonblank log-probs per frame
     r_b: Array       # [N, T] prefix-ends-blank log-probs per frame
@@ -292,7 +305,9 @@ def compact_blank_frames(
     # its gap frame (if any) directly precedes it
     gaps_incl = jnp.cumsum(has_gap, axis=1)
     pos = i_idx + gaps_incl                            # [B, cap]
-    t2 = 2 * cap + 1
+    # scan-friendly static axis; extra slots sit beyond lengths2 and are
+    # masked by the scorer
+    t2 = _pad_time_axis(2 * cap + 1)
     out = jnp.full((b, t2, v), _GAP_NEG, x.dtype)
     out = out.at[:, :, blank_id].set(0.0)              # padded slots: benign
 

@@ -128,6 +128,7 @@ class TransformerASR(nn.Module):
     csgu_linear_units: int = 3072
     gate_activation: Callable = lambda x: x
     use_linear_after_conv: bool = False
+    act_int8: bool = False  # W8A8 cgMLP projections (ops/quant.py)
     local_proj_hid_dim: Sequence[int] = (512,)
     local_proj_out_dim: int = 512
     summary_hid_dim: Sequence[int] = (1024,)
@@ -210,6 +211,7 @@ class TransformerASR(nn.Module):
                 csgu_linear_units=self.csgu_linear_units,
                 gate_activation=self.gate_activation,
                 use_linear_after_conv=self.use_linear_after_conv,
+                act_int8=self.act_int8,
                 local_proj_hid_dim=self.local_proj_hid_dim,
                 local_proj_out_dim=self.local_proj_out_dim,
                 summary_hid_dim=self.summary_hid_dim,

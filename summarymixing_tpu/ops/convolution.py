@@ -115,6 +115,7 @@ class ConvolutionBranch(nn.Module):
     gate_activation: Callable = lambda x: x
     dropout_rate: float = 0.0
     use_linear_after_conv: bool = False
+    act_int8: bool = False  # W8A8 projections (inference; ops/quant.py)
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -125,8 +126,16 @@ class ConvolutionBranch(nn.Module):
         pad_mask: Optional[Array] = None,
         deterministic: bool = True,
     ) -> Array:
-        x = nn.Dense(self.linear_units, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="pre_channel_proj")(x)
+        if self.act_int8:
+            from summarymixing_tpu.ops.quant import Int8Dense
+
+            dense = lambda f, name: Int8Dense(  # noqa: E731
+                f, dtype=self.dtype or jnp.float32,
+                param_dtype=self.param_dtype, name=name)
+        else:
+            dense = lambda f, name: nn.Dense(  # noqa: E731
+                f, dtype=self.dtype, param_dtype=self.param_dtype, name=name)
+        x = dense(self.linear_units, "pre_channel_proj")(x)
         x = self.activation(x)
         x = ConvolutionalSpatialGatingUnit(
             input_size=self.linear_units,
@@ -138,8 +147,7 @@ class ConvolutionBranch(nn.Module):
             param_dtype=self.param_dtype,
             name="csgu",
         )(x, pad_mask=pad_mask, deterministic=deterministic)
-        x = nn.Dense(self.input_size, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="post_channel_proj")(x)
+        x = dense(self.input_size, "post_channel_proj")(x)
         return x
 
 
