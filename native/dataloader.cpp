@@ -1,14 +1,23 @@
 // Native host-side data loader for summarymixing_tpu.
 //
 // The reference's host data path leans on C++ through torchaudio/sox
-// (speed perturb decode) and SentencePiece; the TPU build's equivalent hot
-// path is batch WAV decode + padding, which this library does with a thread
-// pool so the input pipeline keeps up with the accelerator
-// (SURVEY.md §2.3 "data-loader" native touchpoint).
+// (speed perturb decode, FLAC decode for LibriSpeech) and SentencePiece;
+// the TPU build's equivalent hot path is batch audio decode + padding,
+// which this library does with a thread pool so the input pipeline keeps
+// up with the accelerator (SURVEY.md §2.3 "data-loader" native
+// touchpoint).
+//
+// Formats (dispatched by content magic, not extension):
+//   RIFF — 16-bit PCM mono/stereo WAV
+//   fLaC — native FLAC decoder (LibriSpeech's format): CONSTANT /
+//          VERBATIM / FIXED / LPC subframes, Rice + escape residuals,
+//          wasted bits, all stereo decorrelations, CRC-8/16 verified.
+//          Bit-exact against the pure-python oracle in
+//          summarymixing_tpu/data/flac.py (tests/test_flac_native.py).
 //
 // C ABI (ctypes-friendly):
 //   load_wav_batch(paths, n, out, max_len, lengths, expected_rate, threads)
-//     paths:    array of n C strings (16-bit PCM mono/stereo RIFF WAV)
+//     paths:    array of n C strings (WAV or FLAC)
 //     out:      float32 buffer [n * max_len], zero-padded, in [-1, 1]
 //     lengths:  int32[n] decoded sample counts (clipped to max_len)
 //     returns:  0 on success, else the 1-based index of the first bad file
@@ -70,11 +79,371 @@ bool parse_header(FILE* f, WavInfo* info) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// FLAC decoding (see file header). Mirrors summarymixing_tpu/data/flac.py.
+
+uint8_t flac_crc8(const uint8_t* p, size_t n) {
+  uint8_t crc = 0;
+  for (size_t i = 0; i < n; ++i) {
+    crc ^= p[i];
+    for (int b = 0; b < 8; ++b)
+      crc = (crc & 0x80) ? (uint8_t)((crc << 1) ^ 0x07) : (uint8_t)(crc << 1);
+  }
+  return crc;
+}
+
+uint16_t flac_crc16(const uint8_t* p, size_t n) {
+  uint16_t crc = 0;
+  for (size_t i = 0; i < n; ++i) {
+    crc ^= (uint16_t)(p[i] << 8);
+    for (int b = 0; b < 8; ++b)
+      crc = (crc & 0x8000) ? (uint16_t)((crc << 1) ^ 0x8005)
+                           : (uint16_t)(crc << 1);
+  }
+  return crc;
+}
+
+struct FlacReader {
+  const uint8_t* data;
+  size_t size;
+  size_t byte;
+  uint64_t acc = 0;  // `n` unconsumed bits, LSB-justified
+  int n = 0;
+
+  FlacReader(const uint8_t* d, size_t s, size_t start)
+      : data(d), size(s), byte(start) {}
+
+  bool read(int k, uint64_t* out) {
+    while (n < k) {
+      if (byte >= size) return false;
+      acc = (acc << 8) | data[byte++];
+      n += 8;
+    }
+    n -= k;
+    *out = (acc >> n) & ((k == 64) ? ~0ull : ((1ull << k) - 1));
+    acc &= (1ull << n) - 1;
+    return true;
+  }
+
+  bool read_signed(int k, int64_t* out) {
+    uint64_t v;
+    if (!read(k, &v)) return false;
+    *out = (v >> (k - 1)) ? (int64_t)v - ((int64_t)1 << k) : (int64_t)v;
+    return true;
+  }
+
+  bool unary(uint32_t* out) {
+    uint32_t q = 0;
+    while (true) {
+      if (n == 0) {
+        if (byte >= size) return false;
+        acc = data[byte++];
+        n = 8;
+      }
+      if (acc == 0) {
+        q += n;
+        n = 0;
+        continue;
+      }
+      int top = 64 - __builtin_clzll(acc);
+      q += n - top;
+      n = top - 1;
+      acc &= (1ull << n) - 1;
+      *out = q;
+      return true;
+    }
+  }
+
+  void align() {
+    int k = n % 8;
+    if (k) {
+      n -= k;
+      acc &= (1ull << n) - 1;
+    }
+  }
+
+  size_t byte_pos() const { return byte - (size_t)(n / 8); }
+};
+
+const int kFlacFixedOrders = 5;
+const int64_t kFixedCoefs[kFlacFixedOrders][4] = {
+    {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
+
+bool flac_residual(FlacReader& br, int blocksize, int order,
+                   std::vector<int64_t>& out) {
+  uint64_t method, porder;
+  if (!br.read(2, &method) || method > 1) return false;
+  int plen = 4 + (int)method;
+  uint64_t escape = (1ull << plen) - 1;
+  if (!br.read(4, &porder)) return false;
+  int nparts = 1 << porder;
+  if (blocksize % nparts) return false;
+  int part_len = blocksize >> porder;
+  out.clear();
+  out.reserve(blocksize - order);
+  for (int p = 0; p < nparts; ++p) {
+    int count = part_len - (p == 0 ? order : 0);
+    if (count < 0) return false;
+    uint64_t param;
+    if (!br.read(plen, &param)) return false;
+    if (param == escape) {
+      uint64_t nbits;
+      if (!br.read(5, &nbits)) return false;
+      for (int i = 0; i < count; ++i) {
+        int64_t v = 0;
+        if (nbits && !br.read_signed((int)nbits, &v)) return false;
+        out.push_back(v);
+      }
+    } else {
+      for (int i = 0; i < count; ++i) {
+        uint32_t q;
+        uint64_t r = 0;
+        if (!br.unary(&q)) return false;
+        if (param && !br.read((int)param, &r)) return false;
+        uint64_t u = ((uint64_t)q << param) | r;
+        out.push_back((int64_t)(u >> 1) ^ -(int64_t)(u & 1));
+      }
+    }
+  }
+  return true;
+}
+
+bool flac_subframe(FlacReader& br, int blocksize, int bps,
+                   std::vector<int64_t>& x, std::vector<int64_t>& resid) {
+  uint64_t pad, ftype, has_wasted;
+  if (!br.read(1, &pad) || pad) return false;
+  if (!br.read(6, &ftype)) return false;
+  if (!br.read(1, &has_wasted)) return false;
+  int wasted = 0;
+  if (has_wasted) {
+    uint32_t q;
+    if (!br.unary(&q)) return false;
+    wasted = 1 + (int)q;
+  }
+  bps -= wasted;
+  if (bps <= 0 || bps > 33) return false;
+  x.assign(blocksize, 0);
+  if (ftype == 0) {  // CONSTANT
+    int64_t v;
+    if (!br.read_signed(bps, &v)) return false;
+    for (int i = 0; i < blocksize; ++i) x[i] = v;
+  } else if (ftype == 1) {  // VERBATIM
+    for (int i = 0; i < blocksize; ++i)
+      if (!br.read_signed(bps, &x[i])) return false;
+  } else if (ftype >= 8 && ftype <= 12) {  // FIXED
+    int order = (int)ftype - 8;
+    if (order > blocksize) return false;
+    for (int i = 0; i < order; ++i)
+      if (!br.read_signed(bps, &x[i])) return false;
+    if (!flac_residual(br, blocksize, order, resid)) return false;
+    const int64_t* c = kFixedCoefs[order];
+    for (int i = order; i < blocksize; ++i) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; ++j) acc += c[j] * x[i - 1 - j];
+      x[i] = acc + resid[i - order];
+    }
+  } else if (ftype >= 32) {  // LPC
+    int order = (int)(ftype & 31) + 1;
+    if (order > blocksize) return false;
+    for (int i = 0; i < order; ++i)
+      if (!br.read_signed(bps, &x[i])) return false;
+    uint64_t prec_code;
+    int64_t shift;
+    if (!br.read(4, &prec_code) || prec_code == 15) return false;
+    int prec = (int)prec_code + 1;
+    if (!br.read_signed(5, &shift) || shift < 0) return false;
+    int64_t coefs[32];
+    for (int i = 0; i < order; ++i)
+      if (!br.read_signed(prec, &coefs[i])) return false;
+    if (!flac_residual(br, blocksize, order, resid)) return false;
+    for (int i = order; i < blocksize; ++i) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; ++j) acc += coefs[j] * x[i - 1 - j];
+      x[i] = (acc >> shift) + resid[i - order];
+    }
+  } else {
+    return false;  // reserved type
+  }
+  if (wasted)
+    for (int i = 0; i < blocksize; ++i) x[i] <<= wasted;
+  return true;
+}
+
+// decode a whole FLAC stream into out[0..max_len) (mono mixdown),
+// return samples written or -1
+int64_t flac_decode(const std::vector<uint8_t>& data, float* out,
+                    int64_t max_len, int expected_rate) {
+  if (data.size() < 8 || memcmp(data.data(), "fLaC", 4) != 0) return -1;
+  size_t pos = 4;
+  int stream_bps = 0, stream_ch = 0;
+  long stream_rate = -1;
+  bool have_info = false;
+  while (true) {  // metadata blocks
+    if (pos + 4 > data.size()) return -1;
+    uint8_t hdr = data[pos];
+    bool last = hdr & 0x80;
+    int btype = hdr & 0x7F;
+    size_t sz =
+        ((size_t)data[pos + 1] << 16) | ((size_t)data[pos + 2] << 8) |
+        data[pos + 3];
+    if (pos + 4 + sz > data.size()) return -1;
+    if (btype == 0 && sz >= 34) {
+      const uint8_t* b = &data[pos + 4];
+      stream_rate = ((long)b[10] << 12) | ((long)b[11] << 4) | (b[12] >> 4);
+      stream_ch = ((b[12] >> 1) & 0x7) + 1;
+      stream_bps = (((b[12] & 1) << 4) | (b[13] >> 4)) + 1;
+      have_info = true;
+    }
+    pos += 4 + sz;
+    if (last) break;
+  }
+  if (!have_info || stream_ch < 1 || stream_ch > 8) return -1;
+  if (expected_rate > 0 && stream_rate != expected_rate) return -1;
+
+  const float scale = 1.0f / (float)(1ll << (stream_bps - 1));
+  const float inv_ch = 1.0f / (float)stream_ch;
+  int64_t written = 0;
+  std::vector<int64_t> chan[8], resid;
+  while (pos < data.size() && written < max_len) {
+    FlacReader br(data.data(), data.size(), pos);
+    uint64_t sync, resv, blk_strategy, bs_code, sr_code, ch_code, ss_code,
+        resv2;
+    if (!br.read(14, &sync) || sync != 0x3FFE) return -1;
+    if (!br.read(1, &resv) || resv) return -1;
+    if (!br.read(1, &blk_strategy)) return -1;
+    if (!br.read(4, &bs_code) || !br.read(4, &sr_code) ||
+        !br.read(4, &ch_code) || !br.read(3, &ss_code) ||
+        !br.read(1, &resv2) || resv2)
+      return -1;
+    // UTF-8-coded frame/sample number (value unused)
+    {
+      uint64_t b0;
+      if (!br.read(8, &b0)) return -1;
+      if (b0 >= 0x80) {
+        int leading = 0;
+        for (uint64_t m = 0x80; b0 & m; m >>= 1) ++leading;
+        if (leading < 2 || leading > 7) return -1;
+        for (int i = 0; i < leading - 1; ++i) {
+          uint64_t cb;
+          if (!br.read(8, &cb) || (cb & 0xC0) != 0x80) return -1;
+        }
+      }
+    }
+    int blocksize;
+    if (bs_code == 0) return -1;
+    else if (bs_code == 1) blocksize = 192;
+    else if (bs_code <= 5) blocksize = 576 << (bs_code - 2);
+    else if (bs_code == 6) {
+      uint64_t v;
+      if (!br.read(8, &v)) return -1;
+      blocksize = (int)v + 1;
+    } else if (bs_code == 7) {
+      uint64_t v;
+      if (!br.read(16, &v)) return -1;
+      blocksize = (int)v + 1;
+    } else blocksize = 256 << (bs_code - 8);
+    if (sr_code == 12) {
+      uint64_t v;
+      if (!br.read(8, &v)) return -1;
+    } else if (sr_code == 13 || sr_code == 14) {
+      uint64_t v;
+      if (!br.read(16, &v)) return -1;
+    } else if (sr_code == 15) return -1;
+    int bps;
+    switch (ss_code) {
+      case 0: bps = stream_bps; break;
+      case 1: bps = 8; break;
+      case 2: bps = 12; break;
+      case 4: bps = 16; break;
+      case 5: bps = 20; break;
+      case 6: bps = 24; break;
+      case 7: bps = 32; break;
+      default: return -1;
+    }
+    {
+      uint64_t crc;
+      size_t hdr_end = br.byte_pos();
+      if (!br.read(8, &crc)) return -1;
+      if (flac_crc8(&data[pos], hdr_end - pos) != crc) return -1;
+    }
+
+    int nch;
+    if (ch_code < 8) {
+      nch = (int)ch_code + 1;
+      if (nch != stream_ch) return -1;
+      for (int c = 0; c < nch; ++c)
+        if (!flac_subframe(br, blocksize, bps, chan[c], resid)) return -1;
+    } else if (ch_code <= 10) {
+      nch = 2;
+      if (stream_ch != 2) return -1;
+      int side_ch = (ch_code == 9) ? 0 : 1;
+      for (int c = 0; c < 2; ++c)
+        if (!flac_subframe(br, blocksize, bps + (c == side_ch ? 1 : 0),
+                           chan[c], resid))
+          return -1;
+      if (ch_code == 8) {  // left/side: R = L - S
+        for (int i = 0; i < blocksize; ++i)
+          chan[1][i] = chan[0][i] - chan[1][i];
+      } else if (ch_code == 9) {  // right/side: L = S + R
+        for (int i = 0; i < blocksize; ++i)
+          chan[0][i] = chan[0][i] + chan[1][i];
+      } else {  // mid/side
+        for (int i = 0; i < blocksize; ++i) {
+          int64_t mid = chan[0][i], side = chan[1][i];
+          int64_t m2 = (mid << 1) | (side & 1);
+          chan[0][i] = (m2 + side) >> 1;
+          chan[1][i] = (m2 - side) >> 1;
+        }
+      }
+    } else {
+      return -1;
+    }
+
+    br.align();
+    {
+      size_t end = br.byte_pos();
+      uint64_t crc;
+      if (!br.read(16, &crc)) return -1;
+      if (flac_crc16(&data[pos], end - pos) != crc) return -1;
+    }
+    pos = br.byte_pos();
+
+    int64_t take = blocksize;
+    if (written + take > max_len) take = max_len - written;
+    if (stream_ch == 1) {
+      for (int64_t i = 0; i < take; ++i)
+        out[written + i] = (float)chan[0][i] * scale;
+    } else {
+      for (int64_t i = 0; i < take; ++i) {
+        int64_t acc = 0;
+        for (int c = 0; c < stream_ch; ++c) acc += chan[c][i];
+        out[written + i] = (float)acc * scale * inv_ch;
+      }
+    }
+    written += take;
+  }
+  return written;
+}
+
 // decode one file into out[0..max_len), return samples written or -1
 int64_t decode_one(const char* path, float* out, int64_t max_len,
                    int expected_rate) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
+  char magic[4] = {0};
+  size_t got_magic = fread(magic, 1, 4, f);
+  if (got_magic == 4 && memcmp(magic, "fLaC", 4) == 0) {
+    // read the whole stream; FLAC frames need random bit access
+    fseek(f, 0, SEEK_END);
+    long fsize = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<uint8_t> data((size_t)fsize);
+    size_t got = fread(data.data(), 1, data.size(), f);
+    fclose(f);
+    if (got != data.size()) return -1;
+    return flac_decode(data, out, max_len, expected_rate);
+  }
+  fseek(f, 0, SEEK_SET);
   WavInfo info;
   if (!parse_header(f, &info) || info.bits != 16 || info.channels == 0 ||
       (expected_rate > 0 && (int)info.sample_rate != expected_rate)) {

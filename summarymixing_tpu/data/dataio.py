@@ -57,7 +57,24 @@ def read_manifest_json(path: str) -> List[Utterance]:
 
 
 def load_wav(path: str, expected_rate: Optional[int] = None) -> np.ndarray:
-    """Load a wav file to float32 [-1, 1]."""
+    """Load an audio file (WAV or FLAC) to float32 [-1, 1].
+
+    FLAC (LibriSpeech's format) is decoded by the in-repo codec
+    (data/flac.py; the reference leans on torchaudio/sox for this).
+    Routing is by content sniffing, not extension."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from summarymixing_tpu.data.flac import decode_flac_file
+
+        samples, rate, bps = decode_flac_file(path)
+        audio = samples.astype(np.float32) / float(1 << (bps - 1))
+        if audio.ndim > 1:
+            audio = audio.mean(axis=1)
+        if expected_rate is not None and rate != expected_rate:
+            raise ValueError(
+                f"{path}: sample rate {rate} != expected {expected_rate}")
+        return audio
     try:
         with wave.open(path, "rb") as w:
             rate = w.getframerate()
