@@ -59,7 +59,11 @@ from summarymixing_tpu.decoding.s2s_beam import (
 from summarymixing_tpu.frontend.features import NormStats
 from summarymixing_tpu.ops.masks import length_to_mask
 from summarymixing_tpu.parallel.mesh import make_mesh
-from summarymixing_tpu.training.checkpoint import CheckpointManager, average_checkpoints
+from summarymixing_tpu.training.checkpoint import (
+    CheckpointManager,
+    average_checkpoints,
+    fetch_to_host,
+)
 from summarymixing_tpu.training.metrics import ErrorRateStats
 from summarymixing_tpu.training.optim import make_adamw
 from summarymixing_tpu.training.trainer import ASRTrainer, TrainerConfig
@@ -105,7 +109,7 @@ def restore_eval_state(state, ckpt_dir, avg):
     checkpoints (reference avg_checkpoints: 10, yaml:61). The training
     optimizer state may have any structure, so it is never restored."""
     mgr = CheckpointManager(ckpt_dir)
-    subset = {k: v for k, v in jax.tree.map(np.asarray, state).items()
+    subset = {k: v for k, v in fetch_to_host(state).items()
               if k in ("params", "norm_stats", "step", "epoch")}
     if avg > 1:
         restored = average_checkpoints(mgr, subset, num=avg)

@@ -1,0 +1,248 @@
+"""HTTP transcription server: dynamic-batched online serving of a
+trained run.
+
+Production counterpart of recipes/transcribe.py (offline batch): exposes
+a trained checkpoint over HTTP with the dynamic batcher from
+summarymixing_tpu/serving.py, so concurrent callers share full-size
+static-shape device batches (the decode operating point measured in
+benchmarks/RESULTS.md) while each sees low latency. The reference has no
+serving story beyond SpeechBrain's one-call-per-utterance
+EncoderDecoderASR interface; this is the TPU-native replacement.
+
+Endpoints:
+  GET  /healthz      -> {"ok": true}
+  GET  /stats        -> batcher latency/occupancy stats
+  POST /transcribe   -> body: WAV or FLAC bytes; response {"text": ...}
+
+Usage:
+  python recipes/serve.py <recipe.yaml> --ckpt results/run/save \
+      [--avg 10] [--port 8080] [--batch-size 8] [--max-wait-ms 20] \
+      [--warmup]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import threading
+import wave as wave_mod
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)  # so `import evaluate` also works under pytest
+
+import evaluate as _eval  # noqa: E402  (same dir; sets the compile cache)
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from summarymixing_tpu.config import build_model, load_recipe  # noqa: E402
+from summarymixing_tpu.data.flac import decode_flac  # noqa: E402
+from summarymixing_tpu.parallel.mesh import make_mesh  # noqa: E402
+from summarymixing_tpu.serving import (  # noqa: E402
+    DynamicBatchingServer,
+    ServingConfig,
+)
+from summarymixing_tpu.training.optim import make_adamw  # noqa: E402
+
+
+def decode_audio_bytes(data: bytes, expected_rate: int) -> np.ndarray:
+    """WAV or FLAC bytes -> float32 [-1, 1] mono."""
+    if data[:4] == b"fLaC":
+        samples, rate, bps = decode_flac(data)
+        audio = samples.astype(np.float32) / float(1 << (bps - 1))
+        if audio.ndim > 1:
+            audio = audio.mean(axis=1)
+    elif data[:4] == b"RIFF":
+        with wave_mod.open(io.BytesIO(data), "rb") as w:
+            rate = w.getframerate()
+            width = w.getsampwidth()
+            ch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        if width != 2:
+            raise ValueError("only 16-bit PCM WAV is accepted")
+        audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        if ch > 1:
+            audio = audio.reshape(-1, ch).mean(axis=1)
+    else:
+        raise ValueError("body must be WAV (RIFF) or FLAC (fLaC) bytes")
+    if rate != expected_rate:
+        raise ValueError(f"sample rate {rate} != expected {expected_rate}")
+    return audio
+
+
+def build_infer(cfg, ckpt_dir: str, avg: int, batch_size: int):
+    """Load the run and return (infer(wav [B,N], lens [B]) -> [str],
+    tokenizer). Handles both attention (greedy CTC) and transducer runs,
+    mirroring recipes/transcribe.py."""
+    import time as _time
+
+    t0 = _time.time()
+
+    def _stage(msg):
+        print(f"[serve +{_time.time() - t0:.1f}s] {msg}", flush=True)
+
+    _stage("loading tokenizer")
+    tokenizer = _eval.resolve_tokenizer(cfg, os.path.dirname(ckpt_dir))
+    _stage("building model")
+    model, fbank, td_model = build_model(cfg)
+    mesh = make_mesh(devices=jax.devices()[:1])
+    sr = cfg.features.sample_rate
+    dummy_tokens = jnp.ones((batch_size, 4), jnp.int32)
+    dummy_lens = jnp.full((batch_size,), 4, jnp.int32)
+
+    def make_batch(wav, lens):
+        return {"wav": jnp.asarray(wav), "wav_lens": jnp.asarray(lens),
+                "tokens": dummy_tokens, "token_lens": dummy_lens}
+
+    example = make_batch(np.zeros((batch_size, sr), np.float32),
+                         np.full((batch_size,), sr, np.int32))
+
+    if td_model is not None:
+        from summarymixing_tpu.decoding.transducer_search import (
+            transducer_greedy_decode,
+        )
+        from summarymixing_tpu.training.transducer_trainer import (
+            TransducerTrainer,
+            TransducerTrainerConfig,
+        )
+
+        trainer = TransducerTrainer(
+            model, td_model, make_adamw(1e-4), fbank,
+            TransducerTrainerConfig(ctc_weight=cfg.training.ctc_weight,
+                                    blank_id=cfg.model.blank_index,
+                                    augment=None, dct=None),
+            mesh=mesh,
+        )
+        state = _eval.restore_eval_state(
+            trainer.init_state(jax.random.PRNGKey(0), example),
+            ckpt_dir, avg)
+        bound = td_model.bind({"params": state["params"]["transducer"]})
+
+        def infer(wav, lens):
+            _, (enc_out, enc_lens) = trainer.eval_step(
+                state, make_batch(wav, lens))
+            toks, tok_lens = transducer_greedy_decode(
+                bound.encode_proj(enc_out), enc_lens,
+                bound.predictor_init, bound.predictor_step,
+                bound.joint_step, blank_id=cfg.model.blank_index)
+            toks, tok_lens = np.asarray(toks), np.asarray(tok_lens)
+            return [tokenizer.decode(toks[i, : tok_lens[i]])
+                    for i in range(len(toks))]
+    else:
+        from summarymixing_tpu.training.trainer import (
+            ASRTrainer,
+            TrainerConfig,
+        )
+
+        trainer = ASRTrainer(
+            model, make_adamw(1e-4), fbank,
+            TrainerConfig(ctc_weight=cfg.training.ctc_weight, augment=None,
+                          blank_id=cfg.model.blank_index,
+                          bos_id=cfg.model.bos_index,
+                          eos_id=cfg.model.eos_index),
+            mesh=mesh,
+        )
+        _stage("initializing params")
+        init = trainer.init_state(jax.random.PRNGKey(0), example)
+        _stage("restoring checkpoint")
+        state = _eval.restore_eval_state(init, ckpt_dir, avg)
+        _stage("ready")
+
+        def infer(wav, lens):
+            _, hyps = trainer.eval_step(state, make_batch(wav, lens))
+            return [tokenizer.decode(h) for h in hyps]
+
+    return infer, tokenizer
+
+
+def make_handler(server: DynamicBatchingServer, sample_rate: int):
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True})
+            elif self.path == "/stats":
+                self._reply(200, server.stats())
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/transcribe":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                audio = decode_audio_bytes(self.rfile.read(n), sample_rate)
+                text = server.submit(audio, timeout=120.0)
+                self._reply(200, {"text": text})
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — operator visibility
+                self._reply(500, {"error": str(e)})
+
+        def log_message(self, fmt, *a):  # quiet request lines
+            pass
+
+    return Handler
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("recipe")
+    ap.add_argument("--ckpt", required=True, help="checkpoint (save) dir")
+    ap.add_argument("--avg", type=int, default=0)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--max-wait-ms", type=float, default=20.0)
+    ap.add_argument("--warmup", action="store_true",
+                    help="compile every bucket shape before accepting "
+                         "traffic (first-request latency)")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE", dest="overrides")
+    args = ap.parse_args()
+
+    from train import parse_overrides  # noqa: E402
+
+    cfg = load_recipe(args.recipe, overrides=parse_overrides(args.overrides))
+    sr = cfg.features.sample_rate
+    infer, _tok = build_infer(cfg, args.ckpt, args.avg, args.batch_size)
+    scfg = ServingConfig(batch_size=args.batch_size,
+                         max_wait_ms=args.max_wait_ms, sample_rate=sr)
+
+    if args.warmup:
+        for edge_s in scfg.bucket_edges_s:
+            n = int(edge_s * sr)
+            print(f"warmup: compiling {args.batch_size} x {edge_s:g}s")
+            infer(np.zeros((args.batch_size, n), np.float32),
+                  np.full((args.batch_size,), n, np.int32))
+
+    batcher = DynamicBatchingServer(infer, scfg)
+    httpd = ThreadingHTTPServer((args.host, args.port),
+                                make_handler(batcher, sr))
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(batch {args.batch_size}, max wait {args.max_wait_ms} ms)",
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        threading.Thread(target=httpd.shutdown).start()
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -63,9 +63,13 @@ from summarymixing_tpu.data.tokenizer import CharTokenizer
 from summarymixing_tpu.frontend.augment import speed_perturb_batch
 from summarymixing_tpu.frontend.features import Fbank
 from summarymixing_tpu.parallel.mesh import make_mesh
-from summarymixing_tpu.training.checkpoint import CheckpointManager
+from summarymixing_tpu.training.checkpoint import (
+    CheckpointManager,
+    fetch_to_host,
+)
 from summarymixing_tpu.training.logger import EpochCounter, FileTrainLogger
 from summarymixing_tpu.training.metrics import ErrorRateStats
+from summarymixing_tpu.training.preempt import TrainStopper
 from summarymixing_tpu.training.optim import (
     make_adamw,
     make_two_stage_adam_sgd,
@@ -282,6 +286,8 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                              interval_minutes=cfg.training.ckpt_interval_minutes)
     state, step = None, 0
     profiler = StepProfiler(args.profile, args.profile_steps)
+    stopper = TrainStopper(max_hours=getattr(args, "max_hours", None),
+                           install=True)
     for epoch in EpochCounter(cfg.training.number_of_epochs):
         t0 = time.time()
         train_losses = []
@@ -297,7 +303,7 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                 batch = dict(batch, wav=wav, wav_lens=wav_lens)
             if state is None:
                 state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
-                restored = ckpt.restore(jax.tree.map(np.asarray, state))
+                restored = ckpt.restore(fetch_to_host(state))
                 if restored is not None:
                     state = _fix_restored_rng(restored)
                     step = int(state["step"])
@@ -305,6 +311,13 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
             step += 1
             profiler.step(step, metrics["loss"])
             train_losses.append(metrics["loss"])  # device scalar, no sync
+            if ckpt.should_save():
+                ckpt.save(step, fetch_to_host(state))
+            if stopper.should_stop():
+                ckpt.save(step, fetch_to_host(state), force=True)
+                print(f"[preempt] checkpoint saved at step {step} "
+                      f"({stopper.signame}); resume with the same command")
+                return None
             if args.steps and step >= args.steps:
                 break
         if state is None:
@@ -352,7 +365,7 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
              cfg.error_rate.upper(): summary["WER"]},
         )
         state["epoch"] = state["epoch"] + 1  # gates normalizer freezing
-        ckpt.save(step, jax.tree.map(np.asarray, state), force=True)
+        ckpt.save(step, fetch_to_host(state), force=True)
         if args.steps and step >= args.steps:
             break
     print("training done:", step, "steps")
@@ -689,6 +702,11 @@ def main():
     ap.add_argument("--output", default=None)
     ap.add_argument("--steps", type=int, default=None,
                     help="stop after N optimizer steps (smoke runs)")
+    ap.add_argument("--max-hours", type=float, default=None,
+                    help="wall-clock budget: checkpoint and exit cleanly "
+                         "after this many hours (preemptible-fleet "
+                         "deadline); SIGTERM/SIGINT likewise checkpoint "
+                         "then exit (training/preempt.py)")
     ap.add_argument("--num-buckets", type=int, default=None,
                     help="override training.num_buckets (e.g. for smoke "
                          "runs on tiny corpora; recipes default to the "
@@ -758,6 +776,7 @@ def main():
     step = 0
     rng_np = np.random.default_rng(cfg.seed)
     profiler = StepProfiler(args.profile, args.profile_steps)
+    stopper = TrainStopper(max_hours=args.max_hours, install=True)
     for epoch in EpochCounter(cfg.training.number_of_epochs):
         t0 = time.time()
         train_losses = []
@@ -772,7 +791,7 @@ def main():
                 batch = dict(batch, wav=wav, wav_lens=wav_lens)
             if state is None:
                 state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
-                restored = ckpt.restore(jax.tree.map(np.asarray, state))
+                restored = ckpt.restore(fetch_to_host(state))
                 if restored is not None:
                     state = _fix_restored_rng(restored)
                     step = int(state["step"])
@@ -781,7 +800,12 @@ def main():
             profiler.step(step, metrics["loss"])
             train_losses.append(metrics["loss"])  # device scalar, no sync
             if ckpt.should_save():
-                ckpt.save(step, jax.tree.map(np.asarray, state))
+                ckpt.save(step, fetch_to_host(state))
+            if stopper.should_stop():
+                ckpt.save(step, fetch_to_host(state), force=True)
+                print(f"[preempt] checkpoint saved at step {step} "
+                      f"({stopper.signame}); resume with the same command")
+                return
             if args.steps and step >= args.steps:
                 break
 
@@ -833,7 +857,7 @@ def main():
             valid_stats,
         )
         state = trainer.next_epoch(state)
-        ckpt.save(step, jax.tree.map(np.asarray, state), force=True)
+        ckpt.save(step, fetch_to_host(state), force=True)
         if args.steps and step >= args.steps:
             break
     print("training done:", step, "steps")

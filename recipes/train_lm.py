@@ -38,7 +38,10 @@ from summarymixing_tpu.config import load_recipe
 from summarymixing_tpu.config.schema import LMConfig
 from summarymixing_tpu.data.dataio import read_manifest_csv
 from summarymixing_tpu.models.lm import build_lm
-from summarymixing_tpu.training.checkpoint import CheckpointManager
+from summarymixing_tpu.training.checkpoint import (
+    CheckpointManager,
+    fetch_to_host,
+)
 from summarymixing_tpu.training.logger import FileTrainLogger
 from summarymixing_tpu.training.optim import make_adamw, noam_schedule
 
@@ -179,7 +182,7 @@ def main():
             {"loss": mean_loss, "ppl": round(float(np.exp(min(mean_loss,
                                                               20.0))), 2)},
         )
-        ckpt.save(step, {"params": jax.tree.map(np.asarray, params)},
+        ckpt.save(step, {"params": fetch_to_host(params)},
                   force=True)
         if args.steps and step >= args.steps:
             break

@@ -18,6 +18,18 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def fetch_to_host(tree) -> Any:
+    """Device -> host for a whole pytree with overlapped transfers.
+
+    `jax.tree.map(np.asarray, tree)` fetches leaves one synchronous
+    round trip at a time; through a congested device tunnel that
+    measured 345 s for a 109-leaf train state (~3 s/leaf).
+    `jax.device_get` starts an async copy for every leaf before blocking,
+    so the round trips overlap. Use this for every checkpoint save /
+    restore staging of device state."""
+    return jax.tree.map(np.asarray, jax.device_get(tree))
+
+
 class CheckpointManager:
     """Thin orbax wrapper with keep-last-N and interval-minutes gating."""
 
