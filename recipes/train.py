@@ -62,6 +62,7 @@ from summarymixing_tpu.data.dataio import read_manifest_csv
 from summarymixing_tpu.data.tokenizer import CharTokenizer
 from summarymixing_tpu.frontend.augment import speed_perturb_batch
 from summarymixing_tpu.frontend.features import Fbank
+from summarymixing_tpu.parallel import launch
 from summarymixing_tpu.parallel.mesh import make_mesh
 from summarymixing_tpu.training.checkpoint import (
     CheckpointManager,
@@ -163,21 +164,31 @@ def batches(manifest, tokenizer, cfg, mesh, shuffle, seed, fbank=None):
     )
     from summarymixing_tpu.data.native_loader import load_wav_batch
 
+    multiproc = launch.process_count() > 1
     for spec, idx in batcher:
-        # native threaded C++ decode when available, python fallback inside
-        wav, wav_lens = load_wav_batch(
-            [manifest[i].wav_path for i in idx], spec.max_len, sr
-        )
+        # token encode is cheap: do ALL rows on every process so the
+        # padded token shape (umax) agrees across hosts
         toks = [np.asarray(tokenizer.encode(manifest[i].text), np.int32)
                 for i in idx]
         umax = max(max(len(t) for t in toks), 1)
         tokens, token_lens = pad_batch(toks, umax)
-        yield {
-            "wav": jnp.asarray(wav),
-            "wav_lens": jnp.asarray(wav_lens),
-            "tokens": jnp.asarray(tokens.astype(np.int32)),
-            "token_lens": jnp.asarray(token_lens),
-        }, idx
+        # audio decode is the heavy part: each process loads only the
+        # rows its chips own (every process iterates the SAME batch
+        # sequence — parallel/launch.py data contract)
+        rows = launch.local_rows(len(idx)) if multiproc else slice(None)
+        wav, wav_lens = load_wav_batch(
+            [manifest[i].wav_path for i in idx[rows]], spec.max_len, sr
+        )
+        local = {
+            "wav": wav,
+            "wav_lens": wav_lens,
+            "tokens": tokens[rows].astype(np.int32),
+            "token_lens": token_lens[rows],
+        }
+        if multiproc:
+            yield launch.global_batch(local, mesh), idx
+        else:
+            yield {k: jnp.asarray(v) for k, v in local.items()}, idx
 
 
 def _spec_augment_config(a):
@@ -343,14 +354,14 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                 bound.predictor_step, bound.joint_step,
                 blank_id=cfg.model.blank_index,
             )
-            toks, lens = np.asarray(toks), np.asarray(lens)
+            toks, lens = launch.fetch_global(toks), launch.fetch_global(lens)
             keep = []
             for i, u in enumerate(idx):
                 if int(u) not in seen:
                     seen.add(int(u))
                     keep.append(i)
             refs = [tokenizer.decode(
-                np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
+                launch.fetch_global(batch["tokens"])[i, : int(launch.fetch_global(batch["token_lens"])[i])]
             ).split() for i in keep]
             hyps = [tokenizer.decode(toks[i, : lens[i]]).split()
                     for i in keep]
@@ -394,14 +405,14 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                 lm_step=lm_step, lm_init=lm_init,
                 lm_weight=cfg.decoding.lm_weight if lm_step else 0.0,
             )
-            toks, lens = np.asarray(toks), np.asarray(lens)
+            toks, lens = launch.fetch_global(toks), launch.fetch_global(lens)
             keep = []
             for i, u in enumerate(idx):
                 if int(u) not in seen:
                     seen.add(int(u))
                     keep.append(i)
             refs = [tokenizer.decode(
-                np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
+                launch.fetch_global(batch["tokens"])[i, : int(launch.fetch_global(batch["token_lens"])[i])]
             ).split() for i in keep]
             hyps = [tokenizer.decode(toks[i, : lens[i]]).split()
                     for i in keep]
@@ -550,14 +561,14 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
         toks, lens, _ = s2s_beam_search(step, enc_t, scorer_len_t, ctc_t, bc,
                                         cache=cache, lm_step_fn=lm_step,
                                         lm_cache=lm_cache)
-        toks, lens = np.asarray(toks), np.asarray(lens)
+        toks, lens = launch.fetch_global(toks), launch.fetch_global(lens)
         keep = []
         for i, u in enumerate(idx):
             if int(u) not in seen:
                 seen.add(int(u))
                 keep.append(i)
         refs = [tokenizer.decode(
-            np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
+            launch.fetch_global(batch["tokens"])[i, : int(launch.fetch_global(batch["token_lens"])[i])]
         ).split() for i in keep]
         hyps = [tokenizer.decode(list(toks[i, : lens[i]])).split()
                 for i in keep]
@@ -586,8 +597,9 @@ def build_or_load_tokenizer(cfg, out_dir, train_set):
             with open(vocab_path) as f:
                 return CharTokenizer(vocab=_json.load(f))
         tokenizer = CharTokenizer.build([u.text for u in train_set])
-        with open(vocab_path, "w") as f:
-            _json.dump(tokenizer.vocab, f)
+        if launch.is_coordinator():  # one writer on a shared run dir
+            with open(vocab_path, "w") as f:
+                _json.dump(tokenizer.vocab, f)
         return tokenizer
     json_path = os.path.join(out_dir, "tokenizer.json")
     if os.path.exists(json_path):
@@ -604,7 +616,8 @@ def build_or_load_tokenizer(cfg, out_dir, train_set):
     texts = [u.text for u in train_set]
     tokenizer = train_subword(texts, cfg.model.output_neurons,
                               cfg.token_type)
-    tokenizer.save(json_path)
+    if launch.is_coordinator():  # one writer on a shared run dir
+        tokenizer.save(json_path)
     print(f"trained {cfg.token_type} tokenizer: {tokenizer.vocab_size} "
           f"pieces -> {json_path}")
     return tokenizer
@@ -725,6 +738,16 @@ def main():
                          "--set training.lr_adam=0.0005 --set model.remat=true")
     args = ap.parse_args()
 
+    # multi-host: join the distributed runtime BEFORE first backend use
+    # (no-op unless SMT_COORDINATOR/SMT_NUM_PROCESSES/SMT_PROCESS_ID are
+    # set — see parallel/launch.py; one process per host, torch DDP's
+    # torchrun equivalent)
+    if launch.initialize():
+        print(f"[dist] process {launch.process_index()}/"
+              f"{launch.process_count()}, "
+              f"{jax.local_device_count()} local of "
+              f"{jax.device_count()} global devices", flush=True)
+
     cfg = load_recipe(args.recipe,
                       overrides=parse_overrides(args.overrides))
     # hardware RNG for dropout masks (training.rng_impl, default "rbg"):
@@ -831,7 +854,7 @@ def main():
                     seen.add(int(u))
                     keep.append(i)
             refs = [tokenizer.decode(
-                np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
+                launch.fetch_global(batch["tokens"])[i, : int(launch.fetch_global(batch["token_lens"])[i])]
             ).split() for i in keep]
             hyp_text = [tokenizer.decode(hyps[i]).split() for i in keep]
             stats.append(refs, hyp_text)
@@ -885,7 +908,7 @@ def main():
                         seen.add(int(u))
                         keep.append(i)
                 refs = [tokenizer.decode(
-                    np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
+                    launch.fetch_global(batch["tokens"])[i, : int(launch.fetch_global(batch["token_lens"])[i])]
                 ).split() for i in keep]
                 hyp_text = [tokenizer.decode(hyps[i]).split() for i in keep]
                 stats.append(refs, hyp_text)

@@ -53,9 +53,22 @@ class CheckpointManager:
     def should_save(self) -> bool:
         if self.interval_minutes is None:
             return True
-        return (time.time() - self._last_save) >= self.interval_minutes * 60
+        decision = (time.time() - self._last_save) >= self.interval_minutes * 60
+        if jax.process_count() > 1:
+            # multi-process: every process must reach the same save/skip
+            # decision (orbax save is a collective — divergence
+            # deadlocks), and wall clocks may disagree across hosts, so
+            # process 0's clock decides
+            from jax.experimental import multihost_utils
+
+            decision = bool(multihost_utils.broadcast_one_to_all(
+                np.asarray(decision)))
+        return decision
 
     def save(self, step: int, state: Dict[str, Any], force: bool = False) -> bool:
+        """Write a checkpoint. In multi-process runs EVERY process must
+        call this (orbax coordinates internally: the primary host writes
+        the replicated arrays, all hosts join the completion barrier)."""
         if not force and not self.should_save():
             return False
         self._mgr.save(step, args=ocp.args.StandardSave(state))

@@ -14,6 +14,13 @@ from typing import Dict, Optional
 
 class FileTrainLogger:
     def __init__(self, save_file: str, jsonl_file: Optional[str] = None):
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-process: non-coordinators log to per-process files so
+            # the canonical train_log.txt has one writer
+            root, ext = os.path.splitext(save_file)
+            save_file = f"{root}.p{jax.process_index()}{ext}"
         self.save_file = save_file
         self.jsonl_file = jsonl_file or (
             os.path.splitext(save_file)[0] + ".jsonl"

@@ -238,7 +238,12 @@ class ASRTrainer:
 
     def eval_step(self, state, batch):
         losses, ids, keep = self._eval_step(state, shard_batch(batch, self.mesh))
-        return losses, collapse_ctc(ids, keep)
+        # multi-process runs shard the batch over every host's devices;
+        # gather the (tiny) id tensors so host-side decoding sees the
+        # full batch on every process (parallel/launch.py)
+        from summarymixing_tpu.parallel.launch import fetch_global
+
+        return losses, collapse_ctc(fetch_global(ids), fetch_global(keep))
 
     def next_epoch(self, state):
         state["epoch"] = state["epoch"] + 1
