@@ -247,3 +247,21 @@ def test_prefetch_preserves_order_and_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="inner"):
         list(it)
+
+
+def test_fetch_to_host_matches_leafwise():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from summarymixing_tpu.training.checkpoint import fetch_to_host
+
+    tree = {"params": {"w": jnp.arange(6.0).reshape(2, 3),
+                       "b": jnp.zeros((3,))},
+            "step": jnp.asarray(7), "epoch": 2}
+    out = fetch_to_host(tree)
+    ref = jax.tree.map(np.asarray, tree)
+    assert jax.tree.structure(out) == jax.tree.structure(ref)
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(ref)):
+        np.testing.assert_array_equal(a, b)
+        assert isinstance(a, (np.ndarray, np.generic))
