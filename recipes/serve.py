@@ -23,12 +23,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import os
 import sys
 import threading
-import wave as wave_mod
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
@@ -41,7 +39,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from summarymixing_tpu.config import build_model, load_recipe  # noqa: E402
-from summarymixing_tpu.data.flac import decode_flac  # noqa: E402
+from summarymixing_tpu.data.dataio import load_audio_bytes  # noqa: E402
 from summarymixing_tpu.parallel.mesh import make_mesh  # noqa: E402
 from summarymixing_tpu.serving import (  # noqa: E402
     DynamicBatchingServer,
@@ -50,29 +48,9 @@ from summarymixing_tpu.serving import (  # noqa: E402
 from summarymixing_tpu.training.optim import make_adamw  # noqa: E402
 
 
-def decode_audio_bytes(data: bytes, expected_rate: int) -> np.ndarray:
-    """WAV or FLAC bytes -> float32 [-1, 1] mono."""
-    if data[:4] == b"fLaC":
-        samples, rate, bps = decode_flac(data)
-        audio = samples.astype(np.float32) / float(1 << (bps - 1))
-        if audio.ndim > 1:
-            audio = audio.mean(axis=1)
-    elif data[:4] == b"RIFF":
-        with wave_mod.open(io.BytesIO(data), "rb") as w:
-            rate = w.getframerate()
-            width = w.getsampwidth()
-            ch = w.getnchannels()
-            raw = w.readframes(w.getnframes())
-        if width != 2:
-            raise ValueError("only 16-bit PCM WAV is accepted")
-        audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
-        if ch > 1:
-            audio = audio.reshape(-1, ch).mean(axis=1)
-    else:
-        raise ValueError("body must be WAV (RIFF) or FLAC (fLaC) bytes")
-    if rate != expected_rate:
-        raise ValueError(f"sample rate {rate} != expected {expected_rate}")
-    return audio
+# bytes-level decoding lives with the rest of the audio IO; a
+# ValueError here covers every malformed-client-input case (HTTP 400)
+decode_audio_bytes = load_audio_bytes
 
 
 def build_infer(cfg, ckpt_dir: str, avg: int, batch_size: int):

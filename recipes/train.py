@@ -323,8 +323,10 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
             profiler.step(step, metrics["loss"])
             train_losses.append(metrics["loss"])  # device scalar, no sync
             if ckpt.should_save():
-                ckpt.save(step, fetch_to_host(state))
-            if stopper.should_stop():
+                # force: the interval decision was already made (and in
+                # multi-process runs broadcast) by should_save above
+                ckpt.save(step, fetch_to_host(state), force=True)
+            if stopper.should_stop(step):
                 ckpt.save(step, fetch_to_host(state), force=True)
                 print(f"[preempt] checkpoint saved at step {step} "
                       f"({stopper.signame}); resume with the same command")
@@ -360,8 +362,10 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                 if int(u) not in seen:
                     seen.add(int(u))
                     keep.append(i)
+            toks_np = launch.fetch_global(batch["tokens"])
+            tlens_np = launch.fetch_global(batch["token_lens"])
             refs = [tokenizer.decode(
-                launch.fetch_global(batch["tokens"])[i, : int(launch.fetch_global(batch["token_lens"])[i])]
+                toks_np[i, : int(tlens_np[i])]
             ).split() for i in keep]
             hyps = [tokenizer.decode(toks[i, : lens[i]]).split()
                     for i in keep]
@@ -411,8 +415,10 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                 if int(u) not in seen:
                     seen.add(int(u))
                     keep.append(i)
+            toks_np = launch.fetch_global(batch["tokens"])
+            tlens_np = launch.fetch_global(batch["token_lens"])
             refs = [tokenizer.decode(
-                launch.fetch_global(batch["tokens"])[i, : int(launch.fetch_global(batch["token_lens"])[i])]
+                toks_np[i, : int(tlens_np[i])]
             ).split() for i in keep]
             hyps = [tokenizer.decode(toks[i, : lens[i]]).split()
                     for i in keep]
@@ -567,8 +573,10 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
             if int(u) not in seen:
                 seen.add(int(u))
                 keep.append(i)
+        toks_np = launch.fetch_global(batch["tokens"])
+        tlens_np = launch.fetch_global(batch["token_lens"])
         refs = [tokenizer.decode(
-            launch.fetch_global(batch["tokens"])[i, : int(launch.fetch_global(batch["token_lens"])[i])]
+            toks_np[i, : int(tlens_np[i])]
         ).split() for i in keep]
         hyps = [tokenizer.decode(list(toks[i, : lens[i]])).split()
                 for i in keep]
@@ -597,9 +605,14 @@ def build_or_load_tokenizer(cfg, out_dir, train_set):
             with open(vocab_path) as f:
                 return CharTokenizer(vocab=_json.load(f))
         tokenizer = CharTokenizer.build([u.text for u in train_set])
-        if launch.is_coordinator():  # one writer on a shared run dir
-            with open(vocab_path, "w") as f:
+        if launch.is_coordinator():  # one writer on a shared run dir;
+            # atomic rename so a late-starting process never reads a
+            # partial file (it either sees the full file or rebuilds
+            # the identical map from the same manifests)
+            tmp = vocab_path + ".tmp"
+            with open(tmp, "w") as f:
                 _json.dump(tokenizer.vocab, f)
+            os.replace(tmp, vocab_path)
         return tokenizer
     json_path = os.path.join(out_dir, "tokenizer.json")
     if os.path.exists(json_path):
@@ -616,8 +629,9 @@ def build_or_load_tokenizer(cfg, out_dir, train_set):
     texts = [u.text for u in train_set]
     tokenizer = train_subword(texts, cfg.model.output_neurons,
                               cfg.token_type)
-    if launch.is_coordinator():  # one writer on a shared run dir
-        tokenizer.save(json_path)
+    if launch.is_coordinator():  # one writer; atomic for late readers
+        tokenizer.save(json_path + ".tmp")
+        os.replace(json_path + ".tmp", json_path)
     print(f"trained {cfg.token_type} tokenizer: {tokenizer.vocab_size} "
           f"pieces -> {json_path}")
     return tokenizer
@@ -823,8 +837,10 @@ def main():
             profiler.step(step, metrics["loss"])
             train_losses.append(metrics["loss"])  # device scalar, no sync
             if ckpt.should_save():
-                ckpt.save(step, fetch_to_host(state))
-            if stopper.should_stop():
+                # force: the interval decision was already made (and in
+                # multi-process runs broadcast) by should_save above
+                ckpt.save(step, fetch_to_host(state), force=True)
+            if stopper.should_stop(step):
                 ckpt.save(step, fetch_to_host(state), force=True)
                 print(f"[preempt] checkpoint saved at step {step} "
                       f"({stopper.signame}); resume with the same command")
@@ -853,8 +869,10 @@ def main():
                 if int(u) not in seen:
                     seen.add(int(u))
                     keep.append(i)
+            toks_np = launch.fetch_global(batch["tokens"])
+            tlens_np = launch.fetch_global(batch["token_lens"])
             refs = [tokenizer.decode(
-                launch.fetch_global(batch["tokens"])[i, : int(launch.fetch_global(batch["token_lens"])[i])]
+                toks_np[i, : int(tlens_np[i])]
             ).split() for i in keep]
             hyp_text = [tokenizer.decode(hyps[i]).split() for i in keep]
             stats.append(refs, hyp_text)
@@ -907,8 +925,10 @@ def main():
                     if int(u) not in seen:
                         seen.add(int(u))
                         keep.append(i)
+                toks_np = launch.fetch_global(batch["tokens"])
+                tlens_np = launch.fetch_global(batch["token_lens"])
                 refs = [tokenizer.decode(
-                    launch.fetch_global(batch["tokens"])[i, : int(launch.fetch_global(batch["token_lens"])[i])]
+                    toks_np[i, : int(tlens_np[i])]
                 ).split() for i in keep]
                 hyp_text = [tokenizer.decode(hyps[i]).split() for i in keep]
                 stats.append(refs, hyp_text)

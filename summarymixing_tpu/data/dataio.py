@@ -56,6 +56,44 @@ def read_manifest_json(path: str) -> List[Utterance]:
     return out
 
 
+def load_audio_bytes(data: bytes,
+                     expected_rate: Optional[int] = None) -> np.ndarray:
+    """In-memory WAV (16-bit PCM) or FLAC bytes -> float32 [-1, 1] mono.
+
+    The bytes-level twin of `load_wav` (used by the serving path, which
+    receives audio over HTTP). Raises ValueError for any malformed or
+    unsupported input — including wave.Error, so callers can map every
+    client-input problem to one exception type."""
+    import io
+
+    if data[:4] == b"fLaC":
+        from summarymixing_tpu.data.flac import decode_flac
+
+        samples, rate, bps = decode_flac(data)
+        audio = samples.astype(np.float32) / float(1 << (bps - 1))
+    elif data[:4] == b"RIFF":
+        try:
+            with wave.open(io.BytesIO(data), "rb") as w:
+                rate = w.getframerate()
+                width = w.getsampwidth()
+                ch = w.getnchannels()
+                raw = w.readframes(w.getnframes())
+        except wave.Error as e:
+            raise ValueError(f"malformed WAV: {e}") from e
+        if width != 2:
+            raise ValueError("only 16-bit PCM WAV is accepted")
+        audio = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+        if ch > 1:
+            audio = audio.reshape(-1, ch)
+    else:
+        raise ValueError("bytes must be WAV (RIFF) or FLAC (fLaC)")
+    if audio.ndim > 1:
+        audio = audio.mean(axis=1)
+    if expected_rate is not None and rate != expected_rate:
+        raise ValueError(f"sample rate {rate} != expected {expected_rate}")
+    return audio
+
+
 def load_wav(path: str, expected_rate: Optional[int] = None) -> np.ndarray:
     """Load an audio file (WAV or FLAC) to float32 [-1, 1].
 

@@ -70,10 +70,15 @@ class DynamicBatchingServer:
                  config: Optional[ServingConfig] = None):
         self.infer = infer
         self.cfg = config or ServingConfig()
+        from collections import deque
+
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._lock = threading.Lock()
-        self._latencies_ms: List[float] = []
-        self._batch_sizes: List[int] = []
+        # bounded: stats are over the most recent window, not the
+        # process lifetime (unbounded lists + full sorts under the
+        # worker's lock would grow without limit on a long-lived server)
+        self._latencies_ms = deque(maxlen=10000)
+        self._batch_sizes = deque(maxlen=10000)
         self._served = 0
         self._errors = 0
         self._closed = False
@@ -107,7 +112,11 @@ class DynamicBatchingServer:
 
     def _collect(self) -> List[_Pending]:
         """Block for the first request, then gather until the batch is
-        full or the first request's deadline expires."""
+        full or the first request's deadline expires. A request whose
+        deadline has already passed (backlog: the worker was busy) still
+        drains everything already queued — otherwise a backlog would
+        degenerate into batch-size-1 device calls and throughput would
+        collapse exactly when it matters."""
         try:
             first = self._queue.get(timeout=0.2)
         except queue.Empty:
@@ -116,10 +125,11 @@ class DynamicBatchingServer:
         deadline = first.t_enqueue + self.cfg.max_wait_ms / 1000.0
         while len(batch) < self.cfg.batch_size:
             remaining = deadline - time.monotonic()
-            if remaining <= 0:
-                break
             try:
-                batch.append(self._queue.get(timeout=remaining))
+                if remaining <= 0:
+                    batch.append(self._queue.get_nowait())
+                else:
+                    batch.append(self._queue.get(timeout=remaining))
             except queue.Empty:
                 break
         return batch

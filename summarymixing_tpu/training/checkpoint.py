@@ -48,22 +48,35 @@ class CheckpointManager:
             ),
         )
         self.interval_minutes = interval_minutes
-        self._last_save = 0.0
+        # first interval counts from construction: a fresh (or resumed)
+        # run should not burn a full state fetch + write at step 1
+        self._last_save = time.time()
+        self._calls = 0
+        # multi-process: cross-host agreement is a collective; only
+        # consult it every Nth should_save() call (call counts are
+        # identical across processes — once per step — so the cadence
+        # itself is synchronized)
+        self.sync_every = 20
 
     def should_save(self) -> bool:
         if self.interval_minutes is None:
             return True
-        decision = (time.time() - self._last_save) >= self.interval_minutes * 60
         if jax.process_count() > 1:
-            # multi-process: every process must reach the same save/skip
-            # decision (orbax save is a collective — divergence
-            # deadlocks), and wall clocks may disagree across hosts, so
-            # process 0's clock decides
+            # every process must reach the same save/skip decision
+            # (orbax save is a collective — divergence deadlocks), and
+            # wall clocks skew across hosts, so process 0's clock
+            # decides, broadcast at a fixed call cadence to keep the
+            # per-step cost off the hot loop
+            self._calls += 1
+            if self._calls % self.sync_every:
+                return False
             from jax.experimental import multihost_utils
 
-            decision = bool(multihost_utils.broadcast_one_to_all(
+            decision = (time.time() - self._last_save) \
+                >= self.interval_minutes * 60
+            return bool(multihost_utils.broadcast_one_to_all(
                 np.asarray(decision)))
-        return decision
+        return (time.time() - self._last_save) >= self.interval_minutes * 60
 
     def save(self, step: int, state: Dict[str, Any], force: bool = False) -> bool:
         """Write a checkpoint. In multi-process runs EVERY process must

@@ -39,11 +39,14 @@ class TrainStopper:
 
     def __init__(self, max_hours: Optional[float] = None,
                  signals=(signal.SIGTERM, signal.SIGINT),
-                 install: bool = False):
+                 install: bool = False, sync_every: int = 10):
         self.max_hours = max_hours
         self.signals = signals
         self.requested = False
         self.signame: Optional[str] = None
+        # multi-process runs OR-reduce stop signals across hosts every
+        # `sync_every` steps (see should_stop)
+        self.sync_every = max(sync_every, 1)
         self._start = time.monotonic()
         self._prev = {}
         if install:
@@ -83,7 +86,7 @@ class TrainStopper:
         return self.max_hours is not None \
             and self.hours_elapsed() >= self.max_hours
 
-    def should_stop(self) -> bool:
+    def _local_stop(self) -> bool:
         if self.requested:
             return True
         if self.over_budget():
@@ -93,3 +96,31 @@ class TrainStopper:
             self.signame = "WALLCLOCK"
             return True
         return False
+
+    def should_stop(self, step: Optional[int] = None) -> bool:
+        """True when the run should checkpoint and exit.
+
+        Multi-process runs: the checkpoint save a stop triggers is a
+        COLLECTIVE (orbax barriers — training/checkpoint.py), so every
+        process must stop at the SAME step. Local signals (SIGTERM can
+        land on any one host; wall clocks skew) are therefore OR-reduced
+        across processes, at a `sync_every`-step cadence so the hot loop
+        doesn't pay a host-synchronizing collective every step. Pass the
+        global step for the cadence; calls without a step synchronize
+        every time."""
+        import jax
+
+        if jax.process_count() > 1:
+            if step is not None and step % self.sync_every:
+                return False  # NEVER stop on a local-only decision
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            local = self._local_stop()
+            agreed = bool(multihost_utils.process_allgather(
+                np.asarray(local)).any())
+            if agreed and not self.requested:
+                self.requested = True
+                self.signame = self.signame or "PEER"
+            return agreed
+        return self._local_stop()

@@ -13,6 +13,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# The ambient environment carries JAX_PLATFORMS=axon (the TPU tunnel);
+# recipe modules honour that env var at import time, so an in-process
+# `import recipes.*` would flip the backend back to the TPU mid-suite.
+# Pin the env var as well as the config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 

@@ -113,3 +113,11 @@ augment:
                          text=True, timeout=560, env=env, cwd=REPO)
     assert res.returncode == 0, res.stderr[-3000:]
     assert "training done: 2 steps" in res.stdout
+
+
+def test_should_stop_accepts_step_cadence():
+    # single-process: the step argument is accepted and ignored
+    with TrainStopper(max_hours=0.0) as stopper:
+        assert stopper.should_stop(step=7)
+    with TrainStopper() as stopper:
+        assert not stopper.should_stop(step=7)

@@ -121,7 +121,10 @@ def test_submit_validation_and_timeout():
 
 
 def test_decode_audio_bytes():
-    from recipes.serve import decode_audio_bytes
+    # the bytes decoder lives in dataio (recipes.serve aliases it);
+    # importing recipes.serve here would drag in the whole recipe stack
+    from summarymixing_tpu.data.dataio import load_audio_bytes as \
+        decode_audio_bytes
 
     x = (np.sin(np.arange(3200) * 0.1) * 20000).astype(np.int16)
     buf = io.BytesIO()
@@ -266,3 +269,27 @@ augment:
         except subprocess.TimeoutExpired:
             proc.kill()
         log_f.close()
+
+
+def test_backlog_drains_full_batches():
+    # worker busy while requests pile up: expired-deadline batches must
+    # still drain the queue instead of degenerating to batch-size 1
+    infer = EchoInfer(delay=0.05)
+    results = {}
+    with DynamicBatchingServer(infer, _cfg(max_wait_ms=1.0)) as srv:
+        def call(i):
+            results[i] = srv.submit(np.ones(1000 + i, np.float32))
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert results == {i: f"len={1000 + i}" for i in range(8)}
+    assert len(infer.calls) <= 5, infer.calls  # un-drained would be 8
+
+
+def test_malformed_wav_is_value_error():
+    from summarymixing_tpu.data.dataio import load_audio_bytes
+
+    with pytest.raises(ValueError, match="malformed WAV"):
+        load_audio_bytes(b"RIFF\x10\x00\x00\x00WAVEjunk", 16000)

@@ -265,3 +265,14 @@ def test_fetch_to_host_matches_leafwise():
     for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(ref)):
         np.testing.assert_array_equal(a, b)
         assert isinstance(a, (np.ndarray, np.generic))
+
+
+def test_interval_save_waits_from_construction(tmp_path):
+    from summarymixing_tpu.training.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), interval_minutes=999)
+    # a fresh manager must NOT save at step 1 (first interval counts
+    # from construction, not epoch 0 of 1970)
+    assert not mgr.should_save()
+    mgr2 = CheckpointManager(str(tmp_path / "ck2"), interval_minutes=None)
+    assert mgr2.should_save()
