@@ -124,7 +124,9 @@ class TransformerASR(nn.Module):
     branchformer_activation: Callable = gelu_exact
     attention_type: str = "SummaryMixing"
     max_length: int = 2500
-    causal: bool = True
+    # reference default (TransformerASR.py:399): non-causal encoder; the
+    # decoder is always causal regardless
+    causal: bool = False
     csgu_linear_units: int = 3072
     gate_activation: Callable = lambda x: x
     use_linear_after_conv: bool = False

@@ -1,0 +1,148 @@
+"""AOT inference export: one portable StableHLO artifact per trained run.
+
+Deployment artifact for the greedy-CTC inference graph — fbank ->
+InputNormalization (frozen stats) -> CNN -> encoder -> CTC head ->
+greedy collapse markers — serialized with `jax.export`, trained weights
+baked in as constants. Loading needs jax but NO model code, recipe
+config or checkpoint plumbing, and the shapes are polymorphic (symbolic
+batch and a hop-aligned symbolic audio length), so ONE artifact serves
+every bucket the server or batch decoder forms.
+
+The reference's deployment story is pickled torch modules fetched by
+SpeechBrain's Pretrainer (reference yaml:353-360) — python class code
+must ship with the weights. This is the XLA-native equivalent: the
+artifact IS the compiled computation.
+
+File format (single file, magic "SMTEXP01"):
+  [8 bytes magic][4 bytes LE header length][header JSON][payload]
+header = {"meta": {...}, "payload_len": N}; meta carries blank_id,
+sample_rate, time_multiple, token_type and the id->piece vocab, so
+`ExportedASR.transcribe` is self-contained.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAGIC = b"SMTEXP01"
+
+
+def make_ctc_infer_fn(model, fbank, normalizer, params, norm_stats,
+                      blank_id: int = 0) -> Callable:
+    """Pure inference fn: (wav [B, N] f32, wav_lens [B] i32) ->
+    (ids [B, T'], keep [B, T'] bool, enc_lengths [B]). Mirrors the
+    trainer's eval path (training/trainer.py::_eval_step_impl) without
+    loss computation or batch dict plumbing."""
+    from summarymixing_tpu.decoding.ctc import ctc_greedy_decode
+
+    def infer(wav, wav_lens):
+        feats = fbank(wav)
+        feat_lens = fbank.frame_lengths(wav_lens)
+        feats, _ = normalizer(feats, norm_stats)
+        out = model.apply({"params": params}, feats, feat_lens)
+        ids, keep = ctc_greedy_decode(
+            out["ctc_log_probs"], out["enc_lengths"], blank_id)
+        return ids, keep, out["enc_lengths"]
+
+    return infer
+
+
+def export_ctc_infer(infer_fn: Callable, *, time_multiple: int = 320,
+                     fixed_shape: Optional[Sequence[int]] = None) -> bytes:
+    """Serialize the inference fn via jax.export.
+
+    Polymorphic by default: batch is fully symbolic; the sample axis is
+    `time_multiple * n` (hop-aligned so the frame-count arithmetic stays
+    resolvable — callers pad to this grid anyway, serving.py/transcribe
+    both use coarser quanta). `fixed_shape=(B, N)` exports one static
+    shape instead (e.g. for runtimes that reject dynamic dims)."""
+    from jax import export as jexport
+
+    if fixed_shape is not None:
+        b_dim, n_dim = fixed_shape
+        wav_spec = jax.ShapeDtypeStruct((b_dim, n_dim), jnp.float32)
+        len_spec = jax.ShapeDtypeStruct((b_dim,), jnp.int32)
+    else:
+        b, n = jexport.symbolic_shape(f"b, {time_multiple}*n")
+        wav_spec = jax.ShapeDtypeStruct((b, n), jnp.float32)
+        len_spec = jax.ShapeDtypeStruct((b,), jnp.int32)
+    exported = jexport.export(jax.jit(infer_fn))(wav_spec, len_spec)
+    return exported.serialize()
+
+
+def pack_artifact(payload: bytes, meta: Dict) -> bytes:
+    header = json.dumps({"meta": meta, "payload_len": len(payload)}).encode()
+    return MAGIC + struct.pack("<I", len(header)) + header + payload
+
+
+def unpack_artifact(data: bytes):
+    if data[:8] != MAGIC:
+        raise ValueError("not a summarymixing_tpu export artifact")
+    (hlen,) = struct.unpack("<I", data[8:12])
+    header = json.loads(data[12:12 + hlen].decode())
+    payload = data[12 + hlen:12 + hlen + header["payload_len"]]
+    return header["meta"], payload
+
+
+@dataclass
+class ExportedASR:
+    """A loaded artifact: callable + enough metadata to produce text."""
+
+    meta: Dict
+    _call: Callable
+
+    @classmethod
+    def load(cls, path: str) -> "ExportedASR":
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            meta, payload = unpack_artifact(f.read())
+        exported = jexport.deserialize(bytearray(payload))
+        return cls(meta=meta, _call=exported.call)
+
+    def __call__(self, wav: np.ndarray, wav_lens: np.ndarray):
+        return self._call(jnp.asarray(wav, jnp.float32),
+                          jnp.asarray(wav_lens, jnp.int32))
+
+    def _pad(self, wav: np.ndarray) -> np.ndarray:
+        m = int(self.meta.get("time_multiple", 320))
+        n = wav.shape[-1]
+        pad = (-n) % m
+        if pad:
+            wav = np.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, pad)])
+        return wav
+
+    def transcribe(self, wav: np.ndarray) -> List[str]:
+        """wav [B, N] or [N] float32 -> decoded text per utterance, using
+        the vocab embedded in the artifact."""
+        wav = np.asarray(wav, np.float32)
+        if wav.ndim == 1:
+            wav = wav[None]
+        lens = np.full((wav.shape[0],), wav.shape[1], np.int32)
+        ids, keep, _ = self(self._pad(wav), lens)
+        ids, keep = np.asarray(ids), np.asarray(keep)
+        vocab = self.meta.get("vocab")
+        out = []
+        for row_ids, row_keep in zip(ids, keep):
+            toks = [int(i) for i in row_ids[row_keep.astype(bool)]]
+            if vocab is None:
+                out.append(" ".join(map(str, toks)))
+            elif self.meta.get("token_type") == "char":
+                out.append("".join(vocab[t] for t in toks
+                                   if 0 <= t < len(vocab)))
+            else:  # subword pieces with the sentencepiece space marker
+                text = "".join(vocab[t] for t in toks if 0 <= t < len(vocab))
+                out.append(text.replace("▁", " ").strip())
+        return out
+
+
+def save_artifact(path: str, payload: bytes, meta: Dict) -> None:
+    with open(path, "wb") as f:
+        f.write(pack_artifact(payload, meta))
