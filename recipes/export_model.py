@@ -1,11 +1,12 @@
 """Export a trained run as a portable AOT inference artifact.
 
-Serializes the whole greedy-CTC inference graph (fbank -> normalize ->
-encoder -> CTC greedy) with the trained weights baked in, via
-jax.export (utils/export.py). The resulting single file transcribes
-audio with NO recipe config, model code or checkpoint directory — the
-deployment-side replacement for the reference's Pretrainer +
-pickled-module flow (reference yaml:353-360).
+Serializes the whole inference graph — fbank -> normalize -> encoder ->
+greedy decode (CTC collapse for attention recipes, the batched
+transducer greedy scan for transducer recipes) — with the trained
+weights baked in, via jax.export (utils/export.py). The resulting
+single file transcribes audio with NO recipe config, model code or
+checkpoint directory — the deployment-side replacement for the
+reference's Pretrainer + pickled-module flow (reference yaml:353-360).
 
 Usage:
   python recipes/export_model.py <recipe.yaml> --ckpt results/run/save \
@@ -81,43 +82,63 @@ def main():
     cfg = load_recipe(args.recipe, overrides=parse_overrides(args.overrides))
     tokenizer = _eval.resolve_tokenizer(cfg, os.path.dirname(args.ckpt))
     model, fbank, td_model = build_model(cfg)
-    if td_model is not None:
-        raise SystemExit(
-            "export_model covers the CTC/attention family (greedy-CTC "
-            "graph); transducer serving uses recipes/serve.py")
     mesh = make_mesh(devices=jax.devices()[:1])
     sr = cfg.features.sample_rate
 
-    trainer = ASRTrainer(
-        model, make_adamw(1e-4), fbank,
-        TrainerConfig(ctc_weight=cfg.training.ctc_weight, augment=None,
-                      blank_id=cfg.model.blank_index,
-                      bos_id=cfg.model.bos_index,
-                      eos_id=cfg.model.eos_index),
-        mesh=mesh,
-    )
-    example = {
-        "wav": np.zeros((2, sr), np.float32),
-        "wav_lens": np.full((2,), sr, np.int32),
-        "tokens": np.ones((2, 4), np.int32),
-        "token_lens": np.full((2,), 4, np.int32),
-    }
     import jax.numpy as jnp
 
-    example = {k: jnp.asarray(v) for k, v in example.items()}
-    state = _eval.restore_eval_state(
-        trainer.init_state(jax.random.PRNGKey(0), example),
-        args.ckpt, args.avg)
-
+    example = {
+        "wav": jnp.zeros((2, sr), jnp.float32),
+        "wav_lens": jnp.full((2,), sr, jnp.int32),
+        "tokens": jnp.ones((2, 4), jnp.int32),
+        "token_lens": jnp.full((2,), 4, jnp.int32),
+    }
     normalizer = InputNormalization(
         update_until_epoch=cfg.features.normalize_update_until_epoch)
-    infer = make_ctc_infer_fn(model, fbank, normalizer,
-                              state["params"], state["norm_stats"],
-                              blank_id=cfg.model.blank_index)
+
+    if td_model is not None:
+        from summarymixing_tpu.training.transducer_trainer import (
+            TransducerTrainer,
+            TransducerTrainerConfig,
+        )
+        from summarymixing_tpu.utils.export import make_transducer_infer_fn
+
+        trainer = TransducerTrainer(
+            model, td_model, make_adamw(1e-4), fbank,
+            TransducerTrainerConfig(ctc_weight=cfg.training.ctc_weight,
+                                    blank_id=cfg.model.blank_index,
+                                    augment=None, dct=None),
+            mesh=mesh,
+        )
+        state = _eval.restore_eval_state(
+            trainer.init_state(jax.random.PRNGKey(0), example),
+            args.ckpt, args.avg)
+        infer = make_transducer_infer_fn(
+            model, td_model, fbank, normalizer,
+            state["params"], state["norm_stats"],
+            blank_id=cfg.model.blank_index)
+        family = "transducer"
+    else:
+        trainer = ASRTrainer(
+            model, make_adamw(1e-4), fbank,
+            TrainerConfig(ctc_weight=cfg.training.ctc_weight, augment=None,
+                          blank_id=cfg.model.blank_index,
+                          bos_id=cfg.model.bos_index,
+                          eos_id=cfg.model.eos_index),
+            mesh=mesh,
+        )
+        state = _eval.restore_eval_state(
+            trainer.init_state(jax.random.PRNGKey(0), example),
+            args.ckpt, args.avg)
+        infer = make_ctc_infer_fn(model, fbank, normalizer,
+                                  state["params"], state["norm_stats"],
+                                  blank_id=cfg.model.blank_index)
+        family = "ctc"
     payload = export_ctc_infer(
         infer, fixed_shape=tuple(args.fixed) if args.fixed else None)
     meta = {
         "recipe": cfg.name,
+        "family": family,
         "sample_rate": sr,
         "blank_id": cfg.model.blank_index,
         "time_multiple": 320,

@@ -54,6 +54,35 @@ def make_ctc_infer_fn(model, fbank, normalizer, params, norm_stats,
     return infer
 
 
+def make_transducer_infer_fn(enc_model, td_model, fbank, normalizer,
+                             params, norm_stats,
+                             blank_id: int = 0) -> Callable:
+    """Pure transducer inference: (wav [B, N], wav_lens [B]) ->
+    (tokens [B, Umax], token_lens [B], enc_lengths [B]) with the batched
+    greedy decode scan inside the graph (the transducer recipes' valid
+    decode, reference transducer yaml:375-379 greedy searcher)."""
+    from summarymixing_tpu.decoding.transducer_search import (
+        transducer_greedy_decode,
+    )
+
+    bound = td_model.bind({"params": params["transducer"]})
+
+    def infer(wav, wav_lens):
+        feats = fbank(wav)
+        feat_lens = fbank.frame_lengths(wav_lens)
+        feats, _ = normalizer(feats, norm_stats)
+        enc_out, enc_lens = enc_model.apply(
+            {"params": params["encoder"]}, feats, feat_lens,
+            method=enc_model.encode)
+        toks, lens = transducer_greedy_decode(
+            bound.encode_proj(enc_out), enc_lens,
+            bound.predictor_init, bound.predictor_step, bound.joint_step,
+            blank_id=blank_id)
+        return toks, lens, enc_lens
+
+    return infer
+
+
 def export_ctc_infer(infer_fn: Callable, *, time_multiple: int = 320,
                      fixed_shape: Optional[Sequence[int]] = None) -> bytes:
     """Serialize the inference fn via jax.export.
@@ -126,12 +155,19 @@ class ExportedASR:
         if wav.ndim == 1:
             wav = wav[None]
         lens = np.full((wav.shape[0],), wav.shape[1], np.int32)
-        ids, keep, _ = self(self._pad(wav), lens)
-        ids, keep = np.asarray(ids), np.asarray(keep)
+        if self.meta.get("family") == "transducer":
+            toks_arr, tok_lens, _ = self(self._pad(wav), lens)
+            toks_arr, tok_lens = np.asarray(toks_arr), np.asarray(tok_lens)
+            rows = [[int(t) for t in toks_arr[i, : tok_lens[i]]]
+                    for i in range(len(toks_arr))]
+        else:
+            ids, keep, _ = self(self._pad(wav), lens)
+            ids, keep = np.asarray(ids), np.asarray(keep)
+            rows = [[int(i) for i in row_ids[row_keep.astype(bool)]]
+                    for row_ids, row_keep in zip(ids, keep)]
         vocab = self.meta.get("vocab")
         out = []
-        for row_ids, row_keep in zip(ids, keep):
-            toks = [int(i) for i in row_ids[row_keep.astype(bool)]]
+        for toks in rows:
             if vocab is None:
                 out.append(" ".join(map(str, toks)))
             elif self.meta.get("token_type") == "char":

@@ -191,3 +191,46 @@ augment:
     wav = (np.sin(np.arange(16000) * 0.05) * 0.5).astype(np.float32)
     texts = asr.transcribe(wav)
     assert isinstance(texts[0], str)
+
+
+def test_transducer_polymorphic_export():
+    from jax import export as jexport
+
+    from summarymixing_tpu.models.transducer import TransducerModel
+    from summarymixing_tpu.utils.export import make_transducer_infer_fn
+
+    asr = TransformerASR(
+        tgt_vocab=20, input_size=80, d_model=32, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=0, d_ffn=32,
+        encoder_module="conformer", attention_type="SummaryMixing",
+        mode="SummaryMixing-fast", causal=False, kernel_size=5,
+        local_proj_hid_dim=(16,), local_proj_out_dim=32,
+        summary_hid_dim=(16,), summary_out_dim=32, dropout_rate=0.0)
+    enc_model = SpeechRecognizer(asr=asr, vocab_size=20,
+                                 frontend_channels=(4, 4))
+    td_model = TransducerModel(vocab=20, dec_dim=12, joint_dim=16,
+                               emb_dropout=0.0, dec_dropout=0.0)
+    fbank = Fbank()
+    wav = jnp.zeros((2, 16000), jnp.float32)
+    lens = jnp.full((2,), 16000, jnp.int32)
+    feats = fbank(wav)
+    flens = fbank.frame_lengths(lens)
+    enc_params = enc_model.init(jax.random.PRNGKey(0), feats, flens)["params"]
+    enc_out, _ = enc_model.apply({"params": enc_params}, feats, flens,
+                                 method=enc_model.encode)
+    td_params = td_model.init(jax.random.PRNGKey(1), enc_out,
+                              jnp.zeros((2, 3), jnp.int32))["params"]
+    params = {"encoder": enc_params, "transducer": td_params}
+    infer = make_transducer_infer_fn(enc_model, td_model, fbank,
+                                     InputNormalization(), params,
+                                     NormStats.init(80))
+    payload = export_ctc_infer(infer)  # same polymorphic export machinery
+    back = jexport.deserialize(bytearray(payload))
+    rng = np.random.default_rng(2)
+    for b, n in [(2, 16000), (4, 32000)]:
+        w = jnp.asarray(rng.standard_normal((b, n)), jnp.float32) * 0.1
+        ln = jnp.full((b,), n, jnp.int32)
+        ref = jax.jit(infer)(w, ln)
+        got = back.call(w, ln)
+        for g, r in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
