@@ -67,6 +67,12 @@ def main():
                          "--peaky-blank")
     ap.add_argument("--compare", action="store_true",
                     help="measure full vs compacted scorer back to back")
+    ap.add_argument("--compare-padding", action="store_true",
+                    help="measure the scorer's scan-friendly time-axis "
+                         "padding (RESULTS.md 'scorer time-axis geometry') "
+                         "end to end: raw T vs padded T, back to back in "
+                         "one invocation (the raw variant disables "
+                         "_pad_time_axis during tracing)")
     ap.add_argument("--lm", action="store_true",
                     help="add TransformerLM (768d/12L) shallow fusion at "
                          "lm_weight 0.60 — the reference's full test-decode "
@@ -211,6 +217,28 @@ def main():
         "note": "encoder + CTC head + KV-cached joint CTC/attention beam"
                 + (" + TransformerLM 768d/12L @ 0.60" if args.lm else ""),
     }
+    if args.compare_padding:
+        import summarymixing_tpu.decoding.ctc_prefix as _cp
+
+        orig_pad = _cp._pad_time_axis
+        try:
+            # identity padding at trace time -> the pre-padding graph
+            _cp._pad_time_axis = lambda n: n
+            per_raw, c_raw = measure(make_decode(0.0, 0))
+        finally:
+            _cp._pad_time_axis = orig_pad
+        per_pad, c_pad = measure(make_decode(0.0, 0))
+        result.update({
+            "per_batch_ms_raw_T": round(per_raw * 1e3, 2),
+            "per_batch_ms_padded_T": round(per_pad * 1e3, 2),
+            "audio_s_per_s_raw": round(args.batch * args.secs / per_raw, 1),
+            "audio_s_per_s_padded": round(
+                args.batch * args.secs / per_pad, 1),
+            "speedup": round(per_raw / per_pad, 3),
+            "compile_s": round(c_raw + c_pad, 1),
+        })
+        print(json.dumps(result))
+        return
     if args.compare:
         per_full, c_full = measure(make_decode(0.0, 0))
         per_skip, c_skip = measure(
