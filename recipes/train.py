@@ -288,6 +288,7 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                 left_context_chunks_min=t_cfg.left_context_chunks_min,
                 left_context_chunks_max=t_cfg.left_context_chunks_max,
             ),
+            joint_chunk=t_cfg.joint_chunk,
         ),
         mesh=mesh,
     )

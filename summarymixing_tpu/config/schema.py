@@ -107,6 +107,11 @@ class TransducerConfig:
     dec_dim: int = 512
     dec_emb_dropout: float = 0.2
     dec_dropout: float = 0.1
+    # compute the joint in T-chunks of this many encoder frames instead of
+    # materialising the full [B, T, U+1, V] logits (the train step's
+    # largest tensor); exact — losses/transducer.py::transducer_loss_chunked.
+    # 0 = dense
+    joint_chunk: int = 0
     # DCT sampler (transducer yaml:74-99)
     chunkwise_prob: float = 0.6
     chunk_size_min: int = 8

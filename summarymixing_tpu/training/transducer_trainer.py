@@ -23,7 +23,12 @@ import optax
 
 from summarymixing_tpu.frontend.augment import SpecAugmentConfig, spec_augment
 from summarymixing_tpu.frontend.features import Fbank, InputNormalization, NormStats
-from summarymixing_tpu.losses import ctc_loss, nll_loss, transducer_loss
+from summarymixing_tpu.losses import (
+    ctc_loss,
+    nll_loss,
+    transducer_loss,
+    transducer_loss_chunked,
+)
 from summarymixing_tpu.models.asr import DynChunkTrainConfig
 from summarymixing_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from summarymixing_tpu.training.optim import apply_safe_update
@@ -80,6 +85,10 @@ class TransducerTrainerConfig:
     # reference TransformerASR.py:681-684 xavier-normal overwrite of the
     # ASR module (see trainer.py)
     xavier_init_overwrite: bool = True
+    # > 0: compute the joint in T-chunks of this many encoder frames and
+    # never materialise the [B, T, U+1, V] logits (exact; rematerialised
+    # backward — losses/transducer.py::transducer_loss_chunked)
+    joint_chunk: int = 0
 
 
 class TransducerTrainer:
@@ -187,19 +196,37 @@ class TransducerTrainer:
         tokens = batch["tokens"]
         token_lens = batch["token_lens"]
         tokens_bos = self._add_blank_bos(tokens)
-        logits = self.transducer_model.apply(
-            {"params": params["transducer"]}, enc_out, tokens_bos,
-            deterministic=deterministic, rngs=rngs,
-        )
+        td_params = {"params": params["transducer"]}
         losses = {}
-        l_t = transducer_loss(
-            logits, tokens, enc_lens, token_lens, blank_id=cfg.blank_id,
-            # the reference passes NO reduction to transducer_cost
-            # (conformer_summarymixing_transducer.yaml:333-336), so the
-            # speechbrain default "mean" applies — only ctc_cost gets the
-            # yaml's loss_reduction "batchmean" (yaml:297-299)
-            reduction="mean",
-        )
+        # the reference passes NO reduction to transducer_cost
+        # (conformer_summarymixing_transducer.yaml:333-336), so the
+        # speechbrain default "mean" applies — only ctc_cost gets the
+        # yaml's loss_reduction "batchmean" (yaml:297-299)
+        if cfg.joint_chunk > 0:
+            enc_proj = self.transducer_model.apply(
+                td_params, enc_out, method=self.transducer_model.encode_proj)
+            dec_proj = self.transducer_model.apply(
+                td_params, tokens_bos,
+                method=lambda m, t: m.predictor(
+                    t, deterministic=deterministic),
+                rngs=rngs,
+            )
+            l_t = transducer_loss_chunked(
+                enc_proj, dec_proj,
+                lambda e, d: self.transducer_model.apply(
+                    td_params, e, d, method=lambda m, e, d: m.joint(e, d)),
+                tokens, enc_lens, token_lens, blank_id=cfg.blank_id,
+                reduction="mean", chunk_size=cfg.joint_chunk,
+            )
+        else:
+            logits = self.transducer_model.apply(
+                td_params, enc_out, tokens_bos,
+                deterministic=deterministic, rngs=rngs,
+            )
+            l_t = transducer_loss(
+                logits, tokens, enc_lens, token_lens, blank_id=cfg.blank_id,
+                reduction="mean",
+            )
         losses["transducer"] = l_t
         loss = l_t
         if cfg.ctc_weight > 0.0:

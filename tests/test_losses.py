@@ -190,3 +190,66 @@ def test_ctc_matches_optax(rng):
     g = jax.grad(lambda x: ctc_loss(jax.nn.log_softmax(x, -1), ilens,
                                     targets, tlens))(logits)
     assert np.isfinite(np.asarray(g)).all()
+
+
+class TestChunkedTransducerLoss:
+    """transducer_loss_chunked == transducer_loss (values AND grads) for
+    every reduction, chunk size (divisor, ragged, one-chunk, oversize),
+    and ragged input/target lengths incl. empty targets."""
+
+    def _setup(self, rng):
+        from summarymixing_tpu.models.transducer import TransducerModel
+
+        B, T, U, V = 3, 23, 7, 11
+        td = TransducerModel(vocab=V, dec_dim=8, joint_dim=16,
+                             emb_dropout=0.0, dec_dropout=0.0)
+        enc_out = jnp.asarray(rng.standard_normal((B, T, 12)), jnp.float32)
+        targets = jnp.asarray(rng.integers(1, V, (B, U)), jnp.int32)
+        toks_bos = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), targets], axis=1)
+        params = td.init(jax.random.PRNGKey(0), enc_out, toks_bos,
+                         method=td.init_all)
+        in_lens = jnp.asarray([23, 17, 9])
+        tg_lens = jnp.asarray([7, 4, 0])
+        return td, params, enc_out, targets, toks_bos, in_lens, tg_lens
+
+    def _both(self, td, params, enc_out, targets, toks_bos, in_lens,
+              tg_lens, reduction, chunk):
+        from summarymixing_tpu.losses import transducer_loss_chunked
+
+        def dense(p):
+            logits = td.apply(p, enc_out, toks_bos)
+            return transducer_loss(logits, targets, in_lens, tg_lens,
+                                   reduction=reduction)
+
+        def chunked(p):
+            m = td.bind(p)
+            enc_proj = m.encode_proj(enc_out)
+            dec_proj = m.predictor(toks_bos, deterministic=True)
+            return transducer_loss_chunked(
+                enc_proj, dec_proj,
+                lambda e, d: td.apply(
+                    p, e, d, method=lambda mod, e, d: mod.joint(e, d)),
+                targets, in_lens, tg_lens, reduction=reduction,
+                chunk_size=chunk)
+
+        return dense, chunked
+
+    @pytest.mark.parametrize("reduction", ["mean", "sum", "batchmean",
+                                           "none"])
+    @pytest.mark.parametrize("chunk", [5, 8, 23, 64])
+    def test_value_parity(self, rng, reduction, chunk):
+        td, params, *rest = self._setup(rng)
+        dense, chunked = self._both(td, params, *rest, reduction, chunk)
+        a, c = dense(params), chunked(params)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-4, rtol=1e-5)
+
+    def test_grad_parity(self, rng):
+        td, params, *rest = self._setup(rng)
+        dense, chunked = self._both(td, params, *rest, "mean", 8)
+        ga = jax.grad(dense)(params)
+        gc = jax.grad(chunked)(params)
+        errs = jax.tree.map(
+            lambda x, y: float(jnp.max(jnp.abs(x - y))), ga, gc)
+        assert max(jax.tree.leaves(errs)) < 1e-4

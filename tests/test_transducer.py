@@ -369,3 +369,55 @@ def test_concat_joint_variant(rng):
     logits = m.apply(params, enc, toks)
     assert logits.shape == (2, 5, 3, VOCAB)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_trainer_joint_chunk_matches_dense(rng):
+    """joint_chunk > 0 (chunked joint, losses/transducer.py::
+    transducer_loss_chunked) must reproduce the dense trainer's loss and
+    one AdamW step exactly (dropout 0 so the rng-plumbing difference is
+    inert)."""
+    from summarymixing_tpu.frontend.features import Fbank
+    from summarymixing_tpu.models.asr import TransformerASR
+    from summarymixing_tpu.models.speech_recognizer import SpeechRecognizer
+    from summarymixing_tpu.parallel.mesh import make_mesh
+    from summarymixing_tpu.training.optim import make_adamw
+    from summarymixing_tpu.training.transducer_trainer import (
+        TransducerTrainer,
+        TransducerTrainerConfig,
+    )
+    from tests.test_train_e2e import synth_batch
+
+    asr = TransformerASR(
+        tgt_vocab=VOCAB, input_size=80, d_model=16, nhead=2,
+        num_encoder_layers=1, num_decoder_layers=0, d_ffn=32,
+        encoder_module="conformer", attention_type="SummaryMixing",
+        mode="SummaryMixing-fast", causal=False, kernel_size=5,
+        local_proj_hid_dim=(16,), local_proj_out_dim=16,
+        summary_hid_dim=(16,), dropout_rate=0.0,
+    )
+    enc_model = SpeechRecognizer(
+        asr=asr, vocab_size=VOCAB, frontend_channels=(4, 4),
+        frontend_dropout=0.0,
+    )
+    td_model = make_model()
+    mesh = make_mesh(devices=jax.devices()[:1])
+    batch = synth_batch(rng, b=2, n=3200)
+    batch["tokens"] = jnp.asarray(
+        np.random.default_rng(3).integers(1, VOCAB, (2, 3)).astype(np.int32))
+    cfgs = dict(ctc_weight=0.3, augment=None, dct=None)
+    metrics = {}
+    states = {}
+    for name, jc in (("dense", 0), ("chunked", 3)):
+        trainer = TransducerTrainer(
+            enc_model, td_model, make_adamw(1e-3), Fbank(),
+            TransducerTrainerConfig(joint_chunk=jc, **cfgs), mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        loss, _ = trainer.eval_step(state, batch)
+        new_state, m = trainer.train_step(state, batch)
+        metrics[name] = (float(loss["loss"]), float(m["loss"]))
+        states[name] = new_state["params"]
+    np.testing.assert_allclose(metrics["dense"], metrics["chunked"],
+                               rtol=2e-5, atol=2e-5)
+    errs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                        states["dense"], states["chunked"])
+    assert max(jax.tree.leaves(errs)) < 5e-5, max(jax.tree.leaves(errs))
