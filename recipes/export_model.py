@@ -60,6 +60,66 @@ def vocab_list(tokenizer) -> list:
     return out
 
 
+def export_streaming_artifact(args, cfg, model, td_model, fbank,
+                              normalizer, state, tokenizer):
+    """--streaming: serialize the chunked init/step pair (raw audio in,
+    incremental tokens out; streaming.py module doc for geometry and the
+    one-chunk output lag)."""
+    import jax.numpy as jnp
+
+    from summarymixing_tpu.streaming import (
+        make_streaming_infer_fns,
+        run_stream,
+    )
+    from summarymixing_tpu.utils.export import (
+        ExportedStreamingASR,
+        export_streaming,
+    )
+
+    init_fn, step_fn, info = make_streaming_infer_fns(
+        model, td_model, fbank, normalizer, state["params"],
+        state["norm_stats"], chunk_frames=args.chunk_frames,
+        left_context_chunks=args.left_context,
+        blank_id=cfg.model.blank_index)
+    payloads = export_streaming(
+        init_fn, step_fn, info["chunk_samples"],
+        fixed_batch=args.fixed[0] if args.fixed else None)
+    meta = {
+        "recipe": cfg.name,
+        "family": "transducer_streaming",
+        "sample_rate": cfg.features.sample_rate,
+        "token_type": ("char" if cfg.tokenizer_type == "char"
+                       else cfg.token_type),
+        "vocab": vocab_list(tokenizer),
+        "polymorphic": args.fixed is None,
+        **info,
+    }
+    save_artifact(args.output, payloads, meta)
+    total = sum(len(v) for v in payloads.values())
+    print(f"exported streaming artifact ({total / 1e6:.1f} MB, "
+          f"chunk {info['chunk_samples']} samples = "
+          f"{args.chunk_frames} enc frames, left ctx "
+          f"{args.left_context} chunks) -> {args.output}")
+
+    if args.check:
+        art = ExportedStreamingASR.load(args.output)
+        rng = np.random.default_rng(0)
+        b, n = 2, 3 * info["chunk_samples"] + 1000
+        wav = rng.standard_normal((b, n)).astype(np.float32) * 0.1
+        lens = np.asarray([n, n - 1500], np.int32)
+        got = art.transcribe(wav, lens)
+        toks, tl = run_stream(init_fn, step_fn, jnp.asarray(wav),
+                              jnp.asarray(lens), info["chunk_samples"])
+        toks, tl = np.asarray(toks), np.asarray(tl)
+        vocab = meta["vocab"]
+        ref = ["".join(vocab[t] for t in toks[i, : tl[i]]
+                       if 0 <= t < len(vocab)) for i in range(b)]
+        if meta["token_type"] != "char":
+            ref = [r.replace("▁", " ").strip() for r in ref]
+        assert got == ref, (got, ref)
+        print("check ok: streaming artifact == live step fns on", wav.shape)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("recipe")
@@ -70,6 +130,15 @@ def main():
     ap.add_argument("--fixed", nargs=2, type=int, metavar=("B", "N"),
                     help="export one static (batch, samples) shape "
                          "instead of the polymorphic default")
+    ap.add_argument("--streaming", action="store_true",
+                    help="export a STREAMING artifact (transducer recipes "
+                         "only): init/step functions with carried state — "
+                         "raw audio chunks in, incremental tokens out "
+                         "(summarymixing_tpu/streaming.py)")
+    ap.add_argument("--chunk-frames", type=int, default=16,
+                    help="encoder frames per streaming chunk (40 ms each)")
+    ap.add_argument("--left-context", type=int, default=4,
+                    help="left-context CHUNKS carried across steps")
     ap.add_argument("--check", action="store_true",
                     help="reload the artifact and compare against the "
                          "live model on random audio")
@@ -113,12 +182,21 @@ def main():
         state = _eval.restore_eval_state(
             trainer.init_state(jax.random.PRNGKey(0), example),
             args.ckpt, args.avg)
+        if args.streaming:
+            return export_streaming_artifact(args, cfg, model, td_model,
+                                             fbank, normalizer, state,
+                                             tokenizer)
         infer = make_transducer_infer_fn(
             model, td_model, fbank, normalizer,
             state["params"], state["norm_stats"],
             blank_id=cfg.model.blank_index)
         family = "transducer"
     else:
+        if args.streaming:
+            raise SystemExit(
+                "--streaming requires a transducer recipe (the attention "
+                "recipes' encoder is not chunk-trained; reference "
+                "Branchformer.py:469-471 rejects DCT too)")
         trainer = ASRTrainer(
             model, make_adamw(1e-4), fbank,
             TrainerConfig(ctc_weight=cfg.training.ctc_weight, augment=None,

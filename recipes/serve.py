@@ -14,10 +14,20 @@ Endpoints:
   GET  /stats        -> batcher latency/occupancy stats
   POST /transcribe   -> body: WAV or FLAC bytes; response {"text": ...}
 
+With --streaming (transducer recipes), live low-latency streams are
+served instead, multiplexed onto fixed device slots
+(summarymixing_tpu/serving.py::StreamingSessionServer over the chunked
+pipeline in summarymixing_tpu/streaming.py):
+  POST /stream/start        -> {"id": ...}
+  POST /stream/<id>         -> body: audio chunk (WAV/FLAC container or
+                               raw float32 PCM); response
+                               {"text_delta", "text", "tokens"}
+  POST /stream/<id>/end     -> flush + free slot; final {"text", ...}
+
 Usage:
   python recipes/serve.py <recipe.yaml> --ckpt results/run/save \
       [--avg 10] [--port 8080] [--batch-size 8] [--max-wait-ms 20] \
-      [--warmup]
+      [--warmup] [--streaming --chunk-frames 16 --left-context 4]
 """
 
 from __future__ import annotations
@@ -138,6 +148,133 @@ def build_infer(cfg, ckpt_dir: str, avg: int, batch_size: int):
     return infer, tokenizer
 
 
+def build_streaming(cfg, ckpt_dir: str, avg: int, slots: int,
+                    chunk_frames: int, left_context: int,
+                    max_wait_ms: float):
+    """(StreamingSessionServer, tokenizer, chunk_samples) from a trained
+    transducer run."""
+    from summarymixing_tpu.frontend.features import InputNormalization
+    from summarymixing_tpu.serving import StreamingSessionServer
+    from summarymixing_tpu.streaming import make_streaming_infer_fns
+    from summarymixing_tpu.training.transducer_trainer import (
+        TransducerTrainer,
+        TransducerTrainerConfig,
+    )
+
+    tokenizer = _eval.resolve_tokenizer(cfg, os.path.dirname(ckpt_dir))
+    model, fbank, td_model = build_model(cfg)
+    if td_model is None:
+        raise SystemExit("--streaming requires a transducer recipe")
+    mesh = make_mesh(devices=jax.devices()[:1])
+    sr = cfg.features.sample_rate
+    example = {
+        "wav": jnp.zeros((2, sr), jnp.float32),
+        "wav_lens": jnp.full((2,), sr, jnp.int32),
+        "tokens": jnp.ones((2, 4), jnp.int32),
+        "token_lens": jnp.full((2,), 4, jnp.int32),
+    }
+    trainer = TransducerTrainer(
+        model, td_model, make_adamw(1e-4), fbank,
+        TransducerTrainerConfig(ctc_weight=cfg.training.ctc_weight,
+                                blank_id=cfg.model.blank_index,
+                                augment=None, dct=None),
+        mesh=mesh,
+    )
+    state = _eval.restore_eval_state(
+        trainer.init_state(jax.random.PRNGKey(0), example), ckpt_dir, avg)
+    normalizer = InputNormalization(
+        update_until_epoch=cfg.features.normalize_update_until_epoch)
+    init_fn, step_fn, info = make_streaming_infer_fns(
+        model, td_model, fbank, normalizer, state["params"],
+        state["norm_stats"], chunk_frames=chunk_frames,
+        left_context_chunks=left_context, blank_id=cfg.model.blank_index)
+    server = StreamingSessionServer(init_fn, step_fn,
+                                    info["chunk_samples"], slots=slots,
+                                    max_wait_ms=max_wait_ms)
+    return server, tokenizer, info["chunk_samples"]
+
+
+def decode_chunk_bytes(data: bytes, sample_rate: int) -> np.ndarray:
+    """Audio chunk: a WAV/FLAC container, or raw little-endian float32
+    PCM (the natural format for mid-stream chunks, which have no
+    header)."""
+    if data[:4] in (b"RIFF", b"fLaC"):
+        return decode_audio_bytes(data, sample_rate)
+    if len(data) % 4:
+        raise ValueError("raw chunk must be float32 PCM "
+                         "(length divisible by 4)")
+    return np.frombuffer(data, "<f4").astype(np.float32)
+
+
+def make_streaming_handler(server, tokenizer, sample_rate: int):
+    """HTTP session endpoints over StreamingSessionServer. The handler
+    keeps each session's full token history and re-decodes it on every
+    update (subword piece boundaries are not delta-decodable in
+    general); `text_delta` is the text suffix new since the last
+    response."""
+    hist = {}   # sid -> {"tokens": [...], "text": str}
+    lock = threading.Lock()
+
+    def update(sid, new_tokens, final=False):
+        with lock:
+            h = hist.pop(sid) if final else hist[sid]
+            h["tokens"].extend(new_tokens)
+            full = tokenizer.decode(h["tokens"])
+            delta = full[len(h["text"]):] if full.startswith(h["text"]) \
+                else full
+            h["text"] = full
+        return {"text": full, "text_delta": delta, "tokens": new_tokens}
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True})
+            elif self.path == "/stats":
+                self._reply(200, server.stats())
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            try:
+                parts = self.path.strip("/").split("/")
+                n = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(n)
+                if parts == ["stream", "start"]:
+                    sid = server.open()
+                    with lock:
+                        hist[sid] = {"tokens": [], "text": ""}
+                    self._reply(200, {"id": sid})
+                elif len(parts) == 2 and parts[0] == "stream":
+                    audio = decode_chunk_bytes(body, sample_rate)
+                    new = server.feed(parts[1], audio)
+                    self._reply(200, update(parts[1], new))
+                elif (len(parts) == 3 and parts[0] == "stream"
+                      and parts[2] == "end"):
+                    new = server.close(parts[1])
+                    self._reply(200, update(parts[1], new, final=True))
+                else:
+                    self._reply(404, {"error": "unknown path"})
+            except KeyError as e:
+                self._reply(404, {"error": str(e)})
+            except (ValueError, RuntimeError) as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — operator visibility
+                self._reply(500, {"error": str(e)})
+
+        def log_message(self, fmt, *a):
+            pass
+
+    return Handler
+
+
 def make_handler(server: DynamicBatchingServer, sample_rate: int):
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, obj: dict) -> None:
@@ -188,6 +325,13 @@ def main():
     ap.add_argument("--warmup", action="store_true",
                     help="compile every bucket shape before accepting "
                          "traffic (first-request latency)")
+    ap.add_argument("--streaming", action="store_true",
+                    help="serve live streams (transducer recipes): "
+                         "/stream/start, /stream/<id>, /stream/<id>/end")
+    ap.add_argument("--chunk-frames", type=int, default=16,
+                    help="encoder frames per streaming chunk (40 ms each)")
+    ap.add_argument("--left-context", type=int, default=4,
+                    help="left-context CHUNKS carried across steps")
     ap.add_argument("--set", action="append", default=[],
                     metavar="KEY=VALUE", dest="overrides")
     args = ap.parse_args()
@@ -196,6 +340,31 @@ def main():
 
     cfg = load_recipe(args.recipe, overrides=parse_overrides(args.overrides))
     sr = cfg.features.sample_rate
+
+    if args.streaming:
+        server, tokenizer, chunk_samples = build_streaming(
+            cfg, args.ckpt, args.avg, args.batch_size, args.chunk_frames,
+            args.left_context, args.max_wait_ms)
+        if args.warmup:
+            print("warmup: compiling the streaming step")
+            sid = server.open()
+            server.feed(sid, np.zeros((chunk_samples,), np.float32))
+            server.close(sid)
+        httpd = ThreadingHTTPServer(
+            (args.host, args.port),
+            make_streaming_handler(server, tokenizer, sr))
+        print(f"streaming on http://{args.host}:{args.port} "
+              f"({args.batch_size} slots, chunk {chunk_samples} samples "
+              f"= {args.chunk_frames} enc frames)", flush=True)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            threading.Thread(target=httpd.shutdown).start()
+            server.shutdown()
+        return
+
     infer, _tok = build_infer(cfg, args.ckpt, args.avg, args.batch_size)
     scfg = ServingConfig(batch_size=args.batch_size,
                          max_wait_ms=args.max_wait_ms, sample_rate=sr)

@@ -97,7 +97,7 @@ class ASRStreamingState:
     TransformerASRStreamingContext (TransformerASR.py:35-48)."""
 
     encoder: object          # ConformerStreamingState
-    frame_offset: jax.Array  # absolute position of the next chunk's frame 0
+    frame_offset: jax.Array  # [B] absolute position of each row's next frame 0
     # chunk size the state was built for (static; 0 = unchecked) — chunks
     # of a different size would silently break DCT train/infer equivalence
     chunk_size: int = struct.field(pytree_node=False, default=0)
@@ -432,7 +432,7 @@ class TransformerASR(nn.Module):
             else 0
         return ASRStreamingState(
             encoder=self.encoder.init_streaming_state(batch, left, dtype),
-            frame_offset=jnp.zeros((), jnp.int32),
+            frame_offset=jnp.zeros((batch,), jnp.int32),
             chunk_size=chunk,
         )
 
@@ -460,10 +460,15 @@ class TransformerASR(nn.Module):
             and self.attention_type not in ("hypermixing", "RelPosMHAXL")
         ):
             table = positional_encoding(self.max_length, self.d_model, src.dtype)
-            pe = jax.lax.dynamic_slice(
-                table, (0, state.frame_offset, 0), (1, chunk, self.d_model)
+            # per-row offsets (one batched state can hold independent
+            # streams at different positions — serving slot multiplexer);
+            # clamped to the last PE window like the dynamic_slice it
+            # replaces
+            pos = jnp.clip(
+                state.frame_offset[:, None] + jnp.arange(chunk)[None, :],
+                0, self.max_length - 1,
             )
-            src = src + pe
+            src = src + table[0][pos]
         pos_embs = None
         if self.attention_type == "RelPosMHAXL":
             total = chunk + state.encoder.layers[0].mha_left.shape[1]

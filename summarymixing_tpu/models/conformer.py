@@ -54,7 +54,10 @@ class ConformerLayerStreamingState:
 
     mha_left: Array        # [B, left_frames, D] post-ffn1 inputs to the mixer
     conv_left: Array       # [B, kernel//2, D] inputs to the conv module
-    frames_seen: Array     # scalar int32: total frames processed so far
+    # [B] int32: frames processed so far, PER ROW — rows of one batched
+    # state may be independent streams at different positions (the
+    # serving slot multiplexer, serving.py::StreamingSessionServer)
+    frames_seen: Array
 
 
 @struct.dataclass
@@ -305,7 +308,7 @@ class ConformerEncoderLayer(nn.Module):
         return ConformerLayerStreamingState(
             mha_left=jnp.zeros((batch, left_context_frames, self.d_model), dtype),
             conv_left=jnp.zeros((batch, pad, self.d_model), dtype),
-            frames_seen=jnp.zeros((), jnp.int32),
+            frames_seen=jnp.zeros((batch,), jnp.int32),
         )
 
     def streaming_step(
@@ -327,14 +330,17 @@ class ConformerEncoderLayer(nn.Module):
 
         x = x + 0.5 * self.ffn1(self.norm_ffn1(x), deterministic=True)
 
-        # mixer over [left | chunk] with buffer-validity mask
+        # mixer over [left | chunk] with buffer-validity mask (per row:
+        # rows may be independent streams at different positions)
         xcat = jnp.concatenate([state.mha_left, x], axis=1)
+        seen = state.frames_seen[:, None]
         buf_valid = (
-            jnp.arange(l_buf) >= l_buf - jnp.minimum(state.frames_seen, l_buf)
+            jnp.arange(l_buf)[None, :]
+            >= l_buf - jnp.minimum(seen, l_buf)
         )
         valid = jnp.concatenate(
-            [buf_valid, jnp.ones((orig,), bool)]
-        ).astype(x.dtype)[None, :].repeat(x.shape[0], axis=0)
+            [buf_valid, jnp.ones((x.shape[0], orig), bool)], axis=1
+        ).astype(x.dtype)
         new_mha_left = xcat[:, xcat.shape[1] - l_buf:] if l_buf > 0 else state.mha_left
 
         skip = xcat
@@ -347,11 +353,11 @@ class ConformerEncoderLayer(nn.Module):
         # convolution over [conv_left | chunk]
         conv_in = jnp.concatenate([state.conv_left, x], axis=1)
         conv_buf_valid = (
-            jnp.arange(pad) >= pad - jnp.minimum(state.frames_seen, pad)
+            jnp.arange(pad)[None, :] >= pad - jnp.minimum(seen, pad)
         )
         conv_valid = jnp.concatenate(
-            [conv_buf_valid, jnp.ones((orig,), bool)]
-        ).astype(x.dtype)[None, :].repeat(x.shape[0], axis=0)
+            [conv_buf_valid, jnp.ones((x.shape[0], orig), bool)], axis=1
+        ).astype(x.dtype)
         conv_out = self.convolution_module(
             conv_in, pad_mask=conv_valid, deterministic=True
         )[:, -orig:]

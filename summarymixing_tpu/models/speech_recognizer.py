@@ -102,9 +102,12 @@ class SpeechRecognizer(nn.Module):
         return jax.nn.log_softmax(self.ctc_lin(enc_out), axis=-1)
 
     # -- streaming (reference TransformerASR.py:562-679 contract) -----------
-    def frontend(self, feats: Array) -> Array:
-        """CNN subsampling only: [B, T, F] -> [B, T/4, F'] encoder input."""
-        return self.cnn(feats, deterministic=True)
+    def frontend(self, feats: Array, input_frame_offset=None) -> Array:
+        """CNN subsampling only: [B, T, F] -> [B, T/4, F'] encoder input.
+        `input_frame_offset` makes a chunk's stream-start zero padding
+        exact (ops/convolution.py::ConvolutionFrontEnd, streaming.py)."""
+        return self.cnn(feats, deterministic=True,
+                        input_frame_offset=input_frame_offset)
 
     def streaming_init(self, batch: int, dynchunk, dtype=jnp.float32):
         return self.asr.init_streaming_state(batch, dynchunk, dtype)

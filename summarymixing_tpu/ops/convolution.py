@@ -279,9 +279,30 @@ class ConvolutionFrontEnd(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        deterministic: bool = True,
+        input_frame_offset: Optional[Array] = None,
+    ) -> Array:
+        """`input_frame_offset` (int scalar or [B] per row, may be
+        NEGATIVE) marks x's frame 0 as global frame `input_frame_offset`
+        of a longer stream: positions before global frame 0 are zeroed at
+        the input AND after every block, reproducing the offline stack's
+        inter-layer zero padding at the sequence start exactly (needed by
+        the chunked streaming frontend, streaming.py). Must be divisible
+        by prod(strides) so output indices stay aligned."""
         b, t, f = x.shape
         x = x[..., None]  # NHWC: [B, T, F, 1]
+
+        def mask_start(x, offset):
+            off = jnp.asarray(offset).reshape(-1, 1)  # [B or 1, 1]
+            idx = off + jnp.arange(x.shape[1])[None, :]
+            return x * (idx >= 0).astype(x.dtype)[:, :, None, None]
+
+        offset = input_frame_offset
+        if offset is not None:
+            x = mask_start(x, offset)
         for i, (ch, k, s, res) in enumerate(
             zip(self.out_channels, self.kernel_sizes, self.strides, self.residuals)
         ):
@@ -307,6 +328,9 @@ class ConvolutionFrontEnd(nn.Module):
             if res and inp.shape == x.shape:
                 x = x + inp
             x = nn.Dropout(rate=self.dropout_rate)(x, deterministic=deterministic)
+            if offset is not None:
+                offset = offset // s
+                x = mask_start(x, offset)
         b2, t2, f2, c2 = x.shape
         return x.reshape(b2, t2, f2 * c2)
 

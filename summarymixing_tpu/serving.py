@@ -30,12 +30,14 @@ from __future__ import annotations
 import queue
 import threading
 import time
+import uuid
 from dataclasses import dataclass, field
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["ServingConfig", "DynamicBatchingServer", "RequestError"]
+__all__ = ["ServingConfig", "DynamicBatchingServer", "RequestError",
+           "StreamingSessionServer"]
 
 
 class RequestError(RuntimeError):
@@ -209,4 +211,271 @@ class DynamicBatchingServer:
 
     def __exit__(self, *exc):
         self.close()
+        return False
+
+
+@dataclass
+class _Session:
+    slot: int
+    residual: np.ndarray                 # buffered audio < one chunk
+    lock: threading.Lock = field(default_factory=threading.Lock)
+    tokens: List[int] = field(default_factory=list)
+    closed: bool = False
+
+
+@dataclass
+class _ChunkJob:
+    slot: int
+    chunk: np.ndarray                    # [chunk_samples] f32
+    n_valid: int
+    event: threading.Event = field(default_factory=threading.Event)
+    tokens: Optional[List[int]] = None
+    error: Optional[BaseException] = None
+
+
+class StreamingSessionServer:
+    """Multiplex live audio streams onto S fixed device slots.
+
+    The streaming step (streaming.py::make_streaming_infer_fns) is ONE
+    compiled program over a fixed batch of S rows, and every piece of
+    its cross-chunk state is per-row (sample buffer, chunk counter,
+    conformer left context, predictor state), so independent streams at
+    different positions can occupy rows of the same stacked carry. Each
+    tick the worker packs at most one pending chunk per slot, feeds
+    zero chunks to idle slots, steps the whole batch once, and restores
+    idle rows from the pre-step carry with a jitted per-row select —
+    static shapes throughout, a bounded compiled-program set, and the
+    chip sees full batches (the same economics as the offline dynamic
+    batcher above).
+
+    Sessions buffer sub-chunk audio host-side; `feed` blocks until all
+    full chunks it completes are processed and returns the new tokens.
+    `close` flushes the residual (+ the one-chunk pipeline lag) and
+    frees the slot."""
+
+    def __init__(self, init_fn, step_fn, chunk_samples: int,
+                 slots: int = 8, max_wait_ms: float = 10.0):
+        import jax
+        import jax.numpy as jnp
+
+        self.chunk_samples = int(chunk_samples)
+        self.slots = slots
+        self.max_wait_ms = max_wait_ms
+
+        def masked_step(carry, wav, nv, ready):
+            new_carry, toks, n_new = step_fn(carry, wav, nv)
+
+            def sel(new, old):
+                m = ready.reshape((slots,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+
+            out = jax.tree.map(sel, new_carry, carry)
+            return out, jnp.where(ready[:, None], toks, 0), \
+                jnp.where(ready, n_new, 0)
+
+        def reset_rows(carry, template, mask):
+            def sel(t, c):
+                m = mask.reshape((slots,) + (1,) * (t.ndim - 1))
+                return jnp.where(m, t, c)
+            return jax.tree.map(sel, template, carry)
+
+        self._step = jax.jit(masked_step)
+        self._reset = jax.jit(reset_rows)
+        self._template = jax.jit(init_fn)(jnp.zeros((slots,), jnp.int32))
+        self._carry = self._template
+        self._jnp = jnp
+
+        self._sessions: Dict[str, _Session] = {}
+        self._free = list(range(slots))
+        self._lock = threading.Lock()
+        self._queue: "queue.Queue[_ChunkJob]" = queue.Queue()
+        # slots awaiting a fresh carry; applied by the WORKER between
+        # collect and step (a caller-side reset could race the in-flight
+        # step and be overwritten by its output)
+        self._pending_resets: set = set()
+        self._ticks = 0
+        self._ready_counts = []
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="streaming-sessions")
+        self._worker.start()
+
+    # -- caller side ---------------------------------------------------------
+
+    def open(self) -> str:
+        """Allocate a slot for a new stream; returns the session id."""
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            if not self._free:
+                raise RuntimeError(f"all {self.slots} stream slots busy")
+            slot = self._free.pop()
+            sid = uuid.uuid4().hex[:12]
+            self._sessions[sid] = _Session(
+                slot=slot, residual=np.zeros((0,), np.float32))
+            self._pending_resets.add(slot)
+        return sid
+
+    def _session(self, sid: str) -> _Session:
+        with self._lock:
+            s = self._sessions.get(sid)
+        if s is None or s.closed:
+            raise KeyError(f"unknown or closed session {sid!r}")
+        return s
+
+    def _submit_chunks(self, sess: _Session, chunks: List[_ChunkJob],
+                       timeout: float) -> List[int]:
+        out: List[int] = []
+        for job in chunks:
+            self._queue.put(job)
+        for job in chunks:
+            if not job.event.wait(timeout):
+                raise TimeoutError("streaming step timed out")
+            if job.error is not None:
+                raise RequestError(str(job.error)) from job.error
+            out.extend(job.tokens)
+        sess.tokens.extend(out)
+        return out
+
+    def feed(self, sid: str, audio: np.ndarray,
+             timeout: float = 120.0) -> List[int]:
+        """Append audio to the stream; returns the tokens newly decoded
+        by the chunks this audio completed (output lags input by one
+        chunk — streaming.py module doc)."""
+        sess = self._session(sid)
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        cs = self.chunk_samples
+        with sess.lock:
+            buf = np.concatenate([sess.residual, audio])
+            jobs = []
+            while len(buf) >= cs:
+                jobs.append(_ChunkJob(slot=sess.slot, chunk=buf[:cs],
+                                      n_valid=cs))
+                buf = buf[cs:]
+            sess.residual = buf
+            return self._submit_chunks(sess, jobs, timeout)
+
+    def close(self, sid: str, timeout: float = 120.0) -> List[int]:
+        """Flush the stream (residual + pipeline lag), free the slot,
+        return the tokens decoded by the flush."""
+        sess = self._session(sid)
+        cs = self.chunk_samples
+        with sess.lock:
+            jobs = []
+            if len(sess.residual):
+                chunk = np.zeros((cs,), np.float32)
+                chunk[: len(sess.residual)] = sess.residual
+                jobs.append(_ChunkJob(slot=sess.slot, chunk=chunk,
+                                      n_valid=len(sess.residual)))
+                sess.residual = np.zeros((0,), np.float32)
+            # one zero chunk to process the last (lagged) real chunk
+            jobs.append(_ChunkJob(slot=sess.slot,
+                                  chunk=np.zeros((cs,), np.float32),
+                                  n_valid=0))
+            out = self._submit_chunks(sess, jobs, timeout)
+            sess.closed = True
+        with self._lock:
+            self._sessions.pop(sid, None)
+            self._free.append(sess.slot)
+        return out
+
+    def tokens(self, sid: str) -> List[int]:
+        return list(self._session(sid).tokens)
+
+    # -- worker side ---------------------------------------------------------
+
+    def _collect(self) -> Dict[int, _ChunkJob]:
+        """One job per slot per tick (a session's chunks are sequential);
+        waits briefly to pack more slots into the tick."""
+        try:
+            first = self._queue.get(timeout=0.2)
+        except queue.Empty:
+            return {}
+        picked = {first.slot: first}
+        leftover = []
+        deadline = time.monotonic() + self.max_wait_ms / 1000.0
+        while len(picked) < self.slots:
+            remaining = deadline - time.monotonic()
+            try:
+                job = (self._queue.get(timeout=remaining)
+                       if remaining > 0 else self._queue.get_nowait())
+            except queue.Empty:
+                break
+            if job.slot in picked:
+                leftover.append(job)   # same stream: next tick
+            else:
+                picked[job.slot] = job
+        for job in leftover:
+            self._queue.put(job)
+        return picked
+
+    def _run(self) -> None:
+        cs = self.chunk_samples
+        while not self._closed:
+            picked = self._collect()
+            if not picked:
+                continue
+            wav = np.zeros((self.slots, cs), np.float32)
+            nv = np.zeros((self.slots,), np.int32)
+            ready = np.zeros((self.slots,), bool)
+            for slot, job in picked.items():
+                wav[slot] = job.chunk
+                nv[slot] = job.n_valid
+                ready[slot] = True
+            with self._lock:
+                resets = self._pending_resets
+                self._pending_resets = set()
+            if resets:
+                mask = np.zeros((self.slots,), bool)
+                mask[list(resets)] = True
+                self._carry = self._reset(self._carry, self._template,
+                                          self._jnp.asarray(mask))
+            try:
+                carry, toks, n_new = self._step(
+                    self._carry, self._jnp.asarray(wav),
+                    self._jnp.asarray(nv), self._jnp.asarray(ready))
+                toks, n_new = np.asarray(toks), np.asarray(n_new)
+                with self._lock:
+                    self._carry = carry
+                    self._ticks += 1
+                    self._ready_counts.append(len(picked))
+                    if len(self._ready_counts) > 10000:
+                        self._ready_counts = self._ready_counts[-10000:]
+                for slot, job in picked.items():
+                    job.tokens = [int(t) for t in
+                                  toks[slot, : n_new[slot]]]
+            except BaseException as e:
+                for job in picked.values():
+                    job.error = e
+            finally:
+                for job in picked.values():
+                    job.event.set()
+
+    def stats(self) -> dict:
+        with self._lock:
+            rc = self._ready_counts
+            return {
+                "slots": self.slots,
+                "active_sessions": len(self._sessions),
+                "ticks": self._ticks,
+                "mean_ready_per_tick": (round(float(np.mean(rc)), 2)
+                                        if rc else None),
+            }
+
+    def shutdown(self) -> None:
+        self._closed = True
+        self._worker.join(timeout=2.0)
+        while True:
+            try:
+                job = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            job.error = RuntimeError("server closed")
+            job.event.set()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
         return False

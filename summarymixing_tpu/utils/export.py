@@ -106,18 +106,39 @@ def export_ctc_infer(infer_fn: Callable, *, time_multiple: int = 320,
     return exported.serialize()
 
 
-def pack_artifact(payload: bytes, meta: Dict) -> bytes:
-    header = json.dumps({"meta": meta, "payload_len": len(payload)}).encode()
-    return MAGIC + struct.pack("<I", len(header)) + header + payload
+def pack_artifact(payload, meta: Dict) -> bytes:
+    """payload: bytes (single exported fn) or {name: bytes} (multi-fn
+    artifact, e.g. streaming init+step). Multi payloads are recorded as
+    an ordered [name, length] list in the header and concatenated."""
+    if isinstance(payload, dict):
+        names = list(payload.keys())
+        header = json.dumps({
+            "meta": meta,
+            "payloads": [[n, len(payload[n])] for n in names],
+        }).encode()
+        body = b"".join(payload[n] for n in names)
+    else:
+        header = json.dumps(
+            {"meta": meta, "payload_len": len(payload)}).encode()
+        body = payload
+    return MAGIC + struct.pack("<I", len(header)) + header + body
 
 
 def unpack_artifact(data: bytes):
+    """Returns (meta, payload bytes) for single-fn artifacts and
+    (meta, {name: bytes}) for multi-fn ones."""
     if data[:8] != MAGIC:
         raise ValueError("not a summarymixing_tpu export artifact")
     (hlen,) = struct.unpack("<I", data[8:12])
     header = json.loads(data[12:12 + hlen].decode())
-    payload = data[12 + hlen:12 + hlen + header["payload_len"]]
-    return header["meta"], payload
+    body = data[12 + hlen:]
+    if "payloads" in header:
+        out, off = {}, 0
+        for name, ln in header["payloads"]:
+            out[name] = body[off:off + ln]
+            off += ln
+        return header["meta"], out
+    return header["meta"], body[: header["payload_len"]]
 
 
 @dataclass
@@ -179,6 +200,108 @@ class ExportedASR:
         return out
 
 
-def save_artifact(path: str, payload: bytes, meta: Dict) -> None:
+def save_artifact(path: str, payload, meta: Dict) -> None:
     with open(path, "wb") as f:
         f.write(pack_artifact(payload, meta))
+
+
+def export_streaming(init_fn: Callable, step_fn: Callable,
+                     chunk_samples: int,
+                     fixed_batch: Optional[int] = None) -> Dict[str, bytes]:
+    """Serialize a streaming (init, step) pair (streaming.py::
+    make_streaming_infer_fns) as two jax.export payloads sharing one
+    symbolic batch dim. The step's carry spec is derived by shape-tracing
+    init, so the two functions stay structurally consistent by
+    construction."""
+    from jax import export as jexport
+
+    if fixed_batch is not None:
+        b = fixed_batch
+    else:
+        (b,) = jexport.symbolic_shape("b")
+    ref_spec = jax.ShapeDtypeStruct((b,), jnp.int32)
+    carry_spec = jax.eval_shape(init_fn, ref_spec)
+    wav_spec = jax.ShapeDtypeStruct((b, chunk_samples), jnp.float32)
+    nv_spec = jax.ShapeDtypeStruct((b,), jnp.int32)
+    init_exp = jexport.export(jax.jit(init_fn))(ref_spec)
+    step_exp = jexport.export(jax.jit(step_fn))(carry_spec, wav_spec,
+                                                nv_spec)
+    return {"init": init_exp.serialize(), "step": step_exp.serialize()}
+
+
+@dataclass
+class ExportedStreamingASR:
+    """A loaded streaming artifact: explicit init/step for real streaming
+    callers, plus batch `transcribe` built on the same step fn.
+
+    The step consumes `meta["chunk_samples"]` raw samples per call and
+    emits the tokens decoded for the PREVIOUS chunk (one-chunk lag for
+    frontend lookahead — streaming.py module doc); the caller feeds one
+    final zero chunk to flush."""
+
+    meta: Dict
+    _init: Callable
+    _step: Callable
+
+    @classmethod
+    def load(cls, path: str) -> "ExportedStreamingASR":
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            meta, payloads = unpack_artifact(f.read())
+        if not isinstance(payloads, dict) or "step" not in payloads:
+            raise ValueError("not a streaming artifact (single payload)")
+        init = jexport.deserialize(bytearray(payloads["init"])).call
+        step = jexport.deserialize(bytearray(payloads["step"])).call
+        return cls(meta=meta, _init=init, _step=step)
+
+    def init(self, batch: int):
+        return self._init(jnp.zeros((batch,), jnp.int32))
+
+    def step(self, carry, wav_chunk, n_valid):
+        return self._step(carry, jnp.asarray(wav_chunk, jnp.float32),
+                          jnp.asarray(n_valid, jnp.int32))
+
+    def _decode_rows(self, rows: List[List[int]]) -> List[str]:
+        vocab = self.meta.get("vocab")
+        out = []
+        for toks in rows:
+            if vocab is None:
+                out.append(" ".join(map(str, toks)))
+            elif self.meta.get("token_type") == "char":
+                out.append("".join(vocab[t] for t in toks
+                                   if 0 <= t < len(vocab)))
+            else:
+                text = "".join(vocab[t] for t in toks if 0 <= t < len(vocab))
+                out.append(text.replace("▁", " ").strip())
+        return out
+
+    def transcribe(self, wav: np.ndarray,
+                   wav_lens: Optional[np.ndarray] = None) -> List[str]:
+        """Batch convenience: chunk [B, N] (or [N]) audio, stream it
+        through the exported step, return text per utterance. `wav_lens`
+        marks per-row valid samples for ragged batches (default: all N)."""
+        wav = np.asarray(wav, np.float32)
+        if wav.ndim == 1:
+            wav = wav[None]
+        b, n = wav.shape
+        lens = (np.full((b,), n, np.int64) if wav_lens is None
+                else np.asarray(wav_lens, np.int64))
+        cs = int(self.meta["chunk_samples"])
+        n_chunks = -(-n // cs)
+        if n_chunks * cs - n:
+            wav = np.pad(wav, ((0, 0), (0, n_chunks * cs - n)))
+        carry = self.init(b)
+        rows = [[] for _ in range(b)]
+        for k in range(n_chunks + 1):  # +1 flush for the one-chunk lag
+            if k < n_chunks:
+                chunk = wav[:, k * cs:(k + 1) * cs]
+                nv = np.clip(lens - k * cs, 0, cs).astype(np.int32)
+            else:
+                chunk = np.zeros((b, cs), np.float32)
+                nv = np.zeros((b,), np.int32)
+            carry, toks, n_new = self.step(carry, chunk, nv)
+            toks, n_new = np.asarray(toks), np.asarray(n_new)
+            for i in range(b):
+                rows[i].extend(int(t) for t in toks[i, : n_new[i]])
+        return self._decode_rows(rows)

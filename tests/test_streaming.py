@@ -95,7 +95,8 @@ def test_streaming_state_is_jittable(rng):
     out1, state = step(params, x, state)
     out2, state = step(params, x, state)
     assert out1.shape == out2.shape == (1, 4, D)
-    assert int(state.layers[0].frames_seen) == 8
+    assert state.layers[0].frames_seen.shape == (1,)
+    assert int(state.layers[0].frames_seen[0]) == 8
 
 
 def test_streaming_transducer_pipeline(rng):
