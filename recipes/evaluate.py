@@ -209,9 +209,31 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
     n_utts = 0
     seen = set()
     chunk_times = []
+    stream_fns = None
+    if getattr(args, "streaming_full", False):
+        from summarymixing_tpu.frontend.features import InputNormalization
+        from summarymixing_tpu.streaming import make_streaming_infer_fns
+
+        normalizer = InputNormalization(
+            update_until_epoch=cfg.features.normalize_update_until_epoch)
+        stream_fns = make_streaming_infer_fns(
+            enc_model, td_model, fbank, normalizer, state["params"],
+            state["norm_stats"], chunk_frames=args.chunk_size,
+            left_context_chunks=args.left_context,
+            blank_id=cfg.model.blank_index)
     for batch, idx in batches(test_set, tokenizer, cfg, mesh, False, 0,
                               fbank):
-        if args.streaming:
+        if stream_fns is not None:
+            from summarymixing_tpu.streaming import run_stream
+
+            init_fn, step_fn, info = stream_fns
+            tc0 = time.time()
+            toks, lens = run_stream(init_fn, step_fn, batch["wav"],
+                                    batch["wav_lens"],
+                                    info["chunk_samples"])
+            n_steps = batch["wav"].shape[1] // info["chunk_samples"] + 1
+            chunk_times.extend([(time.time() - tc0) / n_steps] * n_steps)
+        elif args.streaming:
             toks, lens = _streaming_decode(cfg, args, enc_model, trainer,
                                            state, bound, batch, fbank,
                                            chunk_times)
@@ -256,7 +278,15 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
     summary["audio_s"] = round(audio_s, 1)
     # wall-clock RTF incl. batching/host work (the reference reports none)
     summary["rtf"] = round(summary["wall_s"] / max(audio_s, 1e-9), 5)
-    if args.streaming:
+    if stream_fns is not None:
+        summary["decode"] = "transducer_streaming_full_pipeline"
+        summary["chunk_frames"] = args.chunk_size
+        summary["left_context_chunks"] = args.left_context
+        if chunk_times:
+            ct = sorted(chunk_times)
+            summary["chunk_latency_ms_p50"] = round(
+                ct[len(ct) // 2] * 1e3, 2)
+    elif args.streaming:
         summary["decode"] = "transducer_streaming_greedy"
         summary["chunk_frames"] = args.chunk_size
         summary["left_context_chunks"] = args.left_context
@@ -294,6 +324,12 @@ def main():
     ap.add_argument("--streaming", action="store_true",
                     help="chunked streaming inference (transducer recipes; "
                          "reference TransformerASR.py:562-653)")
+    ap.add_argument("--streaming-full", action="store_true",
+                    dest="streaming_full",
+                    help="fully-chunked raw-audio streaming pipeline "
+                         "(summarymixing_tpu/streaming.py: fbank+CNN "
+                         "chunked too — the deployable path exported by "
+                         "export_model.py --streaming)")
     ap.add_argument("--chunk-size", type=int, default=16,
                     help="encoder frames per streaming chunk (40 ms each)")
     ap.add_argument("--left-context", type=int, default=4,

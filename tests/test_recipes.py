@@ -488,6 +488,19 @@ augment:
     assert "chunk_latency_ms_p50" in summary
     assert "WER" in summary
 
+    # the fully-chunked raw-audio pipeline (fbank+CNN streamed too)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes/evaluate.py"),
+         str(recipe), "--test-manifest", manifest,
+         "--ckpt", str(out / "save"), "--streaming-full",
+         "--chunk-size", "4", "--left-context", "2"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    summary_full = _json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary_full["decode"] == "transducer_streaming_full_pipeline"
+    assert "WER" in summary_full
+
 
 def test_transcribe_script_smoke(tmp_path):
     """Serving CLI (recipes/transcribe.py): train a few steps, then
