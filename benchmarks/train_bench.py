@@ -185,6 +185,7 @@ def bench_transducer(args):
             ctc_weight=cfg.training.ctc_weight,
             blank_id=cfg.model.blank_index,
             augment=None,
+            joint_chunk=args.joint_chunk,
             dct=DynChunkTrainSamplerConfig(
                 chunkwise_prob=t_cfg.chunkwise_prob,
                 chunk_size_min=t_cfg.chunk_size_min,
@@ -227,6 +228,7 @@ def bench_transducer(args):
         "model": "conformer-summarymixing-fast-12L-transducer (recipe cfg)",
         "batch": args.batch, "utt_secs": args.secs,
         "rng_impl": "threefry" if args.threefry else "rbg",
+        "joint_chunk": args.joint_chunk,
         "step_s": round(step_s, 4),
         "audio_s_per_s": round(args.batch * args.secs / step_s, 1),
         "memory": mem,
@@ -250,6 +252,10 @@ def main():
                     help="rematerialize encoder layers (memory for FLOPs)")
     ap.add_argument("--transducer", action="store_true",
                     help="bench the streaming-transducer train step instead")
+    ap.add_argument("--joint-chunk", type=int, default=0,
+                    help="transducer only: compute the joint in T-chunks "
+                         "of this many encoder frames (0 = dense "
+                         "[B,T,U,V]; losses/transducer.py)")
     args = ap.parse_args()
     if args.transducer:
         bench_transducer(args)

@@ -103,6 +103,27 @@ def resolve_tokenizer(cfg, run_dir, fallback_texts=None):
     return CharTokenizer.build(list(fallback_texts))
 
 
+def make_transducer_eval_trainer(cfg, enc_model, td_model, fbank, mesh):
+    """Shared eval-side TransducerTrainer (used here and by serve.py /
+    export_model.py): no augmentation or DCT sampling, but the
+    transducer.joint_chunk memory knob IS plumbed — a recipe that needs
+    the chunked joint to fit in HBM needs it at eval time too."""
+    from summarymixing_tpu.training.transducer_trainer import (
+        TransducerTrainer,
+        TransducerTrainerConfig,
+    )
+
+    return TransducerTrainer(
+        enc_model, td_model, make_adamw(1e-4), fbank,
+        TransducerTrainerConfig(
+            ctc_weight=cfg.training.ctc_weight,
+            blank_id=cfg.model.blank_index, augment=None, dct=None,
+            joint_chunk=cfg.transducer.joint_chunk,
+        ),
+        mesh=mesh,
+    )
+
+
 def restore_eval_state(state, ckpt_dir, avg):
     """Restore the evaluation-relevant subtrees (params, norm_stats, step,
     epoch) from a checkpoint dir, optionally averaging the last `avg`
@@ -180,20 +201,10 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
         transducer_beam_search_batched,
         transducer_greedy_decode,
     )
-    from summarymixing_tpu.training.transducer_trainer import (
-        TransducerTrainer,
-        TransducerTrainerConfig,
-    )
     from train import load_rnnlm  # noqa: E402
 
-    trainer = TransducerTrainer(
-        enc_model, td_model, make_adamw(1e-4), fbank,
-        TransducerTrainerConfig(
-            ctc_weight=cfg.training.ctc_weight,
-            blank_id=cfg.model.blank_index, augment=None, dct=None,
-        ),
-        mesh=mesh,
-    )
+    trainer = make_transducer_eval_trainer(cfg, enc_model, td_model, fbank,
+                                           mesh)
     example = next(iter(batches(test_set, tokenizer, cfg, mesh, False, 0,
                                 fbank)))[0]
     state = restore_eval_state(
@@ -231,7 +242,9 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
             toks, lens = run_stream(init_fn, step_fn, batch["wav"],
                                     batch["wav_lens"],
                                     info["chunk_samples"])
-            n_steps = batch["wav"].shape[1] // info["chunk_samples"] + 1
+            # run_stream executes ceil(n/cs) + 2 steps (flush chunks)
+            n_steps = -(-batch["wav"].shape[1]
+                        // info["chunk_samples"]) + 2
             chunk_times.extend([(time.time() - tc0) / n_steps] * n_steps)
         elif args.streaming:
             toks, lens = _streaming_decode(cfg, args, enc_model, trainer,

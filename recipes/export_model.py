@@ -166,19 +166,10 @@ def main():
         update_until_epoch=cfg.features.normalize_update_until_epoch)
 
     if td_model is not None:
-        from summarymixing_tpu.training.transducer_trainer import (
-            TransducerTrainer,
-            TransducerTrainerConfig,
-        )
         from summarymixing_tpu.utils.export import make_transducer_infer_fn
 
-        trainer = TransducerTrainer(
-            model, td_model, make_adamw(1e-4), fbank,
-            TransducerTrainerConfig(ctc_weight=cfg.training.ctc_weight,
-                                    blank_id=cfg.model.blank_index,
-                                    augment=None, dct=None),
-            mesh=mesh,
-        )
+        trainer = _eval.make_transducer_eval_trainer(cfg, model, td_model,
+                                                     fbank, mesh)
         state = _eval.restore_eval_state(
             trainer.init_state(jax.random.PRNGKey(0), example),
             args.ckpt, args.avg)

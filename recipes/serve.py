@@ -94,18 +94,9 @@ def build_infer(cfg, ckpt_dir: str, avg: int, batch_size: int):
         from summarymixing_tpu.decoding.transducer_search import (
             transducer_greedy_decode,
         )
-        from summarymixing_tpu.training.transducer_trainer import (
-            TransducerTrainer,
-            TransducerTrainerConfig,
-        )
 
-        trainer = TransducerTrainer(
-            model, td_model, make_adamw(1e-4), fbank,
-            TransducerTrainerConfig(ctc_weight=cfg.training.ctc_weight,
-                                    blank_id=cfg.model.blank_index,
-                                    augment=None, dct=None),
-            mesh=mesh,
-        )
+        trainer = _eval.make_transducer_eval_trainer(cfg, model, td_model,
+                                                     fbank, mesh)
         state = _eval.restore_eval_state(
             trainer.init_state(jax.random.PRNGKey(0), example),
             ckpt_dir, avg)
@@ -156,10 +147,6 @@ def build_streaming(cfg, ckpt_dir: str, avg: int, slots: int,
     from summarymixing_tpu.frontend.features import InputNormalization
     from summarymixing_tpu.serving import StreamingSessionServer
     from summarymixing_tpu.streaming import make_streaming_infer_fns
-    from summarymixing_tpu.training.transducer_trainer import (
-        TransducerTrainer,
-        TransducerTrainerConfig,
-    )
 
     tokenizer = _eval.resolve_tokenizer(cfg, os.path.dirname(ckpt_dir))
     model, fbank, td_model = build_model(cfg)
@@ -173,13 +160,8 @@ def build_streaming(cfg, ckpt_dir: str, avg: int, slots: int,
         "tokens": jnp.ones((2, 4), jnp.int32),
         "token_lens": jnp.full((2,), 4, jnp.int32),
     }
-    trainer = TransducerTrainer(
-        model, td_model, make_adamw(1e-4), fbank,
-        TransducerTrainerConfig(ctc_weight=cfg.training.ctc_weight,
-                                blank_id=cfg.model.blank_index,
-                                augment=None, dct=None),
-        mesh=mesh,
-    )
+    trainer = _eval.make_transducer_eval_trainer(cfg, model, td_model,
+                                                 fbank, mesh)
     state = _eval.restore_eval_state(
         trainer.init_state(jax.random.PRNGKey(0), example), ckpt_dir, avg)
     normalizer = InputNormalization(
@@ -212,18 +194,31 @@ def make_streaming_handler(server, tokenizer, sample_rate: int):
     update (subword piece boundaries are not delta-decodable in
     general); `text_delta` is the text suffix new since the last
     response."""
-    hist = {}   # sid -> {"tokens": [...], "text": str}
+    hist = {}   # sid -> {"tokens": [...], "text": str, "lock": Lock}
     lock = threading.Lock()
 
     def update(sid, new_tokens, final=False):
         with lock:
             h = hist.pop(sid) if final else hist[sid]
-            h["tokens"].extend(new_tokens)
-            full = tokenizer.decode(h["tokens"])
-            delta = full[len(h["text"]):] if full.startswith(h["text"]) \
-                else full
-            h["text"] = full
+        h["tokens"].extend(new_tokens)
+        full = tokenizer.decode(h["tokens"])
+        delta = full[len(h["text"]):] if full.startswith(h["text"]) \
+            else full
+        h["text"] = full
         return {"text": full, "text_delta": delta, "tokens": new_tokens}
+
+    def feed_and_update(sid, audio):
+        # one lock around feed + history append: two pipelined chunk
+        # POSTs for the same stream must extend the token history in
+        # decode order, which server-side sess.lock alone cannot
+        # guarantee once feed() has returned
+        with lock:
+            h = hist.get(sid)
+        if h is None:
+            raise KeyError(f"unknown session {sid!r}")
+        with h["lock"]:
+            new = server.feed(sid, audio)
+            return update(sid, new)
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, obj: dict) -> None:
@@ -250,12 +245,12 @@ def make_streaming_handler(server, tokenizer, sample_rate: int):
                 if parts == ["stream", "start"]:
                     sid = server.open()
                     with lock:
-                        hist[sid] = {"tokens": [], "text": ""}
+                        hist[sid] = {"tokens": [], "text": "",
+                                     "lock": threading.Lock()}
                     self._reply(200, {"id": sid})
                 elif len(parts) == 2 and parts[0] == "stream":
                     audio = decode_chunk_bytes(body, sample_rate)
-                    new = server.feed(parts[1], audio)
-                    self._reply(200, update(parts[1], new))
+                    self._reply(200, feed_and_update(parts[1], audio))
                 elif (len(parts) == 3 and parts[0] == "stream"
                       and parts[2] == "end"):
                     new = server.close(parts[1])
@@ -263,6 +258,11 @@ def make_streaming_handler(server, tokenizer, sample_rate: int):
                 else:
                     self._reply(404, {"error": "unknown path"})
             except KeyError as e:
+                # session gone server-side (closed/evicted): drop the
+                # handler-side history too
+                if len(parts) >= 2 and parts[0] == "stream":
+                    with lock:
+                        hist.pop(parts[1], None)
                 self._reply(404, {"error": str(e)})
             except (ValueError, RuntimeError) as e:
                 self._reply(400, {"error": str(e)})

@@ -461,13 +461,13 @@ class TransformerASR(nn.Module):
         ):
             table = positional_encoding(self.max_length, self.d_model, src.dtype)
             # per-row offsets (one batched state can hold independent
-            # streams at different positions — serving slot multiplexer);
-            # clamped to the last PE window like the dynamic_slice it
-            # replaces
-            pos = jnp.clip(
-                state.frame_offset[:, None] + jnp.arange(chunk)[None, :],
-                0, self.max_length - 1,
-            )
+            # streams at different positions — serving slot multiplexer).
+            # Offsets past the table clamp to the last contiguous window
+            # [max_length - chunk, max_length) — the same semantics as the
+            # dynamic_slice this replaces (positions stay distinct; only
+            # the window stops advancing for very long streams)
+            start = jnp.clip(state.frame_offset, 0, self.max_length - chunk)
+            pos = start[:, None] + jnp.arange(chunk)[None, :]
             src = src + table[0][pos]
         pos_embs = None
         if self.attention_type == "RelPosMHAXL":

@@ -217,15 +217,18 @@ class DynamicBatchingServer:
 @dataclass
 class _Session:
     slot: int
+    gen: int                             # slot generation at open time
     residual: np.ndarray                 # buffered audio < one chunk
     lock: threading.Lock = field(default_factory=threading.Lock)
     tokens: List[int] = field(default_factory=list)
     closed: bool = False
+    last_active: float = field(default_factory=time.monotonic)
 
 
 @dataclass
 class _ChunkJob:
     slot: int
+    gen: int                             # dropped if the slot was re-opened
     chunk: np.ndarray                    # [chunk_samples] f32
     n_valid: int
     event: threading.Event = field(default_factory=threading.Event)
@@ -254,13 +257,15 @@ class StreamingSessionServer:
     frees the slot."""
 
     def __init__(self, init_fn, step_fn, chunk_samples: int,
-                 slots: int = 8, max_wait_ms: float = 10.0):
+                 slots: int = 8, max_wait_ms: float = 10.0,
+                 idle_timeout_s: float = 300.0):
         import jax
         import jax.numpy as jnp
 
         self.chunk_samples = int(chunk_samples)
         self.slots = slots
         self.max_wait_ms = max_wait_ms
+        self.idle_timeout_s = idle_timeout_s
 
         def masked_step(carry, wav, nv, ready):
             new_carry, toks, n_new = step_fn(carry, wav, nv)
@@ -287,7 +292,8 @@ class StreamingSessionServer:
 
         self._sessions: Dict[str, _Session] = {}
         self._free = list(range(slots))
-        self._lock = threading.Lock()
+        self._gens = [0] * slots   # bumped on every reallocation: stale
+        self._lock = threading.Lock()  # queued jobs are dropped by gen
         self._queue: "queue.Queue[_ChunkJob]" = queue.Queue()
         # slots awaiting a fresh carry; applied by the WORKER between
         # collect and step (a caller-side reset could race the in-flight
@@ -302,17 +308,34 @@ class StreamingSessionServer:
 
     # -- caller side ---------------------------------------------------------
 
+    def _evict_idle_locked(self) -> None:
+        """Force-free sessions idle past idle_timeout_s (clients that
+        vanished mid-stream would otherwise pin their slot forever).
+        Caller holds self._lock. The generation bump invalidates any
+        still-queued jobs of the evicted session."""
+        now = time.monotonic()
+        for sid, s in list(self._sessions.items()):
+            if now - s.last_active > self.idle_timeout_s:
+                s.closed = True
+                del self._sessions[sid]
+                self._gens[s.slot] += 1
+                self._free.append(s.slot)
+
     def open(self) -> str:
         """Allocate a slot for a new stream; returns the session id."""
         with self._lock:
             if self._closed:
                 raise RuntimeError("server is closed")
             if not self._free:
+                self._evict_idle_locked()
+            if not self._free:
                 raise RuntimeError(f"all {self.slots} stream slots busy")
             slot = self._free.pop()
+            self._gens[slot] += 1
             sid = uuid.uuid4().hex[:12]
             self._sessions[sid] = _Session(
-                slot=slot, residual=np.zeros((0,), np.float32))
+                slot=slot, gen=self._gens[slot],
+                residual=np.zeros((0,), np.float32))
             self._pending_resets.add(slot)
         return sid
 
@@ -346,11 +369,16 @@ class StreamingSessionServer:
         audio = np.asarray(audio, np.float32).reshape(-1)
         cs = self.chunk_samples
         with sess.lock:
+            # re-check after acquiring: a concurrent close() may have
+            # freed (and another open() re-taken) the slot meanwhile
+            if sess.closed:
+                raise KeyError(f"session {sid!r} closed concurrently")
+            sess.last_active = time.monotonic()
             buf = np.concatenate([sess.residual, audio])
             jobs = []
             while len(buf) >= cs:
-                jobs.append(_ChunkJob(slot=sess.slot, chunk=buf[:cs],
-                                      n_valid=cs))
+                jobs.append(_ChunkJob(slot=sess.slot, gen=sess.gen,
+                                      chunk=buf[:cs], n_valid=cs))
                 buf = buf[cs:]
             sess.residual = buf
             return self._submit_chunks(sess, jobs, timeout)
@@ -360,24 +388,40 @@ class StreamingSessionServer:
         return the tokens decoded by the flush."""
         sess = self._session(sid)
         cs = self.chunk_samples
-        with sess.lock:
-            jobs = []
-            if len(sess.residual):
-                chunk = np.zeros((cs,), np.float32)
-                chunk[: len(sess.residual)] = sess.residual
-                jobs.append(_ChunkJob(slot=sess.slot, chunk=chunk,
-                                      n_valid=len(sess.residual)))
-                sess.residual = np.zeros((0,), np.float32)
-            # one zero chunk to process the last (lagged) real chunk
-            jobs.append(_ChunkJob(slot=sess.slot,
-                                  chunk=np.zeros((cs,), np.float32),
-                                  n_valid=0))
-            out = self._submit_chunks(sess, jobs, timeout)
-            sess.closed = True
-        with self._lock:
-            self._sessions.pop(sid, None)
-            self._free.append(sess.slot)
-        return out
+        try:
+            with sess.lock:
+                if sess.closed:
+                    raise KeyError(f"session {sid!r} closed concurrently")
+                jobs = []
+                if len(sess.residual):
+                    chunk = np.zeros((cs,), np.float32)
+                    chunk[: len(sess.residual)] = sess.residual
+                    jobs.append(_ChunkJob(slot=sess.slot, gen=sess.gen,
+                                          chunk=chunk,
+                                          n_valid=len(sess.residual)))
+                    sess.residual = np.zeros((0,), np.float32)
+                # TWO zero chunks: one for the pipeline lag, one for the
+                # encoder frame that lands past the last input chunk when
+                # the stream length is an exact chunk multiple
+                # (streaming.py::run_stream)
+                for _ in range(2):
+                    jobs.append(_ChunkJob(slot=sess.slot, gen=sess.gen,
+                                          chunk=np.zeros((cs,), np.float32),
+                                          n_valid=0))
+                out = self._submit_chunks(sess, jobs, timeout)
+                return out
+        finally:
+            # free the slot even if the flush failed: the generation
+            # bump invalidates any still-queued jobs, and the next open()
+            # resets the slot's carry, so reuse is always safe. pop()
+            # guards double-close: only the closer that actually removes
+            # the session frees the slot
+            with sess.lock:
+                sess.closed = True
+            with self._lock:
+                if self._sessions.pop(sid, None) is not None:
+                    self._gens[sess.slot] += 1
+                    self._free.append(sess.slot)
 
     def tokens(self, sid: str) -> List[int]:
         return list(self._session(sid).tokens)
@@ -415,22 +459,36 @@ class StreamingSessionServer:
             picked = self._collect()
             if not picked:
                 continue
-            wav = np.zeros((self.slots, cs), np.float32)
-            nv = np.zeros((self.slots,), np.int32)
-            ready = np.zeros((self.slots,), bool)
-            for slot, job in picked.items():
-                wav[slot] = job.chunk
-                nv[slot] = job.n_valid
-                ready[slot] = True
-            with self._lock:
-                resets = self._pending_resets
-                self._pending_resets = set()
-            if resets:
-                mask = np.zeros((self.slots,), bool)
-                mask[list(resets)] = True
-                self._carry = self._reset(self._carry, self._template,
-                                          self._jnp.asarray(mask))
+            # the WHOLE tick is guarded: an exception anywhere (packing,
+            # reset compile, step) must resolve every picked job, or the
+            # callers block to timeout and the worker dies silently
             try:
+                # drop jobs whose slot was re-opened/evicted since they
+                # were queued (their session is gone)
+                with self._lock:
+                    stale = {slot: job for slot, job in picked.items()
+                             if job.gen != self._gens[slot]}
+                for slot, job in stale.items():
+                    del picked[slot]
+                    job.error = RuntimeError("session closed or evicted")
+                    job.event.set()
+                if not picked:
+                    continue
+                wav = np.zeros((self.slots, cs), np.float32)
+                nv = np.zeros((self.slots,), np.int32)
+                ready = np.zeros((self.slots,), bool)
+                for slot, job in picked.items():
+                    wav[slot] = job.chunk
+                    nv[slot] = job.n_valid
+                    ready[slot] = True
+                with self._lock:
+                    resets = self._pending_resets
+                    self._pending_resets = set()
+                if resets:
+                    mask = np.zeros((self.slots,), bool)
+                    mask[list(resets)] = True
+                    self._carry = self._reset(self._carry, self._template,
+                                              self._jnp.asarray(mask))
                 carry, toks, n_new = self._step(
                     self._carry, self._jnp.asarray(wav),
                     self._jnp.asarray(nv), self._jnp.asarray(ready))

@@ -345,7 +345,11 @@ def run_stream(
     step = jax.jit(step_fn) if jit else step_fn
     carry = (jax.jit(init_fn) if jit else init_fn)(jnp.zeros((b,), jnp.int32))
     chunks_toks, chunks_n = [], []
-    for k in range(n_chunks + 1):  # +1 flush chunk for the one-chunk lag
+    # TWO flush chunks: one for the one-chunk pipeline lag, one because
+    # frame_lengths = 1 + n//hop puts one encoder frame past the last
+    # input chunk when a row's valid length is an exact chunk multiple
+    # (that chunk decodes with chunk_valid = 1; otherwise it is a no-op)
+    for k in range(n_chunks + 2):
         if k < n_chunks:
             chunk = wav[:, k * chunk_samples: (k + 1) * chunk_samples]
             nv = jnp.clip(wav_lens - k * chunk_samples, 0, chunk_samples)

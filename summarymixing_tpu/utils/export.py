@@ -293,7 +293,10 @@ class ExportedStreamingASR:
             wav = np.pad(wav, ((0, 0), (0, n_chunks * cs - n)))
         carry = self.init(b)
         rows = [[] for _ in range(b)]
-        for k in range(n_chunks + 1):  # +1 flush for the one-chunk lag
+        # +2 flush chunks: pipeline lag, plus the one encoder frame that
+        # lands past the last input chunk when a row's length is an exact
+        # chunk multiple (streaming.py::run_stream)
+        for k in range(n_chunks + 2):
             if k < n_chunks:
                 chunk = wav[:, k * cs:(k + 1) * cs]
                 nv = np.clip(lens - k * cs, 0, cs).astype(np.int32)

@@ -594,6 +594,47 @@ def test_cli_set_overrides():
         parse_overrides(["no_equals_sign"])
 
 
+TINY_TD_YAML = """
+name: {name}
+seed: 1
+tokenizer_type: char
+model:
+  attention_type: SummaryMixing
+  mode: SummaryMixing-fast
+  encoder_module: conformer
+  d_model: 32
+  nhead: 2
+  num_encoder_layers: 1
+  num_decoder_layers: 0
+  d_ffn: 32
+  csgu_kernel_size: 5
+  local_proj_hid_dim: [16]
+  local_proj_out_dim: 32
+  summary_hid_dim: [16]
+  input_size: 80
+  output_neurons: 40
+  frontend_channels: [4, 4]
+  bos_index: 0
+  eos_index: 0
+transducer:
+  joint_dim: 24
+  dec_dim: 16
+training:
+  number_of_epochs: 1
+  precision: fp32
+  ctc_weight: 0.3
+  lr_adam: 0.001
+  scheduler: warm_exp_decay
+  n_warmup_steps: 10
+  max_batch_length: 10.0
+  num_buckets: 2
+  max_batch_ex: 8
+  ckpt_interval_minutes: 999
+augment:
+  speed_perturb: false
+"""
+
+
 TINY_CHAR_YAML = """
 name: {name}
 seed: 1

@@ -216,45 +216,9 @@ def test_streaming_export_cli_end_to_end(tmp_path):
     repo = os.path.join(os.path.dirname(__file__), "..")
     manifest = _make_dataset(str(tmp_path))
     recipe = tmp_path / "tiny_td.yaml"
-    recipe.write_text("""
-name: tiny_td_stream_export
-seed: 1
-tokenizer_type: char
-model:
-  attention_type: SummaryMixing
-  mode: SummaryMixing-fast
-  encoder_module: conformer
-  d_model: 32
-  nhead: 2
-  num_encoder_layers: 1
-  num_decoder_layers: 0
-  d_ffn: 32
-  csgu_kernel_size: 5
-  local_proj_hid_dim: [16]
-  local_proj_out_dim: 32
-  summary_hid_dim: [16]
-  input_size: 80
-  output_neurons: 40
-  frontend_channels: [4, 4]
-  bos_index: 0
-  eos_index: 0
-transducer:
-  joint_dim: 24
-  dec_dim: 16
-training:
-  number_of_epochs: 1
-  precision: fp32
-  ctc_weight: 0.3
-  lr_adam: 0.001
-  scheduler: warm_exp_decay
-  n_warmup_steps: 10
-  max_batch_length: 10.0
-  num_buckets: 2
-  max_batch_ex: 8
-  ckpt_interval_minutes: 999
-augment:
-  speed_perturb: false
-""")
+    from tests.test_recipes import TINY_TD_YAML
+
+    recipe.write_text(TINY_TD_YAML.format(name="tiny_td_stream_export"))
     out = tmp_path / "out"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -310,3 +274,36 @@ def test_export_roundtrip_unseen_batch(setup, tmp_path):
     assert texts == ref
     # ragged rows decoded differently proves lens are honored
     assert texts[0] != texts[1]
+
+
+def test_exact_chunk_multiple_final_frame(setup):
+    """A stream whose length is an exact chunk multiple has one encoder
+    frame past its last input chunk (frame count = 1 + N//hop); the
+    flush must decode it (regression: it was silently dropped)."""
+    s = dict(setup)
+    cs = s["chunk_samples"]
+    rng = np.random.default_rng(3)
+    n = 4 * cs  # exact multiple for BOTH rows
+    wav = (rng.standard_normal((2, n)) * 0.1).astype(np.float32)
+    wav[:, :100] *= 30.0
+    s["wav"] = wav
+    s["wav_lens"] = np.asarray([n, n], np.int32)
+    # the offline reference array extends past the valid audio (bucketed
+    # eval always quantizes the array length up) — the stream's implicit
+    # infinite zero tail matches THAT, not an array that ends exactly at
+    # the valid length (whose CNN would zero-pad at its own boundary)
+    s["wav_cov"] = jnp.pad(jnp.asarray(wav), ((0, 0), (0, cs)))
+    toks_live, lens_live, _, enc_lens, src = _live_reference(s)
+    # the premise: the last frame really is past the last input chunk
+    assert int(enc_lens[0]) == 4 * C + 1
+
+    init_fn, step_fn, info = make_streaming_infer_fns(
+        s["enc_model"], s["td_model"], s["fbank"], s["normalizer"],
+        s["params"], s["norm_stats"], chunk_frames=C,
+        left_context_chunks=2, blank_id=0)
+    toks_s, lens_s = run_stream(init_fn, step_fn, wav, s["wav_lens"], cs)
+    toks_s, lens_s = np.asarray(toks_s), np.asarray(lens_s)
+    np.testing.assert_array_equal(lens_live, lens_s)
+    for i in range(2):
+        np.testing.assert_array_equal(
+            toks_live[i, : lens_live[i]], toks_s[i, : lens_s[i]])

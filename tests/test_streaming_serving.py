@@ -157,45 +157,9 @@ def test_streaming_http_end_to_end(tmp_path):
     repo = os.path.join(os.path.dirname(__file__), "..")
     manifest = _make_dataset(str(tmp_path))
     recipe = tmp_path / "tiny_td.yaml"
-    recipe.write_text("""
-name: tiny_td_stream_serve
-seed: 1
-tokenizer_type: char
-model:
-  attention_type: SummaryMixing
-  mode: SummaryMixing-fast
-  encoder_module: conformer
-  d_model: 32
-  nhead: 2
-  num_encoder_layers: 1
-  num_decoder_layers: 0
-  d_ffn: 32
-  csgu_kernel_size: 5
-  local_proj_hid_dim: [16]
-  local_proj_out_dim: 32
-  summary_hid_dim: [16]
-  input_size: 80
-  output_neurons: 40
-  frontend_channels: [4, 4]
-  bos_index: 0
-  eos_index: 0
-transducer:
-  joint_dim: 24
-  dec_dim: 16
-training:
-  number_of_epochs: 1
-  precision: fp32
-  ctc_weight: 0.3
-  lr_adam: 0.001
-  scheduler: warm_exp_decay
-  n_warmup_steps: 10
-  max_batch_length: 10.0
-  num_buckets: 2
-  max_batch_ex: 8
-  ckpt_interval_minutes: 999
-augment:
-  speed_perturb: false
-""")
+    from tests.test_recipes import TINY_TD_YAML
+
+    recipe.write_text(TINY_TD_YAML.format(name="tiny_td_stream_serve"))
     out = tmp_path / "out"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
