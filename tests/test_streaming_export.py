@@ -307,3 +307,52 @@ def test_exact_chunk_multiple_final_frame(setup):
     for i in range(2):
         np.testing.assert_array_equal(
             toks_live[i, : lens_live[i]], toks_s[i, : lens_s[i]])
+
+
+def test_streaming_step_shards_over_data_mesh(setup):
+    """The streaming step is row-parallel end to end (no cross-row ops),
+    so a serving fleet can shard stream slots over a device mesh and XLA
+    runs each row's chunk on its own chip: outputs must equal the
+    single-device step bit-for-bit on an 8-device mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    s = setup
+    init_fn, step_fn, info = make_streaming_infer_fns(
+        s["enc_model"], s["td_model"], s["fbank"], s["normalizer"],
+        s["params"], s["norm_stats"], chunk_frames=C,
+        left_context_chunks=2, blank_id=0)
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(devs[:8]), ("data",))
+    rows = NamedSharding(mesh, P("data"))
+
+    b = 8
+    rng = np.random.default_rng(5)
+    cs = info["chunk_samples"]
+    wav = jnp.asarray(rng.standard_normal((b, 2 * cs)) * 0.1, jnp.float32)
+    nv = jnp.full((b,), cs, jnp.int32)
+
+    def shard(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == b:
+            return jax.device_put(x, rows)
+        return x
+
+    carry_ref = jax.jit(init_fn)(jnp.zeros((b,), jnp.int32))
+    carry_sh = jax.tree.map(shard, carry_ref)
+    step = jax.jit(step_fn)
+    for k in range(2):
+        chunk = wav[:, k * cs:(k + 1) * cs]
+        carry_ref, t_ref, n_ref = step(carry_ref, chunk, nv)
+        carry_sh, t_sh, n_sh = step(jax.tree.map(shard, carry_sh),
+                                    jax.device_put(chunk, rows),
+                                    jax.device_put(nv, rows))
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_sh))
+    np.testing.assert_array_equal(np.asarray(n_ref), np.asarray(n_sh))
+    leaves_r = jax.tree.leaves(carry_ref)
+    leaves_s = jax.tree.leaves(carry_sh)
+    for a, c in zip(leaves_r, leaves_s):
+        # sharded compilation may reassociate float reductions; tokens
+        # above are exact, carries are allclose
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   atol=1e-4, rtol=1e-4)
