@@ -296,9 +296,11 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
         summary["chunk_frames"] = args.chunk_size
         summary["left_context_chunks"] = args.left_context
         if chunk_times:
-            ct = sorted(chunk_times)
-            summary["chunk_latency_ms_p50"] = round(
-                ct[len(ct) // 2] * 1e3, 2)
+            # a batch MEAN (run_stream is driven whole-batch here), not a
+            # per-chunk latency distribution — benchmark the deployable
+            # per-tick latency with benchmarks/streaming_session_bench.py
+            summary["chunk_ms_mean"] = round(
+                float(np.mean(chunk_times)) * 1e3, 2)
     elif args.streaming:
         summary["decode"] = "transducer_streaming_greedy"
         summary["chunk_frames"] = args.chunk_size

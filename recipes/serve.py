@@ -197,28 +197,46 @@ def make_streaming_handler(server, tokenizer, sample_rate: int):
     hist = {}   # sid -> {"tokens": [...], "text": str, "lock": Lock}
     lock = threading.Lock()
 
-    def update(sid, new_tokens, final=False):
+    def get_hist(sid):
         with lock:
-            h = hist.pop(sid) if final else hist[sid]
+            h = hist.get(sid)
+        if h is None:
+            raise KeyError(f"unknown session {sid!r}")
+        return h
+
+    def update_held(h, sid, new_tokens, final=False):
+        """Extend the token history and re-decode. Caller holds
+        h['lock'] — EVERY history mutation (feed and end alike) is
+        serialised per session, so pipelined POSTs cannot interleave."""
         h["tokens"].extend(new_tokens)
         full = tokenizer.decode(h["tokens"])
         delta = full[len(h["text"]):] if full.startswith(h["text"]) \
             else full
         h["text"] = full
+        if final:
+            with lock:
+                hist.pop(sid, None)
         return {"text": full, "text_delta": delta, "tokens": new_tokens}
 
     def feed_and_update(sid, audio):
-        # one lock around feed + history append: two pipelined chunk
-        # POSTs for the same stream must extend the token history in
-        # decode order, which server-side sess.lock alone cannot
-        # guarantee once feed() has returned
-        with lock:
-            h = hist.get(sid)
-        if h is None:
-            raise KeyError(f"unknown session {sid!r}")
+        h = get_hist(sid)
         with h["lock"]:
             new = server.feed(sid, audio)
-            return update(sid, new)
+            return update_held(h, sid, new)
+
+    def end_and_update(sid):
+        h = get_hist(sid)
+        with h["lock"]:
+            new = server.close(sid)
+            return update_held(h, sid, new, final=True)
+
+    def prune_hist():
+        """Drop handler histories whose server-side session is gone
+        (idle-evicted vanished clients never POST again)."""
+        alive = server.active_ids()
+        with lock:
+            for sid in [s for s in hist if s not in alive]:
+                hist.pop(sid, None)
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, obj: dict) -> None:
@@ -243,6 +261,7 @@ def make_streaming_handler(server, tokenizer, sample_rate: int):
                 n = int(self.headers.get("Content-Length", "0"))
                 body = self.rfile.read(n)
                 if parts == ["stream", "start"]:
+                    prune_hist()
                     sid = server.open()
                     with lock:
                         hist[sid] = {"tokens": [], "text": "",
@@ -253,8 +272,7 @@ def make_streaming_handler(server, tokenizer, sample_rate: int):
                     self._reply(200, feed_and_update(parts[1], audio))
                 elif (len(parts) == 3 and parts[0] == "stream"
                       and parts[2] == "end"):
-                    new = server.close(parts[1])
-                    self._reply(200, update(parts[1], new, final=True))
+                    self._reply(200, end_and_update(parts[1]))
                 else:
                     self._reply(404, {"error": "unknown path"})
             except KeyError as e:

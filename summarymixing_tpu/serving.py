@@ -357,6 +357,9 @@ class StreamingSessionServer:
             if job.error is not None:
                 raise RequestError(str(job.error)) from job.error
             out.extend(job.tokens)
+            # a long multi-chunk feed keeps refreshing its liveness, so
+            # an ACTIVE session can't be idle-evicted mid-feed
+            sess.last_active = time.monotonic()
         sess.tokens.extend(out)
         return out
 
@@ -426,6 +429,10 @@ class StreamingSessionServer:
     def tokens(self, sid: str) -> List[int]:
         return list(self._session(sid).tokens)
 
+    def active_ids(self) -> set:
+        with self._lock:
+            return set(self._sessions)
+
     # -- worker side ---------------------------------------------------------
 
     def _collect(self) -> Dict[int, _ChunkJob]:
@@ -462,17 +469,25 @@ class StreamingSessionServer:
             # the WHOLE tick is guarded: an exception anywhere (packing,
             # reset compile, step) must resolve every picked job, or the
             # callers block to timeout and the worker dies silently
+            resets, resets_applied = set(), False
             try:
-                # drop jobs whose slot was re-opened/evicted since they
-                # were queued (their session is gone)
+                # ONE critical section for the stale-job check and the
+                # reset snapshot: split, an evict+reopen between them
+                # could let a dead session's job consume the new
+                # session's one-shot carry reset
                 with self._lock:
                     stale = {slot: job for slot, job in picked.items()
                              if job.gen != self._gens[slot]}
+                    resets = self._pending_resets
+                    self._pending_resets = set()
                 for slot, job in stale.items():
                     del picked[slot]
                     job.error = RuntimeError("session closed or evicted")
                     job.event.set()
                 if not picked:
+                    # keep the snapshot's resets: apply next tick
+                    with self._lock:
+                        self._pending_resets |= resets
                     continue
                 wav = np.zeros((self.slots, cs), np.float32)
                 nv = np.zeros((self.slots,), np.int32)
@@ -481,14 +496,12 @@ class StreamingSessionServer:
                     wav[slot] = job.chunk
                     nv[slot] = job.n_valid
                     ready[slot] = True
-                with self._lock:
-                    resets = self._pending_resets
-                    self._pending_resets = set()
                 if resets:
                     mask = np.zeros((self.slots,), bool)
                     mask[list(resets)] = True
                     self._carry = self._reset(self._carry, self._template,
                                               self._jnp.asarray(mask))
+                resets_applied = True
                 carry, toks, n_new = self._step(
                     self._carry, self._jnp.asarray(wav),
                     self._jnp.asarray(nv), self._jnp.asarray(ready))
@@ -505,6 +518,11 @@ class StreamingSessionServer:
             except BaseException as e:
                 for job in picked.values():
                     job.error = e
+                if resets and not resets_applied:
+                    # snapshotted but never applied: a new session's
+                    # one-shot reset must not be lost
+                    with self._lock:
+                        self._pending_resets |= resets
             finally:
                 for job in picked.values():
                     job.event.set()

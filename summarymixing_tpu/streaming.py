@@ -320,6 +320,28 @@ def make_streaming_infer_fns(
     return init_fn, step_fn, info
 
 
+_JIT_CACHE: "weakref.WeakKeyDictionary" = None  # populated lazily
+
+
+def _jit_cached(fn: Callable) -> Callable:
+    """jax.jit keyed by the function object: repeated run_stream calls
+    over the same fns (e.g. per eval batch) reuse one traced wrapper
+    instead of retracing every call."""
+    global _JIT_CACHE
+    import weakref
+
+    if _JIT_CACHE is None:
+        _JIT_CACHE = weakref.WeakKeyDictionary()
+    try:
+        got = _JIT_CACHE.get(fn)
+        if got is None:
+            got = jax.jit(fn)
+            _JIT_CACHE[fn] = got
+        return got
+    except TypeError:  # non-weakrefable callable
+        return jax.jit(fn)
+
+
 def run_stream(
     init_fn: Callable,
     step_fn: Callable,
@@ -342,8 +364,9 @@ def run_stream(
     pad = n_chunks * chunk_samples - n
     if pad:
         wav = jnp.pad(wav, ((0, 0), (0, pad)))
-    step = jax.jit(step_fn) if jit else step_fn
-    carry = (jax.jit(init_fn) if jit else init_fn)(jnp.zeros((b,), jnp.int32))
+    step = _jit_cached(step_fn) if jit else step_fn
+    carry = (_jit_cached(init_fn) if jit else init_fn)(
+        jnp.zeros((b,), jnp.int32))
     chunks_toks, chunks_n = [], []
     # TWO flush chunks: one for the one-chunk pipeline lag, one because
     # frame_lengths = 1 + n//hop puts one encoder frame past the last
