@@ -31,14 +31,13 @@ if os.environ.get("JAX_PLATFORMS"):  # sitecustomize ignores the env var
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     except Exception:
         pass
-if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    import platform as _platform
+from summarymixing_tpu.utils.cache import cpu_cache_dir, repo_cache_dir  # noqa: E402
 
-    _cache = os.path.join("/tmp", f"jax_cache_cpu_{_platform.node()}")
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    _cache = cpu_cache_dir()
 else:  # TPU runs share the repo cache (CPU AOT is host-specific)
-    _cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache")
+    _cache = repo_cache_dir(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

@@ -30,19 +30,10 @@ import os
 import shutil
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-
-# the axon sitecustomize overrides JAX_PLATFORMS; honor it explicitly the
-# way the other recipe entry points do (conversion is pure host work —
-# CPU is the right backend)
-if os.environ.get("JAX_PLATFORMS"):
-    try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass
-
+import _env  # noqa: E402,F401  (same dir: platform + compile-cache bootstrap)
+import jax  # noqa: E402
 import jax.numpy as jnp
 import numpy as np
 

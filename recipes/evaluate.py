@@ -17,34 +17,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-
-if os.environ.get("JAX_PLATFORMS"):
-    try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass
-
-# persistent compilation cache (compiles through the remote service take
-# minutes; see CLAUDE.md). CPU AOT artifacts are host-CPU specific (XLA
-# warns about SIGILL on feature mismatch), so CPU runs use a per-host cache
-# under /tmp while TPU runs share the repo cache.
-if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    import platform as _platform
-
-    _cache = os.path.join(
-        "/tmp", f"jax_cache_cpu_{_platform.node()}"
-    )
-else:
-    _cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache",
-    )
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
+import _env  # noqa: E402,F401  (same dir: platform + compile-cache bootstrap)
+import jax  # noqa: E402
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,7 +44,16 @@ from summarymixing_tpu.training.metrics import ErrorRateStats
 from summarymixing_tpu.training.optim import make_adamw
 from summarymixing_tpu.training.trainer import ASRTrainer, TrainerConfig
 
-from train import batches  # noqa: E402  (same directory)
+from train import batches, score_batch  # noqa: E402  (same directory)
+
+
+def run_dir_of(ckpt_dir):
+    """Run directory that owns a `--ckpt` save dir. Normalizes trailing
+    slashes (os.path.dirname('run/save/') is 'run/save' — the save dir
+    itself — which silently missed the run dir's persisted tokenizer)
+    and accepts either the save dir or the run dir itself."""
+    path = os.path.normpath(ckpt_dir)
+    return os.path.dirname(path) if os.path.basename(path) == "save" else path
 
 
 def resolve_tokenizer(cfg, run_dir, fallback_texts=None):
@@ -96,6 +81,14 @@ def resolve_tokenizer(cfg, run_dir, fallback_texts=None):
                 os.path.join(run_dir, "tokenizer.model"))
         except Exception:
             pass
+    if cfg.tokenizer_type != "char":
+        # NEVER silently decode a subword model through a rebuilt char
+        # map: the ids are a different vocabulary and every hypothesis
+        # would be garbage (near-100% WER with only a warning)
+        raise SystemExit(
+            f"no persisted {cfg.tokenizer_type} tokenizer found in "
+            f"{run_dir} (expected tokenizer.json / tokenizer.model); "
+            "refusing to fall back to a char map for a subword recipe")
     if not fallback_texts:
         raise SystemExit(f"no persisted tokenizer found in {run_dir}")
     print("WARNING: no persisted tokenizer found; rebuilding from the "
@@ -271,18 +264,8 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
                     bound.predictor_step, bound.joint_step,
                     blank_id=cfg.model.blank_index,
                 )
-        toks, lens = np.asarray(toks), np.asarray(lens)
-        keep = []
-        for i, u in enumerate(idx):
-            if int(u) not in seen:
-                seen.add(int(u))
-                keep.append(i)
-        refs = [tokenizer.decode(
-            np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
-        ).split() for i in keep]
-        hyps = [tokenizer.decode(toks[i, : lens[i]]).split() for i in keep]
-        stats.append(refs, hyps)
-        n_utts += len(keep)
+        n_utts += score_batch(stats, tokenizer, batch, idx, seen,
+                              toks, lens)
 
     summary = stats.summarize()
     summary["utterances"] = n_utts
@@ -368,7 +351,7 @@ def main():
     test_set = read_manifest_csv(args.test_manifest)
     # Use the TRAINING tokenizer (persisted by train.py) — rebuilding from
     # the test manifest would shift the char-id map.
-    tokenizer = resolve_tokenizer(cfg, os.path.dirname(args.ckpt),
+    tokenizer = resolve_tokenizer(cfg, run_dir_of(args.ckpt),
                                   fallback_texts=[u.text for u in test_set])
 
     model, fbank, td_model = build_model(cfg)
@@ -483,17 +466,7 @@ def main():
             _, hyps = trainer.eval_step(state, batch)
         # eval batches are padded to fixed size by repeating utterances;
         # score each utterance once
-        keep = []
-        for i, u in enumerate(idx):
-            if int(u) not in seen:
-                seen.add(int(u))
-                keep.append(i)
-        refs = [tokenizer.decode(
-            np.asarray(batch["tokens"])[i, : int(batch["token_lens"][i])]
-        ).split() for i in keep]
-        hyp_text = [tokenizer.decode(hyps[i]).split() for i in keep]
-        stats.append(refs, hyp_text)
-        n_utts += len(keep)
+        n_utts += score_batch(stats, tokenizer, batch, idx, seen, hyps)
 
     summary = stats.summarize()
     summary["utterances"] = n_utts

@@ -57,6 +57,13 @@ def vocab_list(tokenizer) -> list:
     elif hasattr(tokenizer, "_id_of"):        # SubwordTokenizer
         for piece, i in tokenizer._id_of.items():
             out[i] = piece
+    elif hasattr(tokenizer, "sp"):            # SentencePieceTokenizer
+        for i in range(tokenizer.vocab_size):
+            out[i] = tokenizer.sp.id_to_piece(i)
+    else:
+        raise SystemExit(
+            f"don't know how to extract a vocab from {type(tokenizer)}; "
+            "the artifact would decode every utterance to ''")
     return out
 
 
@@ -104,9 +111,13 @@ def export_streaming_artifact(args, cfg, model, td_model, fbank,
     if args.check:
         art = ExportedStreamingASR.load(args.output)
         rng = np.random.default_rng(0)
-        b, n = 2, 3 * info["chunk_samples"] + 1000
+        # a --fixed export only accepts its fixed batch size
+        b = args.fixed[0] if args.fixed else 2
+        n = 3 * info["chunk_samples"] + 1000
         wav = rng.standard_normal((b, n)).astype(np.float32) * 0.1
-        lens = np.asarray([n, n - 1500], np.int32)
+        lens = np.full((b,), n, np.int32)
+        if b > 1:
+            lens[1] = n - 1500   # one ragged row exercises nv masking
         got = art.transcribe(wav, lens)
         toks, tl = run_stream(init_fn, step_fn, jnp.asarray(wav),
                               jnp.asarray(lens), info["chunk_samples"])
@@ -149,7 +160,7 @@ def main():
     from train import parse_overrides  # noqa: E402
 
     cfg = load_recipe(args.recipe, overrides=parse_overrides(args.overrides))
-    tokenizer = _eval.resolve_tokenizer(cfg, os.path.dirname(args.ckpt))
+    tokenizer = _eval.resolve_tokenizer(cfg, _eval.run_dir_of(args.ckpt))
     model, fbank, td_model = build_model(cfg)
     mesh = make_mesh(devices=jax.devices()[:1])
     sr = cfg.features.sample_rate

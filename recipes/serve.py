@@ -75,7 +75,7 @@ def build_infer(cfg, ckpt_dir: str, avg: int, batch_size: int):
         print(f"[serve +{_time.time() - t0:.1f}s] {msg}", flush=True)
 
     _stage("loading tokenizer")
-    tokenizer = _eval.resolve_tokenizer(cfg, os.path.dirname(ckpt_dir))
+    tokenizer = _eval.resolve_tokenizer(cfg, _eval.run_dir_of(ckpt_dir))
     _stage("building model")
     model, fbank, td_model = build_model(cfg)
     mesh = make_mesh(devices=jax.devices()[:1])
@@ -148,7 +148,7 @@ def build_streaming(cfg, ckpt_dir: str, avg: int, slots: int,
     from summarymixing_tpu.serving import StreamingSessionServer
     from summarymixing_tpu.streaming import make_streaming_infer_fns
 
-    tokenizer = _eval.resolve_tokenizer(cfg, os.path.dirname(ckpt_dir))
+    tokenizer = _eval.resolve_tokenizer(cfg, _eval.run_dir_of(ckpt_dir))
     model, fbank, td_model = build_model(cfg)
     if td_model is None:
         raise SystemExit("--streaming requires a transducer recipe")

@@ -18,36 +18,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-
-# honour JAX_PLATFORMS even under the axon sitecustomize, which overrides
-# the env var with its own jax.config setting (see .claude/skills/verify)
-if os.environ.get("JAX_PLATFORMS"):
-    try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass
-
-# persistent compilation cache (compiles through the remote service take
-# minutes; see CLAUDE.md). CPU AOT artifacts are host-CPU specific (XLA
-# warns about SIGILL on feature mismatch), so CPU runs use a per-host cache
-# under /tmp while TPU runs share the repo cache.
-if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    import platform as _platform
-
-    _cache = os.path.join(
-        "/tmp", f"jax_cache_cpu_{_platform.node()}"
-    )
-else:
-    _cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache",
-    )
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
+import _env  # noqa: E402,F401  (same dir: platform + compile-cache bootstrap)
+import jax  # noqa: E402
 import jax.numpy as jnp
 import numpy as np
 
@@ -191,6 +165,38 @@ def batches(manifest, tokenizer, cfg, mesh, shuffle, seed, fbank=None):
             yield {k: jnp.asarray(v) for k, v in local.items()}, idx
 
 
+def score_batch(stats, tokenizer, batch, idx, seen, hyp_tokens,
+                hyp_lens=None):
+    """Dedup-and-score one decoded batch into ErrorRateStats (the ONE
+    copy of a block that previously drifted across train.py/evaluate.py).
+
+    Eval batches are padded to fixed size by repeating utterances
+    (data/batching.py), so each utterance id in `idx` is scored once via
+    the caller's `seen` set. `hyp_tokens` is either a ragged per-row
+    list (greedy CTC collapse) or a [B, U] token array with `hyp_lens`
+    [B] (beam / transducer decodes) — device or host; multi-process
+    global arrays are gathered via launch.fetch_global. Returns the
+    number of newly scored utterances."""
+    keep = []
+    for i, u in enumerate(idx):
+        if int(u) not in seen:
+            seen.add(int(u))
+            keep.append(i)
+    toks_np = launch.fetch_global(batch["tokens"])
+    tlens_np = launch.fetch_global(batch["token_lens"])
+    refs = [tokenizer.decode(toks_np[i, : int(tlens_np[i])]).split()
+            for i in keep]
+    if hyp_lens is None:
+        hyps = [tokenizer.decode(hyp_tokens[i]).split() for i in keep]
+    else:
+        hyp_np = launch.fetch_global(hyp_tokens)
+        hlens_np = launch.fetch_global(hyp_lens)
+        hyps = [tokenizer.decode(hyp_np[i, : int(hlens_np[i])]).split()
+                for i in keep]
+    stats.append(refs, hyps)
+    return len(keep)
+
+
 def _spec_augment_config(a):
     """AugmentConfig (recipe) -> SpecAugmentConfig (train step); None when
     feature augmentation is disabled (VoxPopuli)."""
@@ -296,11 +302,13 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
     ckpt = CheckpointManager(os.path.join(out_dir, "save"),
                              max_to_keep=cfg.training.avg_checkpoints,
                              interval_minutes=cfg.training.ckpt_interval_minutes)
-    state, step = None, 0
+    state, step, start_epoch = _init_or_restore(
+        trainer, ckpt, cfg, tokenizer, train_set, mesh, fbank)
     profiler = StepProfiler(args.profile, args.profile_steps)
     stopper = TrainStopper(max_hours=getattr(args, "max_hours", None),
                            install=True)
-    for epoch in EpochCounter(cfg.training.number_of_epochs):
+    for epoch in EpochCounter(cfg.training.number_of_epochs,
+                              start=start_epoch):
         t0 = time.time()
         train_losses = []
         rng_np = np.random.default_rng(cfg.seed + epoch)
@@ -313,12 +321,6 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                     speeds=cfg.augment.speeds,
                 )
                 batch = dict(batch, wav=wav, wav_lens=wav_lens)
-            if state is None:
-                state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
-                restored = ckpt.restore(fetch_to_host(state))
-                if restored is not None:
-                    state = _fix_restored_rng(restored)
-                    step = int(state["step"])
             state, metrics = trainer.train_step(state, batch)
             step += 1
             profiler.step(step, metrics["loss"])
@@ -334,12 +336,6 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                 return None
             if args.steps and step >= args.steps:
                 break
-        if state is None:
-            raise SystemExit(
-                "no training batches produced: the corpus is smaller than "
-                "one bucket batch (drop_last). Lower "
-                "training.max_batch_length or num_buckets."
-            )
 
         profiler.close()
         stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
@@ -357,20 +353,7 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                 bound.predictor_step, bound.joint_step,
                 blank_id=cfg.model.blank_index,
             )
-            toks, lens = launch.fetch_global(toks), launch.fetch_global(lens)
-            keep = []
-            for i, u in enumerate(idx):
-                if int(u) not in seen:
-                    seen.add(int(u))
-                    keep.append(i)
-            toks_np = launch.fetch_global(batch["tokens"])
-            tlens_np = launch.fetch_global(batch["token_lens"])
-            refs = [tokenizer.decode(
-                toks_np[i, : int(tlens_np[i])]
-            ).split() for i in keep]
-            hyps = [tokenizer.decode(toks[i, : lens[i]]).split()
-                    for i in keep]
-            stats.append(refs, hyps)
+            score_batch(stats, tokenizer, batch, idx, seen, toks, lens)
         summary = stats.summarize()
         logger.log_stats(
             {"epoch": epoch, "steps": step,
@@ -410,20 +393,7 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                 lm_step=lm_step, lm_init=lm_init,
                 lm_weight=cfg.decoding.lm_weight if lm_step else 0.0,
             )
-            toks, lens = launch.fetch_global(toks), launch.fetch_global(lens)
-            keep = []
-            for i, u in enumerate(idx):
-                if int(u) not in seen:
-                    seen.add(int(u))
-                    keep.append(i)
-            toks_np = launch.fetch_global(batch["tokens"])
-            tlens_np = launch.fetch_global(batch["token_lens"])
-            refs = [tokenizer.decode(
-                toks_np[i, : int(tlens_np[i])]
-            ).split() for i in keep]
-            hyps = [tokenizer.decode(toks[i, : lens[i]]).split()
-                    for i in keep]
-            stats.append(refs, hyps)
+            score_batch(stats, tokenizer, batch, idx, seen, toks, lens)
         summary = stats.summarize()
         logger.log_stats({"stage": "test"}, test_stats={
             cfg.error_rate.upper(): summary["WER"]})
@@ -442,6 +412,9 @@ def static_decode_length(cfg, manifest, mesh, fbank):
     return min(max(int(frames * cfg.decoding.max_decode_ratio), 8), 256)
 
 
+_LM_RESTORE_CACHE = {}
+
+
 def make_lm_fusion(cfg, lm_ckpt_dir):
     """Build the KV-cached LM shallow-fusion hooks (TransformerLMScorer of
     reference yaml:233-246: lm_weight 0.60, temperature 1.15; RNNLM for the
@@ -449,7 +422,12 @@ def make_lm_fusion(cfg, lm_ckpt_dir):
     make_cache(n_rows, max_len) builds the per-batch LM cache."""
     if not lm_ckpt_dir or cfg.decoding.lm_weight <= 0.0:
         return None, None
-    restored = _restore_lm(cfg, lm_ckpt_dir)
+    if lm_ckpt_dir not in _LM_RESTORE_CACHE:
+        # one restore per ckpt dir per process: beam_validate runs every
+        # valid_search_interval epochs and must not re-read + rebuild
+        # the same LM checkpoint from disk each time
+        _LM_RESTORE_CACHE[lm_ckpt_dir] = _restore_lm(cfg, lm_ckpt_dir)
+    restored = _LM_RESTORE_CACHE[lm_ckpt_dir]
     if restored is None:
         return None, None
     lm_cfg, lm, lm_params = restored
@@ -568,20 +546,7 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
         toks, lens, _ = s2s_beam_search(step, enc_t, scorer_len_t, ctc_t, bc,
                                         cache=cache, lm_step_fn=lm_step,
                                         lm_cache=lm_cache)
-        toks, lens = launch.fetch_global(toks), launch.fetch_global(lens)
-        keep = []
-        for i, u in enumerate(idx):
-            if int(u) not in seen:
-                seen.add(int(u))
-                keep.append(i)
-        toks_np = launch.fetch_global(batch["tokens"])
-        tlens_np = launch.fetch_global(batch["token_lens"])
-        refs = [tokenizer.decode(
-            toks_np[i, : int(tlens_np[i])]
-        ).split() for i in keep]
-        hyps = [tokenizer.decode(list(toks[i, : lens[i]])).split()
-                for i in keep]
-        stats.append(refs, hyps)
+        score_batch(stats, tokenizer, batch, idx, seen, toks, lens)
     return stats.summarize()
 
 
@@ -705,6 +670,32 @@ def _fix_restored_rng(state):
     return state
 
 
+def _init_or_restore(trainer, ckpt, cfg, tokenizer, train_set, mesh, fbank):
+    """Initialize the train state from one peeked batch and restore any
+    checkpoint BEFORE the epoch loop, so a resumed run continues at epoch
+    E+1 — with the right epoch labels, shuffle/augment seeds
+    (cfg.seed + epoch) and valid_search_interval phase — instead of
+    restarting the full epoch budget at 1 (the reference recovers its
+    EpochCounter through the Checkpointer the same way, branchformer
+    yaml:286-295). Returns (state, step, completed_epochs)."""
+    first = next(iter(batches(train_set, tokenizer, cfg, mesh, True,
+                              cfg.seed + 1, fbank)), None)
+    if first is None:
+        raise SystemExit(
+            "no training batches produced: the corpus is smaller than "
+            "one bucket batch (drop_last). Lower "
+            "training.max_batch_length or num_buckets."
+        )
+    state = trainer.init_state(jax.random.PRNGKey(cfg.seed), first[0])
+    step, start_epoch = 0, 0
+    restored = ckpt.restore(fetch_to_host(state))
+    if restored is not None:
+        state = _fix_restored_rng(restored)
+        step = int(state["step"])
+        start_epoch = int(state["epoch"])
+    return state, step, start_epoch
+
+
 def parse_overrides(pairs):
     """--set key=value pairs -> dotted-path overrides for load_recipe (the
     plain-YAML equivalent of HyperPyYAML/SpeechBrain CLI overrides). Values
@@ -810,12 +801,13 @@ def main():
         interval_minutes=cfg.training.ckpt_interval_minutes,
     )
 
-    state = None
-    step = 0
+    state, step, start_epoch = _init_or_restore(
+        trainer, ckpt, cfg, tokenizer, train_set, mesh, fbank)
     rng_np = np.random.default_rng(cfg.seed)
     profiler = StepProfiler(args.profile, args.profile_steps)
     stopper = TrainStopper(max_hours=args.max_hours, install=True)
-    for epoch in EpochCounter(cfg.training.number_of_epochs):
+    for epoch in EpochCounter(cfg.training.number_of_epochs,
+                              start=start_epoch):
         t0 = time.time()
         train_losses = []
         for batch, _ in prefetch(batches(train_set, tokenizer, cfg, mesh,
@@ -827,12 +819,6 @@ def main():
                     speeds=cfg.augment.speeds,
                 )
                 batch = dict(batch, wav=wav, wav_lens=wav_lens)
-            if state is None:
-                state = trainer.init_state(jax.random.PRNGKey(cfg.seed), batch)
-                restored = ckpt.restore(fetch_to_host(state))
-                if restored is not None:
-                    state = _fix_restored_rng(restored)
-                    step = int(state["step"])
             state, metrics = trainer.train_step(state, batch)
             step += 1
             profiler.step(step, metrics["loss"])
@@ -849,12 +835,6 @@ def main():
             if args.steps and step >= args.steps:
                 break
 
-        if state is None:
-            raise SystemExit(
-                "no training batches produced: the corpus is smaller than "
-                "one bucket batch (drop_last). Lower "
-                "training.max_batch_length or num_buckets."
-            )
         profiler.close()
         # validation: greedy CTC WER every epoch
         stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
@@ -865,18 +845,7 @@ def main():
                                   0, fbank):
             losses, hyps = trainer.eval_step(state, batch)
             val_losses.append(losses["loss"])
-            keep = []
-            for i, u in enumerate(idx):
-                if int(u) not in seen:
-                    seen.add(int(u))
-                    keep.append(i)
-            toks_np = launch.fetch_global(batch["tokens"])
-            tlens_np = launch.fetch_global(batch["token_lens"])
-            refs = [tokenizer.decode(
-                toks_np[i, : int(tlens_np[i])]
-            ).split() for i in keep]
-            hyp_text = [tokenizer.decode(hyps[i]).split() for i in keep]
-            stats.append(refs, hyp_text)
+            score_batch(stats, tokenizer, batch, idx, seen, hyps)
         summary = stats.summarize()
         valid_stats = {
             "loss": float(np.mean([float(x) for x in val_losses]))
@@ -921,18 +890,7 @@ def main():
             for batch, idx in batches(test_set, tokenizer, cfg, mesh,
                                       False, 0, fbank):
                 _, hyps = trainer.eval_step(state, batch)
-                keep = []
-                for i, u in enumerate(idx):
-                    if int(u) not in seen:
-                        seen.add(int(u))
-                        keep.append(i)
-                toks_np = launch.fetch_global(batch["tokens"])
-                tlens_np = launch.fetch_global(batch["token_lens"])
-                refs = [tokenizer.decode(
-                    toks_np[i, : int(tlens_np[i])]
-                ).split() for i in keep]
-                hyp_text = [tokenizer.decode(hyps[i]).split() for i in keep]
-                stats.append(refs, hyp_text)
+                score_batch(stats, tokenizer, batch, idx, seen, hyps)
             summary = stats.summarize()
         logger.log_stats({"stage": "test"}, test_stats={
             cfg.error_rate.upper(): summary["WER"]})

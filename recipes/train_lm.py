@@ -20,16 +20,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-
-if os.environ.get("JAX_PLATFORMS"):
-    try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass
-
+import _env  # noqa: E402,F401  (same dir: platform + compile-cache bootstrap)
+import jax  # noqa: E402
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -58,9 +52,13 @@ def load_texts(args):
     return texts
 
 
-def lm_batches(token_seqs, max_seq_len, batch_tokens, shuffle_seed):
+def lm_batches(token_seqs, max_seq_len, batch_tokens, shuffle_seed,
+               bos_id=1, eos_id=2):
     """Length-bucketed fixed-shape batches of (input, target, length):
-    input = [bos, t...], target = [t..., eos]."""
+    input = [bos, t...], target = [t..., eos]. bos/eos MUST match the
+    ASR recipe's model.bos_index/eos_index: fusion bootstraps the LM
+    with that bos (transducer_search.py: jnp.full(bos_id)), so an LM
+    trained on a different start token scores the first steps wrong."""
     rng = np.random.default_rng(shuffle_seed)
     order = rng.permutation(len(token_seqs))
     by_bucket = {}
@@ -81,10 +79,10 @@ def lm_batches(token_seqs, max_seq_len, batch_tokens, shuffle_seed):
             lens = np.zeros((bs,), np.int32)
             for j, toks in enumerate(chunk):
                 n = len(toks)
-                inp[j, 0] = 1                      # bos
+                inp[j, 0] = bos_id
                 inp[j, 1 : n + 1] = toks
                 tgt[j, :n] = toks
-                tgt[j, n] = 2                      # eos
+                tgt[j, n] = eos_id
                 lens[j] = n + 1
             yield jnp.asarray(inp), jnp.asarray(tgt), jnp.asarray(lens)
 
@@ -139,8 +137,10 @@ def main():
     token_seqs = [np.asarray(tokenizer.encode(t), np.int32) for t in texts]
 
     tx = make_adamw(noam_schedule(lm_cfg.lr, 1000), weight_decay=0.01)
+    bos_id, eos_id = cfg.model.bos_index, cfg.model.eos_index
     ex_inp, ex_tgt, ex_len = next(iter(lm_batches(
-        token_seqs, lm_cfg.max_seq_len, lm_cfg.batch_tokens, 0)))
+        token_seqs, lm_cfg.max_seq_len, lm_cfg.batch_tokens, 0,
+        bos_id=bos_id, eos_id=eos_id)))
     params = model.init(jax.random.PRNGKey(cfg.seed), ex_inp)["params"]
     opt_state = tx.init(params)
 
@@ -167,7 +167,8 @@ def main():
         losses = []
         for inp, tgt, lens in lm_batches(token_seqs, lm_cfg.max_seq_len,
                                          lm_cfg.batch_tokens,
-                                         cfg.seed + epoch):
+                                         cfg.seed + epoch,
+                                         bos_id=bos_id, eos_id=eos_id):
             params, opt_state, loss = train_step(
                 params, opt_state, inp, tgt, lens,
                 jax.random.fold_in(jax.random.PRNGKey(cfg.seed), step))

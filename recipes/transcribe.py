@@ -75,7 +75,7 @@ def main():
 
     cfg = load_recipe(args.recipe,
                       overrides=parse_overrides(args.overrides))
-    tokenizer = _eval.resolve_tokenizer(cfg, os.path.dirname(args.ckpt))
+    tokenizer = _eval.resolve_tokenizer(cfg, _eval.run_dir_of(args.ckpt))
     model, fbank, td_model = build_model(cfg)
     mesh = make_mesh(devices=jax.devices()[:1])
     sr = cfg.features.sample_rate
@@ -97,18 +97,12 @@ def main():
         from summarymixing_tpu.decoding.transducer_search import (
             transducer_greedy_decode,
         )
-        from summarymixing_tpu.training.transducer_trainer import (
-            TransducerTrainer,
-            TransducerTrainerConfig,
-        )
 
-        trainer = TransducerTrainer(
-            model, td_model, make_adamw(1e-4), fbank,
-            TransducerTrainerConfig(ctc_weight=cfg.training.ctc_weight,
-                                    blank_id=cfg.model.blank_index,
-                                    augment=None, dct=None),
-            mesh=mesh,
-        )
+        # the shared eval trainer, NOT a hand-rolled one: it plumbs
+        # transducer.joint_chunk, which a recipe may need to fit the
+        # joint in HBM at eval time too
+        trainer = _eval.make_transducer_eval_trainer(cfg, model, td_model,
+                                                     fbank, mesh)
         state = _eval.restore_eval_state(
             trainer.init_state(jax.random.PRNGKey(0), example),
             args.ckpt, args.avg)

@@ -113,7 +113,6 @@ def s2s_beam_search(
                                     ((0, 0), (0, t_pad), (0, 0)))
         ctc_state = ctc_prefix_init(ctc_log_probs, enc_lengths, config.blank_id)
     else:
-        t_dim = enc_out.shape[1]
         ctc_state = ctc_prefix_init(
             jnp.zeros((n, 1, 2), jnp.float32), jnp.ones((n,), jnp.int32)
         )

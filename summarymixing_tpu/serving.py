@@ -103,7 +103,14 @@ class DynamicBatchingServer:
             raise ValueError(
                 f"audio longer than max_audio_s={self.cfg.max_audio_s}")
         req = _Pending(audio=audio, t_enqueue=time.monotonic())
-        self._queue.put(req)
+        # closed-check and enqueue in one critical section with close()'s
+        # drain: otherwise a request enqueued between close()'s flag set
+        # and its drain would never be serviced and the caller would
+        # block forever (default timeout=None)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put(req)
         if not req.event.wait(timeout):
             raise TimeoutError("transcription timed out")
         if req.error is not None:
@@ -150,18 +157,21 @@ class DynamicBatchingServer:
             batch = self._collect()
             if not batch:
                 continue
-            n = self._bucket_len(max(len(r.audio) for r in batch))
-            wav = np.zeros((self.cfg.batch_size, n), np.float32)
-            lens = np.zeros((self.cfg.batch_size,), np.int32)
-            for i, r in enumerate(batch):
-                wav[i, : len(r.audio)] = r.audio
-                lens[i] = len(r.audio)
-            if len(batch) < self.cfg.batch_size and len(batch) > 0:
-                # repeat-pad empty rows so infer sees full batches only
-                for i in range(len(batch), self.cfg.batch_size):
-                    lens[i] = lens[0]
-                    wav[i, : lens[0]] = wav[0, : lens[0]]
+            # the WHOLE tick is guarded, batch assembly included: an
+            # exception outside the try would kill the worker thread
+            # silently and strand the collected callers on their events
             try:
+                n = self._bucket_len(max(len(r.audio) for r in batch))
+                wav = np.zeros((self.cfg.batch_size, n), np.float32)
+                lens = np.zeros((self.cfg.batch_size,), np.int32)
+                for i, r in enumerate(batch):
+                    wav[i, : len(r.audio)] = r.audio
+                    lens[i] = len(r.audio)
+                if len(batch) < self.cfg.batch_size and len(batch) > 0:
+                    # repeat-pad empty rows: infer sees full batches only
+                    for i in range(len(batch), self.cfg.batch_size):
+                        lens[i] = lens[0]
+                        wav[i, : lens[0]] = wav[0, : lens[0]]
                 texts = self.infer(wav, lens)
                 now = time.monotonic()
                 with self._lock:
@@ -195,7 +205,8 @@ class DynamicBatchingServer:
             }
 
     def close(self) -> None:
-        self._closed = True
+        with self._lock:   # pairs with submit()'s check-and-put
+            self._closed = True
         self._worker.join(timeout=2.0)
         # fail any stragglers
         while True:
@@ -223,6 +234,7 @@ class _Session:
     tokens: List[int] = field(default_factory=list)
     closed: bool = False
     last_active: float = field(default_factory=time.monotonic)
+    inflight: int = 0                    # queued/awaited chunk jobs
 
 
 @dataclass
@@ -315,7 +327,10 @@ class StreamingSessionServer:
         still-queued jobs of the evicted session."""
         now = time.monotonic()
         for sid, s in list(self._sessions.items()):
-            if now - s.last_active > self.idle_timeout_s:
+            # a session waiting on in-flight work is NOT idle even if its
+            # last_active is stale: a single tick can legitimately exceed
+            # idle_timeout_s (first _step compile is 90 s - 12 min here)
+            if s.inflight == 0 and now - s.last_active > self.idle_timeout_s:
                 s.closed = True
                 del self._sessions[sid]
                 self._gens[s.slot] += 1
@@ -349,18 +364,31 @@ class StreamingSessionServer:
     def _submit_chunks(self, sess: _Session, chunks: List[_ChunkJob],
                        timeout: float) -> List[int]:
         out: List[int] = []
-        for job in chunks:
-            self._queue.put(job)
-        for job in chunks:
-            if not job.event.wait(timeout):
-                raise TimeoutError("streaming step timed out")
-            if job.error is not None:
-                raise RequestError(str(job.error)) from job.error
-            out.extend(job.tokens)
-            # a long multi-chunk feed keeps refreshing its liveness, so
-            # an ACTIVE session can't be idle-evicted mid-feed
-            sess.last_active = time.monotonic()
-        sess.tokens.extend(out)
+        # mark in-flight BEFORE queueing so the idle evictor never sees a
+        # session whose work is queued but whose last_active is stale
+        sess.inflight = len(chunks)
+        try:
+            for job in chunks:
+                self._queue.put(job)
+            for job in chunks:
+                if not job.event.wait(timeout):
+                    raise TimeoutError("streaming step timed out")
+                if job.error is not None:
+                    raise RequestError(str(job.error)) from job.error
+                # record per COMPLETED job (caller holds sess.lock): if a
+                # later chunk of this feed fails, the device carry has
+                # already consumed the earlier ones — their tokens must
+                # stay retrievable via tokens()/close(), not vanish
+                out.extend(job.tokens)
+                sess.tokens.extend(job.tokens)
+                # a long multi-chunk feed keeps refreshing its liveness,
+                # so an ACTIVE session can't be idle-evicted mid-feed
+                sess.last_active = time.monotonic()
+                sess.inflight -= 1
+        finally:
+            # on failure the session is broken anyway; making it
+            # evictable again is the correct end state
+            sess.inflight = 0
         return out
 
     def feed(self, sid: str, audio: np.ndarray,
@@ -395,6 +423,11 @@ class StreamingSessionServer:
             with sess.lock:
                 if sess.closed:
                     raise KeyError(f"session {sid!r} closed concurrently")
+                # mark closed INSIDE the flush's critical section: a
+                # feed() blocked on sess.lock must observe it when it
+                # wakes — set only in a later finally, feed could pass
+                # its re-check and append audio to a flushed stream
+                sess.closed = True
                 jobs = []
                 if len(sess.residual):
                     chunk = np.zeros((cs,), np.float32)
@@ -418,9 +451,8 @@ class StreamingSessionServer:
             # bump invalidates any still-queued jobs, and the next open()
             # resets the slot's carry, so reuse is always safe. pop()
             # guards double-close: only the closer that actually removes
-            # the session frees the slot
-            with sess.lock:
-                sess.closed = True
+            # the session frees the slot (sess.closed is set above,
+            # inside the flush's own critical section)
             with self._lock:
                 if self._sessions.pop(sid, None) is not None:
                     self._gens[sess.slot] += 1

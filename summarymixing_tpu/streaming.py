@@ -320,26 +320,35 @@ def make_streaming_infer_fns(
     return init_fn, step_fn, info
 
 
-_JIT_CACHE: "weakref.WeakKeyDictionary" = None  # populated lazily
+_JIT_CACHE = None  # OrderedDict[id(fn)] = (fn, jit(fn)); populated lazily
+_JIT_CACHE_MAX = 16
 
 
 def _jit_cached(fn: Callable) -> Callable:
-    """jax.jit keyed by the function object: repeated run_stream calls
-    over the same fns (e.g. per eval batch) reuse one traced wrapper
-    instead of retracing every call."""
+    """jax.jit keyed by the function object, in a small LRU: repeated
+    run_stream calls over the same fns (e.g. per eval batch) reuse one
+    traced wrapper instead of retracing every call, while distinct fns
+    (e.g. a per-checkpoint eval sweep) evict old entries instead of
+    pinning every model's executables and closed-over weights for the
+    process lifetime. (A WeakKeyDictionary cannot work here: the jit
+    wrapper value strongly references its wrapped fn key, so entries
+    would never be collected.) Each entry holds a strong ref to fn, so
+    an id() key cannot be reused while its entry is alive."""
     global _JIT_CACHE
-    import weakref
+    from collections import OrderedDict
 
     if _JIT_CACHE is None:
-        _JIT_CACHE = weakref.WeakKeyDictionary()
-    try:
-        got = _JIT_CACHE.get(fn)
-        if got is None:
-            got = jax.jit(fn)
-            _JIT_CACHE[fn] = got
-        return got
-    except TypeError:  # non-weakrefable callable
-        return jax.jit(fn)
+        _JIT_CACHE = OrderedDict()
+    key = id(fn)
+    got = _JIT_CACHE.get(key)
+    if got is not None and got[0] is fn:
+        _JIT_CACHE.move_to_end(key)
+        return got[1]
+    wrapper = jax.jit(fn)
+    _JIT_CACHE[key] = (fn, wrapper)
+    while len(_JIT_CACHE) > _JIT_CACHE_MAX:
+        _JIT_CACHE.popitem(last=False)
+    return wrapper
 
 
 def run_stream(

@@ -141,6 +141,23 @@ def unpack_artifact(data: bytes):
     return header["meta"], body[: header["payload_len"]]
 
 
+def decode_token_rows(meta: Dict, rows: List[List[int]]) -> List[str]:
+    """Token ids -> text using the vocab/token_type embedded in an
+    artifact's metadata (single decode path for every Exported* class)."""
+    vocab = meta.get("vocab")
+    out = []
+    for toks in rows:
+        if vocab is None:
+            out.append(" ".join(map(str, toks)))
+        elif meta.get("token_type") == "char":
+            out.append("".join(vocab[t] for t in toks
+                               if 0 <= t < len(vocab)))
+        else:  # subword pieces with the sentencepiece space marker
+            text = "".join(vocab[t] for t in toks if 0 <= t < len(vocab))
+            out.append(text.replace("▁", " ").strip())
+    return out
+
+
 @dataclass
 class ExportedASR:
     """A loaded artifact: callable + enough metadata to produce text."""
@@ -186,18 +203,7 @@ class ExportedASR:
             ids, keep = np.asarray(ids), np.asarray(keep)
             rows = [[int(i) for i in row_ids[row_keep.astype(bool)]]
                     for row_ids, row_keep in zip(ids, keep)]
-        vocab = self.meta.get("vocab")
-        out = []
-        for toks in rows:
-            if vocab is None:
-                out.append(" ".join(map(str, toks)))
-            elif self.meta.get("token_type") == "char":
-                out.append("".join(vocab[t] for t in toks
-                                   if 0 <= t < len(vocab)))
-            else:  # subword pieces with the sentencepiece space marker
-                text = "".join(vocab[t] for t in toks if 0 <= t < len(vocab))
-                out.append(text.replace("▁", " ").strip())
-        return out
+        return decode_token_rows(self.meta, rows)
 
 
 def save_artifact(path: str, payload, meta: Dict) -> None:
@@ -262,49 +268,25 @@ class ExportedStreamingASR:
         return self._step(carry, jnp.asarray(wav_chunk, jnp.float32),
                           jnp.asarray(n_valid, jnp.int32))
 
-    def _decode_rows(self, rows: List[List[int]]) -> List[str]:
-        vocab = self.meta.get("vocab")
-        out = []
-        for toks in rows:
-            if vocab is None:
-                out.append(" ".join(map(str, toks)))
-            elif self.meta.get("token_type") == "char":
-                out.append("".join(vocab[t] for t in toks
-                                   if 0 <= t < len(vocab)))
-            else:
-                text = "".join(vocab[t] for t in toks if 0 <= t < len(vocab))
-                out.append(text.replace("▁", " ").strip())
-        return out
-
     def transcribe(self, wav: np.ndarray,
                    wav_lens: Optional[np.ndarray] = None) -> List[str]:
-        """Batch convenience: chunk [B, N] (or [N]) audio, stream it
-        through the exported step, return text per utterance. `wav_lens`
-        marks per-row valid samples for ragged batches (default: all N)."""
+        """Batch convenience: stream [B, N] (or [N]) audio through the
+        exported step via streaming.run_stream (the ONE chunk-drive loop
+        — padding and flush-chunk geometry live there, not re-implemented
+        here), return text per utterance. `wav_lens` marks per-row valid
+        samples for ragged batches (default: all N)."""
+        from summarymixing_tpu import streaming as _streaming
+
         wav = np.asarray(wav, np.float32)
         if wav.ndim == 1:
             wav = wav[None]
         b, n = wav.shape
-        lens = (np.full((b,), n, np.int64) if wav_lens is None
-                else np.asarray(wav_lens, np.int64))
-        cs = int(self.meta["chunk_samples"])
-        n_chunks = -(-n // cs)
-        if n_chunks * cs - n:
-            wav = np.pad(wav, ((0, 0), (0, n_chunks * cs - n)))
-        carry = self.init(b)
-        rows = [[] for _ in range(b)]
-        # +2 flush chunks: pipeline lag, plus the one encoder frame that
-        # lands past the last input chunk when a row's length is an exact
-        # chunk multiple (streaming.py::run_stream)
-        for k in range(n_chunks + 2):
-            if k < n_chunks:
-                chunk = wav[:, k * cs:(k + 1) * cs]
-                nv = np.clip(lens - k * cs, 0, cs).astype(np.int32)
-            else:
-                chunk = np.zeros((b, cs), np.float32)
-                nv = np.zeros((b,), np.int32)
-            carry, toks, n_new = self.step(carry, chunk, nv)
-            toks, n_new = np.asarray(toks), np.asarray(n_new)
-            for i in range(b):
-                rows[i].extend(int(t) for t in toks[i, : n_new[i]])
-        return self._decode_rows(rows)
+        lens = (np.full((b,), n, np.int32) if wav_lens is None
+                else np.asarray(wav_lens, np.int32))
+        # jit=False: the exported init/step are already compiled calls
+        toks, tok_lens = _streaming.run_stream(
+            self._init, self._step, wav, lens,
+            int(self.meta["chunk_samples"]), jit=False)
+        toks, tok_lens = np.asarray(toks), np.asarray(tok_lens)
+        rows = [[int(t) for t in toks[i, : tok_lens[i]]] for i in range(b)]
+        return decode_token_rows(self.meta, rows)

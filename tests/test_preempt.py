@@ -114,6 +114,14 @@ augment:
     assert res.returncode == 0, res.stderr[-3000:]
     assert "training done: 2 steps" in res.stdout
 
+    # a finished run resumed with the same command trains ZERO further
+    # epochs: the restored epoch count seeds the EpochCounter (it used
+    # to restart at epoch 1 and re-run the whole epoch budget)
+    res = subprocess.run(base, capture_output=True, text=True, timeout=560,
+                         env=env, cwd=REPO)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "training done: 2 steps" in res.stdout
+
 
 def test_should_stop_accepts_step_cadence():
     # single-process: the step argument is accepted and ignored

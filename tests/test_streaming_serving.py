@@ -139,6 +139,59 @@ def test_slot_exhaustion_and_reuse(fns):
             srv.feed(sid, wav)  # old session is gone
 
 
+def test_inflight_session_not_idle_evicted(fns):
+    """A session waiting on in-flight work is not idle even when its
+    last_active is stale: a single tick can exceed idle_timeout_s (on
+    the real TPU the first _step compile takes minutes)."""
+    import time
+
+    init_fn, step_fn, info, s = fns
+    cs = info["chunk_samples"]
+    with StreamingSessionServer(init_fn, step_fn, cs, slots=2,
+                                idle_timeout_s=0.01) as srv:
+        sid = srv.open()
+        sess = srv._sessions[sid]
+        sess.inflight = 1           # as _submit_chunks sets before queueing
+        sess.last_active = time.monotonic() - 10.0
+        with srv._lock:
+            srv._evict_idle_locked()
+        assert sid in srv._sessions  # survived despite stale last_active
+        sess.inflight = 0
+        with srv._lock:
+            srv._evict_idle_locked()
+        assert sid not in srv._sessions  # truly idle -> evicted
+
+
+def test_completed_chunk_tokens_survive_later_failure(fns):
+    """Tokens of chunks the device already consumed are recorded per
+    completed job: if a LATER chunk of the same feed fails, the earlier
+    tokens must stay retrievable via tokens()/close()."""
+    init_fn, step_fn, info, s = fns
+    cs = info["chunk_samples"]
+    rng = np.random.default_rng(3)
+    wav = (rng.standard_normal((3 * cs,)) * 0.1).astype(np.float32)
+    with StreamingSessionServer(init_fn, step_fn, cs, slots=2,
+                                max_wait_ms=1.0) as srv:
+        sid = srv.open()
+        sess = srv._sessions[sid]
+        with sess.lock:
+            from summarymixing_tpu.serving import _ChunkJob
+
+            jobs = [_ChunkJob(slot=sess.slot, gen=sess.gen,
+                              chunk=wav[k * cs:(k + 1) * cs], n_valid=cs)
+                    for k in range(3)]
+            # last job is stale (wrong gen): the worker fails it while
+            # the first two decode normally
+            jobs[2].gen -= 1
+            with pytest.raises(Exception):
+                srv._submit_chunks(sess, jobs, timeout=60.0)
+            recorded = list(sess.tokens)
+        # the completed jobs' tokens were recorded despite the raise
+        assert jobs[0].tokens is not None and jobs[1].tokens is not None
+        assert recorded == jobs[0].tokens + jobs[1].tokens
+        assert srv.tokens(sid) == recorded
+
+
 def test_streaming_http_end_to_end(tmp_path):
     """Full CLI path: train a tiny transducer run, start serve.py
     --streaming, drive the /stream session lifecycle over HTTP with raw
