@@ -124,8 +124,41 @@ def measure_decode(model, fbank, wav, wav_lens):
     return per_iter, estimates, n_params, cost
 
 
+def _wait_for_backend(max_wait_s: float = 2700.0, probe_s: float = 240.0):
+    """Fail fast (exit 2) instead of hanging forever when the axon TPU
+    backend is unreachable (observed multi-hour outages in this
+    environment; a hung backend init ignores SIGTERM, so the probe runs
+    in a subprocess under a SIGKILL timeout). Retries because outages
+    are usually transient."""
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    code = ("import jax; d = jax.devices(); assert d; "
+            "import jax.numpy as jnp; x = jnp.ones((4, 4)); "
+            "assert float((x @ x).sum()) == 64.0")
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_s, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print("bench.py: accelerator backend unreachable after "
+                  f"{max_wait_s:.0f}s of probing; no number to report",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        print("bench.py: backend probe failed; retrying...",
+              file=sys.stderr)
+        time.sleep(60.0)
+
+
 def main():
     from summarymixing_tpu.frontend.features import Fbank
+
+    _wait_for_backend()
 
     fbank = Fbank()
     batch_size, secs, sr = 8, 30, 16000
