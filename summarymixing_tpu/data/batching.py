@@ -54,7 +54,20 @@ def make_buckets(
         bs = int(max_batch_length // b)
         bs = max(1, min(bs, max_batch_size))
         if batch_multiple > 1:
-            bs = max(batch_multiple, (bs // batch_multiple) * batch_multiple)
+            rounded = (bs // batch_multiple) * batch_multiple
+            if rounded == 0:
+                # the mesh divisibility floor exceeds the length budget:
+                # the bump is unavoidable (batches must split over the
+                # devices) but must not be silent — the longest bucket's
+                # batch is then up to batch_multiple/bs times the
+                # configured memory budget
+                print(f"WARNING: bucket max_len={b} needs batch "
+                      f"{batch_multiple} (device multiple) but the "
+                      f"max_batch_length budget only allows {bs}; this "
+                      f"bucket exceeds the budget "
+                      f"{batch_multiple * b / max_batch_length:.1f}x")
+                rounded = batch_multiple
+            bs = rounded
         specs.append(BucketSpec(max_len=b, batch_size=bs))
     return specs
 
@@ -115,7 +128,9 @@ class DynamicBucketBatcher:
                 batches.append((spec, idx[k * bs : (k + 1) * bs]))
             rem = idx[n_full * bs :]
             if len(rem) and not self.drop_last:
-                fill = rng.choice(idx, bs - len(rem)) if len(idx) >= 1 else rem
+                # pad the tail batch to the fixed size by repetition
+                # (idx is non-empty here: empty buckets continue above)
+                fill = rng.choice(idx, bs - len(rem))
                 batches.append((spec, np.concatenate([rem, fill])))
         if self.shuffle:
             order = rng.permutation(len(batches))

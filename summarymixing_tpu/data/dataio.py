@@ -11,7 +11,12 @@ from __future__ import annotations
 import csv
 import json
 import os
+import struct
 import wave
+
+# exception types the stdlib wave / struct / in-repo FLAC decoders leak
+# for truncated or corrupt input; callers are promised plain ValueError
+_DECODE_ERRORS = (EOFError, IndexError, KeyError, struct.error)
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -67,10 +72,36 @@ def load_audio_bytes(data: bytes,
     import io
 
     if data[:4] == b"fLaC":
-        from summarymixing_tpu.data.flac import decode_flac
+        audio = rate = None
+        try:
+            from summarymixing_tpu.data import flac as _flac
+            from summarymixing_tpu.data import native_loader
 
-        samples, rate, bps = decode_flac(data)
-        audio = samples.astype(np.float32) / float(1 << (bps - 1))
+            si, _ = _flac._parse_metadata(data)
+            if si.total_samples and native_loader.native_available():
+                # serving hot path: the native threaded codec decodes a
+                # 30 s utterance in ms where the bit-serial python codec
+                # takes seconds per HTTP request. Path-based ABI, so
+                # spool the bytes to a temp file.
+                import tempfile
+
+                with tempfile.NamedTemporaryFile(suffix=".flac") as tf:
+                    tf.write(data)
+                    tf.flush()
+                    out, lens = native_loader.load_wav_batch(
+                        [tf.name], int(si.total_samples), expected_rate=0)
+                audio, rate = out[0, : int(lens[0])], si.sample_rate
+        except _DECODE_ERRORS as e:
+            raise ValueError(f"truncated or malformed FLAC: {e!r}") from e
+        if audio is None:
+            from summarymixing_tpu.data.flac import decode_flac
+
+            try:
+                samples, rate, bps = decode_flac(data)
+            except _DECODE_ERRORS as e:
+                raise ValueError(
+                    f"truncated or malformed FLAC: {e!r}") from e
+            audio = samples.astype(np.float32) / float(1 << (bps - 1))
     elif data[:4] == b"RIFF":
         try:
             with wave.open(io.BytesIO(data), "rb") as w:
@@ -78,7 +109,7 @@ def load_audio_bytes(data: bytes,
                 width = w.getsampwidth()
                 ch = w.getnchannels()
                 raw = w.readframes(w.getnframes())
-        except wave.Error as e:
+        except (wave.Error,) + _DECODE_ERRORS as e:
             raise ValueError(f"malformed WAV: {e}") from e
         if width != 2:
             raise ValueError("only 16-bit PCM WAV is accepted")
@@ -105,7 +136,11 @@ def load_wav(path: str, expected_rate: Optional[int] = None) -> np.ndarray:
     if magic == b"fLaC":
         from summarymixing_tpu.data.flac import decode_flac_file
 
-        samples, rate, bps = decode_flac_file(path)
+        try:
+            samples, rate, bps = decode_flac_file(path)
+        except _DECODE_ERRORS as e:
+            raise ValueError(
+                f"{path}: truncated or malformed FLAC: {e!r}") from e
         audio = samples.astype(np.float32) / float(1 << (bps - 1))
         if audio.ndim > 1:
             audio = audio.mean(axis=1)
@@ -128,12 +163,15 @@ def load_wav(path: str, expected_rate: Optional[int] = None) -> np.ndarray:
             raise ValueError(f"unsupported sample width {width}")
         if channels > 1:
             audio = audio.reshape(-1, channels)
-    except (wave.Error, ValueError):
+    except (wave.Error, ValueError) + _DECODE_ERRORS:
         # stdlib wave handles 16/32-bit PCM; scipy covers the rest
         # (24-bit reads as int32, 8-bit as uint8, IEEE float as float)
         from scipy.io import wavfile
 
-        rate, audio = wavfile.read(path)
+        try:
+            rate, audio = wavfile.read(path)
+        except Exception as e:
+            raise ValueError(f"{path}: undecodable WAV: {e}") from e
         if audio.dtype == np.int16:
             audio = audio.astype(np.float32) / 32768.0
         elif audio.dtype == np.int32:

@@ -696,6 +696,11 @@ def encode_flac(
         raise ValueError(f"samples exceed {bits_per_sample}-bit range")
     if stereo_mode != "independent" and nch != 2:
         raise ValueError("stereo decorrelation requires 2 channels")
+    if not 16 <= blocksize <= 65535:
+        # STREAMINFO's min/max blocksize are 16-bit fields: 65536 would
+        # silently truncate to an (invalid) declared blocksize of 0 that
+        # spec-conforming external decoders reject
+        raise ValueError(f"blocksize {blocksize} outside FLAC's [16, 65535]")
 
     out = bytearray(b"fLaC")
     si = _BitWriter()

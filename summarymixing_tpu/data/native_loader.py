@@ -20,6 +20,7 @@ _LIB = os.path.join(_REPO, "native", "libdataloader.so")
 
 _lib = None
 _build_failed = False
+_warned_native_reject = False
 
 
 def _ensure_lib() -> Optional[ctypes.CDLL]:
@@ -31,11 +32,17 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
     try:
         if (not os.path.exists(_LIB)
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            # compile to a private temp path and rename into place:
+            # os.replace is atomic on one filesystem, so a concurrent
+            # process (multi-process launch, parallel tests) never
+            # dlopens a half-written library
+            tmp = f"{_LIB}.tmp.{os.getpid()}"
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                 _SRC, "-o", _LIB],
+                 _SRC, "-o", tmp],
                 check=True, capture_output=True, timeout=120,
             )
+            os.replace(tmp, _LIB)
         lib = ctypes.CDLL(_LIB)
         lib.load_wav_batch.restype = ctypes.c_int
         lib.load_wav_batch.argtypes = [
@@ -63,6 +70,11 @@ def load_wav_batch(
     """Decode a batch of WAV files into a zero-padded float32 matrix.
     Uses the native threaded loader when available, else python."""
     n = len(paths)
+    # the native loader treats expected_rate <= 0 as "skip the check";
+    # the python loader's contract is None for the same thing
+    py_rate = expected_rate if expected_rate > 0 else None
+    from summarymixing_tpu.data.dataio import load_wav
+
     lib = _ensure_lib()
     if lib is not None:
         out = np.zeros((n, max_len), np.float32)
@@ -79,13 +91,32 @@ def load_wav_batch(
         )
         if rc == 0:
             return out, lengths
-        # fall through to python on any bad file for a precise error
-    from summarymixing_tpu.data.dataio import load_wav
+        # retry ONLY the rows the native pass rejected (it zeroes their
+        # lengths; successful rows are complete) through python, which
+        # either decodes the formats the C++ path doesn't (24/32-bit
+        # WAV) or raises a precise per-file error. Re-decoding the whole
+        # batch here would silently run the slow path for every row.
+        global _warned_native_reject
+        if not _warned_native_reject:
+            _warned_native_reject = True
+            print(f"NOTE: native loader rejected {paths[rc - 1]!r} "
+                  "(unsupported format or malformed); retrying such rows "
+                  "with the python decoder. If most of the corpus is "
+                  "24/32-bit WAV, the input pipeline runs at python "
+                  "speed.")
+        for i, p in enumerate(paths):
+            if lengths[i] == 0:
+                audio = load_wav(p, py_rate)
+                m = min(len(audio), max_len)
+                out[i, :m] = audio[:m]
+                out[i, m:] = 0.0
+                lengths[i] = m
+        return out, lengths
 
     out = np.zeros((n, max_len), np.float32)
     lengths = np.zeros((n,), np.int32)
     for i, p in enumerate(paths):
-        audio = load_wav(p, expected_rate)
+        audio = load_wav(p, py_rate)
         m = min(len(audio), max_len)
         out[i, :m] = audio[:m]
         lengths[i] = m

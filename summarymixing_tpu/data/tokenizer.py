@@ -46,12 +46,16 @@ class CharTokenizer:
         return [self.vocab.get(c, self.unk_id) for c in text]
 
     def decode(self, ids: Sequence[int]) -> str:
-        inv = getattr(self, "_inv", None)
-        if inv is None or len(inv) != len(self.vocab):
-            # cached inverse map (rebuilt per hypothesis otherwise — O(vocab)
-            # in the eval scoring loop); invalidated if vocab is replaced
+        # cached inverse map (rebuilt per hypothesis otherwise — O(vocab)
+        # in the eval scoring loop); keyed by the vocab OBJECT so
+        # replacing self.vocab with a different same-size mapping
+        # invalidates it (a size-only check silently kept the old map)
+        cached = getattr(self, "_inv", None)
+        if cached is None or cached[0] is not self.vocab:
             inv = {i: c for c, i in self.vocab.items()}
-            object.__setattr__(self, "_inv", inv)
+            cached = (self.vocab, inv)
+            object.__setattr__(self, "_inv", cached)
+        inv = cached[1]
         return "".join(inv.get(i, "") for i in ids if i >= 4)
 
 
