@@ -58,6 +58,7 @@ def s2s_beam_search(
     lm_step_fn: Optional[Callable[[Array, Array], Array]] = None,
     cache=None,
     lm_cache=None,
+    nbest: int = 1,
 ) -> Tuple[Array, Array, Array]:
     """Run beam search.
 
@@ -78,7 +79,10 @@ def s2s_beam_search(
     decoder cache.
 
     Returns (best_tokens [B, Lmax], best_lengths [B], best_scores [B]) —
-    tokens exclude bos and eos."""
+    tokens exclude bos and eos. With nbest > 1, returns instead the top
+    min(nbest, beam) hypotheses per utterance, score-sorted:
+    ([B, n, Lmax], [B, n], [B, n]) — the reference searchers' topk/nbest
+    surface (S2SBeamSearcher topk_tokens/topk_scores)."""
     beam = config.beam_size
     batch = enc_lengths.shape[0] // beam
     n = batch * beam
@@ -235,6 +239,12 @@ def s2s_beam_search(
         # eos counts toward length (SB convention: score / (len + 1))
         final = scores / (lengths.astype(jnp.float32) + 1.0)
     final = final.reshape(batch, beam)
+    if nbest > 1:
+        n_out = min(nbest, beam)
+        top_scores, order = jax.lax.top_k(final, n_out)  # [batch, n]
+        flat = order + jnp.arange(batch)[:, None] * beam
+        return (tokens[flat][:, :, 1:],               # drop bos
+                lengths[flat], top_scores)
     best = jnp.argmax(final, axis=1)  # [batch]
     best_flat = best + jnp.arange(batch) * beam
     best_tokens = tokens[best_flat][:, 1:]  # drop bos

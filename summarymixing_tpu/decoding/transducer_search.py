@@ -124,6 +124,7 @@ def transducer_beam_search_batched(
     lm_step: Optional[Callable] = None,
     lm_init: Optional[Callable] = None,
     lm_weight: float = 0.0,
+    nbest: int = 1,
 ) -> Tuple[Array, Array, Array]:
     """Fully batched, on-device transducer beam search — the TPU-first
     redesign of the reference's per-utterance host loop (arXiv:1904.02619,
@@ -145,7 +146,10 @@ def transducer_beam_search_batched(
     enc_proj [B, T, J] (proj_enc applied), enc_lengths [B].
     Returns (tokens [B, Umax], lengths [B], scores [B]) — best hypothesis
     per row, scores length-normalised like the reference
-    (logp / (len + 1), bos included in the reference's len)."""
+    (logp / (len + 1), bos included in the reference's len). With
+    nbest > 1, returns the top min(nbest, beam) hypotheses per row,
+    score-sorted: ([B, n, Umax], [B, n], [B, n]) — the reference
+    TransducerBeamSearcher's nbest/scores surface."""
     b, t_max, j = enc_proj.shape
     beam = beam_size
     k_exp = max_expand or beam
@@ -335,6 +339,14 @@ def transducer_beam_search_batched(
     norm = final["score"] / jnp.maximum(
         final["len"].astype(jnp.float32) + 1.0, 1.0)
     norm = jnp.where(final["score"] <= neg / 2, neg, norm)
+    if nbest > 1:
+        # the reference TransducerBeamSearcher's nbest surface: top
+        # min(nbest, beam) hypotheses per row, score-sorted
+        n_out = min(nbest, beam)
+        top_scores, order = jax.lax.top_k(norm, n_out)    # [B, n]
+        picked = select_rows({"tokens": final["tokens"],
+                              "len": final["len"]}, order)
+        return picked["tokens"], picked["len"], top_scores
     best = jnp.argmax(norm, axis=1)
     sel = gather_pool({"tokens": final["tokens"], "len": final["len"]},
                       best)

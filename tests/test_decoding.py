@@ -365,6 +365,18 @@ def test_cached_beam_matches_uncached(rng):
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-4)
 
+    # nbest surface: rank-0 of the sorted n-best == the 1-best result,
+    # and scores are non-increasing across ranks
+    tn, ln, sn = s2s_beam_search(step_plain, enc_t, len_t, ctc_t, config,
+                                 nbest=beam)
+    assert tn.shape == (t0.shape[0], beam, t0.shape[1])
+    np.testing.assert_array_equal(np.asarray(tn[:, 0]), np.asarray(t0))
+    np.testing.assert_array_equal(np.asarray(ln[:, 0]), np.asarray(l0))
+    np.testing.assert_allclose(np.asarray(sn[:, 0]), np.asarray(s0),
+                               rtol=1e-4)
+    sn = np.asarray(sn)
+    assert (np.diff(sn, axis=1) <= 1e-6).all(), sn
+
 
 def test_transformer_lm_cached_step_matches_full(rng):
     """KV-cached LM stepping == full-sequence forward, position by position."""

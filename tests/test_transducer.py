@@ -321,6 +321,47 @@ def test_batched_beam_with_rnnlm_matches_host(rng):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_batched_beam_nbest_matches_host(rng):
+    """nbest > 1 returns score-sorted hypotheses whose rank-0 equals the
+    1-best result and which match the host search's nbest list."""
+    from summarymixing_tpu.decoding.transducer_search import (
+        transducer_beam_search,
+        transducer_beam_search_batched,
+    )
+
+    m = make_model()
+    enc = jnp.asarray(rng.standard_normal((2, 5, 16)), jnp.float32)
+    toks = jnp.asarray(rng.integers(0, VOCAB, (2, 3)), jnp.int32)
+    params = m.init(jax.random.PRNGKey(9), enc, toks, method=m.init_all)
+    bound = m.bind(params)
+    enc_proj = bound.encode_proj(enc)
+    lens = jnp.asarray([5, 4])
+    kw = dict(beam_size=3, max_expand=VOCAB - 1)
+
+    t1, l1, s1 = transducer_beam_search_batched(
+        enc_proj, lens, bound.predictor_init, bound.predictor_step,
+        bound.joint_step, **kw)
+    tn, ln, sn = transducer_beam_search_batched(
+        enc_proj, lens, bound.predictor_init, bound.predictor_step,
+        bound.joint_step, nbest=3, **kw)
+    tn, ln, sn = np.asarray(tn), np.asarray(ln), np.asarray(sn)
+    assert tn.shape == (2, 3, t1.shape[1])
+    np.testing.assert_array_equal(tn[:, 0], np.asarray(t1))
+    np.testing.assert_array_equal(ln[:, 0], np.asarray(l1))
+    np.testing.assert_allclose(sn[:, 0], np.asarray(s1), rtol=1e-5)
+    assert (np.diff(sn, axis=1) <= 1e-6).all(), sn
+
+    enc_np = np.asarray(enc_proj)
+    for i in range(2):
+        host = transducer_beam_search(
+            enc_np[i], int(lens[i]), bound.predictor_init,
+            bound.predictor_step, bound.joint_step, beam_size=3, nbest=3)
+        for r, (h_toks, h_score) in enumerate(host):
+            assert list(tn[i, r, : ln[i, r]]) == list(h_toks), (i, r)
+            np.testing.assert_allclose(float(sn[i, r]), h_score,
+                                       rtol=1e-4, atol=1e-4)
+
+
 def test_batched_beam_len_never_exceeds_token_buffer():
     """A model that keeps emitting non-blanks must not grow `len` past the
     token buffer: once a hypothesis fills max_tokens slots it can only take
