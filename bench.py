@@ -110,12 +110,23 @@ def measure_decode(model, fbank, wav, wav_lens):
         t_large = timed_chain(k_large)
         estimates.append((t_large - t_small) / (k_large - k_small))
     positive = [e for e in estimates if e > 0]
-    while not positive:  # co-tenant noise ate every marginal; keep sampling
+    # co-tenant noise can eat every marginal; resample — but bounded,
+    # so a degraded backend produces a clear failure (exit 3) instead
+    # of an indefinite silent hang for the caller
+    for _ in range(20):
+        if positive:
+            break
         t_small = timed_chain(k_small)
         t_large = timed_chain(k_large)
         e = (t_large - t_small) / (k_large - k_small)
         estimates.append(e)
         positive = [e for e in estimates if e > 0]
+    if not positive:
+        import sys
+
+        print(f"bench.py: no positive marginal in {len(estimates)} "
+              "rounds; chip timing unusable right now", file=sys.stderr)
+        raise SystemExit(3)
     # median, not min: under chip co-tenancy the marginal can swing LOW as
     # well as high (short chain measured during a busy period, long chain
     # during a free one), and min would report that artifact as throughput

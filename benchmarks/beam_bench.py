@@ -129,9 +129,13 @@ def main():
     peaky_lp = None
     if args.peaky_blank > 0.0:
         # trained-CTC-head stand-in: most frames blank-certain, a
-        # spike-rate fraction put ~90% mass on one token
-        t_enc = int(model.apply(params, feats, feat_lens,
-                                method=model.encode)[0].shape[1])
+        # spike-rate fraction put ~90% mass on one token. eval_shape:
+        # only the static encoder length is needed — an actual encode
+        # here would compile a distinct program (minutes on the tunnel)
+        # and run a full forward for a shape
+        t_enc = int(jax.eval_shape(
+            lambda p, f, fl: model.apply(p, f, fl, method=model.encode),
+            params, feats, feat_lens)[0].shape[1])
         probs = np.full((args.batch, t_enc, vocab),
                         (1.0 - args.peaky_blank) / (vocab - 1))
         probs[:, :, 0] = args.peaky_blank

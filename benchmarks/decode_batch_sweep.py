@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--batches", default="8,16,32")
     ap.add_argument("--secs", type=int, default=30)
     args = ap.parse_args()
+    bench._wait_for_backend()  # fail fast during a backend outage
 
     from summarymixing_tpu.frontend.features import Fbank
 

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--secs", type=int, default=30)
     args = ap.parse_args()
+    from bench import _wait_for_backend
+
+    _wait_for_backend()  # fail fast during a backend outage
 
     from summarymixing_tpu.frontend.features import Fbank
 

@@ -33,7 +33,12 @@ D, UNITS, K = 512, 3072, 31
 
 
 def marginal(fn, x, reps=(4, 24)):
-    """Chained-iteration marginal timing (CLAUDE.md methodology)."""
+    """Chained-iteration marginal timing (CLAUDE.md methodology); the
+    shared median-of-positives helper resamples all-negative rounds
+    instead of returning None (which crashed at round()) and avoids the
+    co-tenancy bias of keeping the min."""
+    from _timing import marginal_time
+
     def chain(n):
         t0 = time.perf_counter()
         xx = x
@@ -44,13 +49,8 @@ def marginal(fn, x, reps=(4, 24)):
         return time.perf_counter() - t0
 
     float(jnp.sum(fn(x)[:1, :1, :1]).astype(jnp.float32))  # compile
-    best = None
-    for _ in range(3):
-        t1, t2 = chain(reps[0]), chain(reps[1])
-        est = (t2 - t1) / (reps[1] - reps[0])
-        if est > 0 and (best is None or est < best):
-            best = est
-    return best
+    est, _ = marginal_time(chain, reps=reps)
+    return est
 
 
 def main():

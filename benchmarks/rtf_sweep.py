@@ -38,7 +38,10 @@ from summarymixing_tpu.models.speech_recognizer import SpeechRecognizer
 def build(attention_type: str):
     asr = TransformerASR(
         tgt_vocab=5000, input_size=640, d_model=512,
-        nhead=1 if attention_type == "SummaryMixing" else 8,
+        # nhead 4 matches bench.py / train_bench.py's MHA baseline (the
+        # reference's own self-attention config) so the RTF curve and
+        # the same-chip speedup numbers are mutually comparable
+        nhead=1 if attention_type == "SummaryMixing" else 4,
         num_encoder_layers=18, num_decoder_layers=0, d_ffn=2048,
         encoder_module="branchformer", attention_type=attention_type,
         mode="SummaryMixing", causal=False, csgu_linear_units=3072,

@@ -55,8 +55,11 @@ def main():
         jnp.bfloat16,
     )
     params = enc.init(jax.random.PRNGKey(0), x)
+    # bf16 carried state: fp32 (the default) would make every tick a
+    # mixed-precision program nobody serves (the f32 left-context
+    # buffers infect the concat + residual paths)
     state0 = enc.apply(params, args.batch, args.left_chunks * chunk,
-                       method=enc.init_streaming_state)
+                       jnp.bfloat16, method=enc.init_streaming_state)
 
     @jax.jit
     def step(params, x, state):

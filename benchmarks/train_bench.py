@@ -26,11 +26,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# hardware RNG (rbg) for dropout, matching the recipe default
-# (training.rng_impl): threefry mask generation costs ~26% of the step
-if "--threefry" not in sys.argv:
-    jax.config.update("jax_default_prng_impl", "rbg")
-
 _cache = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache)
@@ -257,6 +252,14 @@ def main():
                          "of this many encoder frames (0 = dense "
                          "[B,T,U,V]; losses/transducer.py)")
     args = ap.parse_args()
+    # hardware RNG (rbg) for dropout, matching the recipe default
+    # (training.rng_impl): threefry mask generation costs ~26% of the
+    # step. Configured HERE, from the parsed flag, before the first
+    # PRNGKey of the process — the old raw-sys.argv sniff at import time
+    # both mislabeled prefix-matched flags (--threef) and mutated global
+    # jax config as a side effect of `import train_bench`.
+    jax.config.update("jax_default_prng_impl",
+                      "threefry2x32" if args.threefry else "rbg")
     if args.transducer:
         bench_transducer(args)
         return

@@ -54,16 +54,25 @@ def main():
     fn = jax.jit(lambda ep, el: transducer_beam_search_batched(
         ep, el, bound.predictor_init, bound.predictor_step, bound.joint_step,
         beam_size=args.beam))
-    t, l, s = fn(enc_proj, lens)
-    jax.block_until_ready((t, l, s))
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        out = fn(enc_proj, lens)
-    v = float(np.asarray(out[2]).sum())  # host fetch = real sync
-    batched_s = (time.time() - t0) / reps
-    print(f"batched: {batched_s:.3f} s for B={args.batch} "
-          f"(sum={v:.2f})", flush=True)
+
+    # tunnel-aware timing (CLAUDE.md): chain iterations through a real
+    # data dependency (scores perturb the next call's input), fetch one
+    # scalar, difference two chain lengths, median of positives
+    from _timing import marginal_time
+
+    def chain(k):
+        t0 = time.time()
+        ep = enc_proj
+        s = None
+        for _ in range(k):
+            _, _, s = fn(ep, lens)
+            ep = enc_proj + jnp.sum(s) * 1e-12
+        float(jnp.sum(s))  # one fetch syncs the whole chain
+        return time.time() - t0
+
+    float(jnp.sum(fn(enc_proj, lens)[2]))  # compile + settle
+    batched_s, _ = marginal_time(chain, reps=(2, 8))
+    print(f"batched: {batched_s:.3f} s for B={args.batch}", flush=True)
 
     if args.host_utts <= 0:
         print(json.dumps({
