@@ -73,6 +73,11 @@ def main():
                          "end to end: raw T vs padded T, back to back in "
                          "one invocation (the raw variant disables "
                          "_pad_time_axis during tracing)")
+    ap.add_argument("--materialize-states", action="store_true",
+                    help="A/B: use the original materialise-then-gather "
+                         "CTC prefix states (ctc_defer_states=False) "
+                         "instead of the default score-only + "
+                         "rebuild-selected path")
     ap.add_argument("--lm", action="store_true",
                     help="add TransformerLM (768d/12L) shallow fusion at "
                          "lm_weight 0.60 — the reference's full test-decode "
@@ -124,6 +129,7 @@ def main():
         beam_size=args.beam, ctc_weight=0.4,
         lm_weight=0.60 if args.lm else 0.0,
         max_length=args.max_tokens, min_steps=args.min_steps,
+        ctc_defer_states=not args.materialize_states,
     )
 
     peaky_lp = None

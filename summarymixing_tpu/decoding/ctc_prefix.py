@@ -219,6 +219,94 @@ def ctc_prefix_score(
     return score, cand_states
 
 
+def ctc_prefix_score_only(
+    state: CTCPrefixState,
+    x: Array,
+    input_lengths: Array,
+    cand: Array,
+    blank_id: int = 0,
+    eos_id: Optional[int] = None,
+) -> Tuple[Array, Array]:
+    """Candidate score deltas WITHOUT materialising candidate states.
+
+    psi — the only quantity the beam's pruning decision needs — is
+    logsumexp_t(phi[t-1] + x_cand[t]); the r_nb/r_b recurrences feed
+    only the NEXT step's phi, and beam search keeps just `beam` of the
+    N*K candidates. So the two [N, T, K] cumulative-logsumexp scans and
+    the [N, K, T] state tensors of `ctc_prefix_score` (the bandwidth
+    hog at test-scale beams: ~10 log2(T) passes over ~100 MB tensors at
+    beam 66) are skipped here, and `ctc_prefix_advance` rebuilds the
+    state for the selected extensions only, at [N, T] cost, after
+    pruning. Scores are EXACTLY those of ctc_prefix_score.
+
+    Returns (score_delta [N, K], psi [N, K])."""
+    n, t, v = x.shape
+    valid = jnp.arange(t)[None, :] < input_lengths[:, None]  # [N, T]
+    x_cand = jnp.take_along_axis(x, cand[:, None, :], axis=2)  # [N, T, K]
+
+    same_as_last = cand == state.last[:, None]
+    phi = jnp.where(
+        same_as_last[:, None, :],
+        state.r_b[..., None],
+        jnp.logaddexp(state.r_b, state.r_nb)[..., None],
+    )  # [N, T, K]
+    empty_prefix = state.last < 0
+    phi_m1 = jnp.broadcast_to(
+        jnp.where(empty_prefix[:, None], 0.0, _NEG), (n, cand.shape[1])
+    ).astype(x.dtype)
+    phi_shift = jnp.concatenate([phi_m1[:, None, :], phi[:, :-1, :]], axis=1)
+
+    psi_terms = jnp.where(valid[..., None], phi_shift + x_cand, _NEG)
+    psi = jnp.maximum(jax.nn.logsumexp(psi_terms, axis=1), _NEG)  # [N, K]
+    score = psi - state.psi[:, None]
+
+    if eos_id is not None:
+        t_idx = jnp.maximum(input_lengths - 1, 0)
+        full_lp = jnp.logaddexp(
+            state.r_nb[jnp.arange(n), t_idx], state.r_b[jnp.arange(n), t_idx]
+        )
+        score = jnp.where(cand == eos_id, (full_lp - state.psi)[:, None],
+                          score)
+    return score, psi
+
+
+def ctc_prefix_advance(
+    state: CTCPrefixState,
+    x: Array,
+    input_lengths: Array,
+    token: Array,
+    psi: Array,
+    blank_id: int = 0,
+) -> CTCPrefixState:
+    """Rebuild the full prefix state for ONE chosen extension per row —
+    the closed forms of `ctc_prefix_score` at K=1 (identical math, so
+    states equal the ctc_prefix_select path bit-for-bit up to reduction
+    order). `state`/`x`/`input_lengths` are the PARENT rows (already
+    gathered by the beam's parent indices), `token` [N] the chosen
+    extension, `psi` [N] its prefix score from ctc_prefix_score_only."""
+    n, t, v = x.shape
+    valid = jnp.arange(t)[None, :] < input_lengths[:, None]
+    xc = jnp.take_along_axis(x, token[:, None, None], axis=2)[..., 0]
+    xc = jnp.where(valid, xc, 0.0)                      # [N, T]
+    xb = jnp.where(valid, x[..., blank_id], 0.0)
+
+    same = token == state.last
+    phi = jnp.where(same[:, None], state.r_b,
+                    jnp.logaddexp(state.r_b, state.r_nb))
+    phi_m1 = jnp.where(state.last < 0, 0.0, _NEG).astype(x.dtype)
+    phi_shift = jnp.concatenate([phi_m1[:, None], phi[:, :-1]], axis=1)
+
+    c_cum = jnp.cumsum(xc, axis=1)
+    r_nb = c_cum + _cumlogsumexp(phi_shift - (c_cum - xc), axis=1)
+    r_nb = jnp.maximum(r_nb, _NEG)
+    b_cum = jnp.cumsum(xb, axis=1)
+    r_nb_shift = jnp.concatenate(
+        [jnp.full((n, 1), _NEG, x.dtype), r_nb[:, :-1]], axis=1)
+    r_b = b_cum + _cumlogsumexp(r_nb_shift - (b_cum - xb), axis=1)
+    r_b = jnp.maximum(r_b, _NEG)
+    return CTCPrefixState(r_nb=r_nb, r_b=r_b, psi=psi, last=token)
+
+
 def ctc_prefix_select(cand_states: CTCPrefixState, hyp_idx: Array,
                       cand_idx: Array) -> CTCPrefixState:
     """Gather the chosen candidates' states after pruning.

@@ -26,8 +26,10 @@ import jax.numpy as jnp
 
 from summarymixing_tpu.decoding.ctc_prefix import (
     CTCPrefixState,
+    ctc_prefix_advance,
     ctc_prefix_init,
     ctc_prefix_score,
+    ctc_prefix_score_only,
     ctc_prefix_select,
 )
 
@@ -47,6 +49,12 @@ class S2SBeamConfig:
     min_steps: int = 0        # min_decode_ratio * enc_len equivalent
     ctc_candidates: int = 0   # 0 -> 2 * beam_size
     length_norm: bool = True
+    # score candidates without materialising their [N, K, T] prefix
+    # states, rebuilding only the selected beam's states after pruning
+    # (exact; skips the two [N, T, K] cumulative-logsumexp scans that
+    # dominate scorer bandwidth at test-scale beams). False = the
+    # original materialise-then-gather path, kept as oracle.
+    ctc_defer_states: bool = True
 
 
 def s2s_beam_search(
@@ -155,12 +163,20 @@ def s2s_beam_search(
                 jnp.arange(v)[None, :] == config.blank_id, _NEG, base_lp
             )
 
+        cand_psi = None
         if use_ctc:
             cand_lp, cand_ids = jax.lax.top_k(base_lp, k)  # [N, K]
-            ctc_delta, cand_states = ctc_prefix_score(
-                ctc_state, ctc_log_probs, enc_lengths, cand_ids,
-                config.blank_id, config.eos_id,
-            )
+            if config.ctc_defer_states:
+                ctc_delta, cand_psi = ctc_prefix_score_only(
+                    ctc_state, ctc_log_probs, enc_lengths, cand_ids,
+                    config.blank_id, config.eos_id,
+                )
+                cand_states = None
+            else:
+                ctc_delta, cand_states = ctc_prefix_score(
+                    ctc_state, ctc_log_probs, enc_lengths, cand_ids,
+                    config.blank_id, config.eos_id,
+                )
             step_scores = cand_lp + config.ctc_weight * ctc_delta  # [N, K]
         else:
             step_scores, cand_ids = jax.lax.top_k(base_lp, k)
@@ -191,7 +207,18 @@ def s2s_beam_search(
                                 lengths[parent] + 1)
         new_scores = top_scores.reshape(-1)
         if use_ctc:
-            new_ctc = ctc_prefix_select(cand_states, parent, cand)
+            if config.ctc_defer_states:
+                # rebuild states for the `beam` selected extensions only
+                # (x rows are beam-tiled per utterance, so row i's
+                # tensor equals its parent's — no gather of x needed)
+                parent_state = CTCPrefixState(
+                    r_nb=ctc_state.r_nb[parent], r_b=ctc_state.r_b[parent],
+                    psi=ctc_state.psi[parent], last=ctc_state.last[parent])
+                new_ctc = ctc_prefix_advance(
+                    parent_state, ctc_log_probs, enc_lengths, chosen_ids,
+                    cand_psi[parent, cand], config.blank_id)
+            else:
+                new_ctc = ctc_prefix_select(cand_states, parent, cand)
             # finished rows keep parent state (frozen)
             new_ctc = CTCPrefixState(
                 r_nb=jnp.where(was_finished[:, None],

@@ -789,3 +789,79 @@ def test_beam_search_with_compaction_matches_full(rng):
         np.testing.assert_array_equal(
             np.asarray(t0)[i, : int(l0[i])], np.asarray(t1)[i, : int(l1[i])])
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=1e-3)
+
+
+def test_deferred_ctc_states_match_materialized(rng):
+    """ctc_defer_states=True (score-only + rebuild-selected) must equal
+    the materialise-then-gather oracle path exactly: same tokens,
+    lengths, and scores, across ragged lengths and multiple steps."""
+    import dataclasses
+
+    from summarymixing_tpu.decoding.ctc_prefix import (
+        ctc_prefix_advance,
+        ctc_prefix_init,
+        ctc_prefix_score,
+        ctc_prefix_score_only,
+        ctc_prefix_select,
+    )
+
+    # unit level first: chained score/select vs score_only/advance
+    n, t, v, k = 3, 17, 9, 4
+    x = jnp.asarray(rng.standard_normal((n, t, v)), jnp.float32)
+    x = jax.nn.log_softmax(x, axis=-1)
+    lens = jnp.asarray([17, 11, 5], jnp.int32)
+    state_a = ctc_prefix_init(x, lens)
+    state_b = ctc_prefix_init(x, lens)
+    for step in range(4):
+        cand = jnp.asarray(
+            rng.integers(1, v, (n, k)), jnp.int32)
+        sc_a, cand_states = ctc_prefix_score(state_a, x, lens, cand,
+                                             blank_id=0, eos_id=None)
+        sc_b, psi_b = ctc_prefix_score_only(state_b, x, lens, cand,
+                                            blank_id=0, eos_id=None)
+        np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b),
+                                   rtol=1e-5, atol=1e-5)
+        pick = jnp.asarray(rng.integers(0, k, (n,)), jnp.int32)
+        rows = jnp.arange(n)
+        state_a = ctc_prefix_select(cand_states, rows, pick)
+        state_b = ctc_prefix_advance(state_b, x, lens, cand[rows, pick],
+                                     psi_b[rows, pick], blank_id=0)
+        for fa, fb in zip(state_a, state_b):
+            np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                       rtol=1e-5, atol=1e-4)
+
+    # end-to-end: full beam search both ways on an overfit model
+    trainer, state, batch, _ = _train_tiny_joint(rng)
+    model = trainer.model
+    cfg = trainer.config
+    feats = trainer.fbank(batch["wav"])
+    feat_lens = trainer.fbank.frame_lengths(batch["wav_lens"])
+    feats, _ = trainer.normalize(feats, state["norm_stats"])
+    enc_out, enc_lens = model.apply(
+        {"params": state["params"]}, feats, feat_lens, method=model.encode)
+    ctc_lp = model.apply({"params": state["params"]}, enc_out,
+                         method=model.ctc_head)
+    beam = 4
+    enc_t = tile_for_beam(enc_out, beam)
+    len_t = tile_for_beam(enc_lens, beam)
+    ctc_t = tile_for_beam(ctc_lp, beam)
+
+    def decode_step(tokens, step):
+        return model.apply({"params": state["params"]}, tokens, enc_t,
+                           len_t, step, method=model.decode_position)
+
+    base = S2SBeamConfig(beam_size=beam, ctc_weight=0.4, lm_weight=0.0,
+                         bos_id=cfg.bos_id, eos_id=cfg.eos_id,
+                         blank_id=cfg.blank_id, max_length=6, min_steps=1)
+    out_def = s2s_beam_search(
+        decode_step, enc_t, len_t, ctc_t,
+        dataclasses.replace(base, ctc_defer_states=True))
+    out_mat = s2s_beam_search(
+        decode_step, enc_t, len_t, ctc_t,
+        dataclasses.replace(base, ctc_defer_states=False))
+    np.testing.assert_array_equal(np.asarray(out_def[0]),
+                                  np.asarray(out_mat[0]))
+    np.testing.assert_array_equal(np.asarray(out_def[1]),
+                                  np.asarray(out_mat[1]))
+    np.testing.assert_allclose(np.asarray(out_def[2]),
+                               np.asarray(out_mat[2]), rtol=1e-5)
