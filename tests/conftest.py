@@ -8,11 +8,19 @@ are NOT enough; we must override jax.config before first backend use.
 
 import os
 
+import re
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+else:
+    # an ambient count != 8 would make every 8-device mesh test fail
+    # far from the cause; override it rather than keep it
+    os.environ["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "--xla_force_host_platform_device_count=8", _flags)
 # The ambient environment carries JAX_PLATFORMS=axon (the TPU tunnel);
 # recipe modules honour that env var at import time, so an in-process
 # `import recipes.*` would flip the backend back to the TPU mid-suite.

@@ -14,7 +14,7 @@ from summarymixing_tpu.models.speech_recognizer import SpeechRecognizer
 from summarymixing_tpu.ops.linear import gelu_exact
 from summarymixing_tpu.utils.convert import convert_full_model
 
-from tests.torch_full_oracle import build_oracle, oracle_forward
+from torch_full_oracle import build_oracle, oracle_forward
 
 D, V, NENC, NDEC = 16, 12, 2, 1
 
@@ -196,11 +196,10 @@ def test_transducer_model_conversion_parity(rng):
     """Conformer-transducer checkpoint conversion (the second flagship,
     VERDICT r1 item 2): encoder outputs and joint/CTC log-probs must match
     the clean-room torch oracle after convert_transducer_model."""
-    import torch  # noqa: F401
 
     from summarymixing_tpu.models.transducer import TransducerModel
     from summarymixing_tpu.utils.convert import convert_transducer_model
-    from tests.torch_full_oracle import (
+    from torch_full_oracle import (
         build_transducer_oracle,
         transducer_oracle_forward,
     )

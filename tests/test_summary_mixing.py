@@ -53,10 +53,12 @@ def test_shape(mode, nhead, rng):
 
 @pytest.mark.parametrize("mode", MODES)
 @pytest.mark.parametrize("nhead", [1, 2])
-@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("masked", ["none", "pad", "pad+sum"])
 def test_torch_oracle_parity(mode, nhead, masked, rng):
     """JAX forward == independent torch implementation of the published
-    equations, for every mode x head count x (sum_mask present or not)."""
+    equations, for every mode x head count x mask case. "pad" exercises
+    the padded masked-MEAN path on its own (for lite and fast this is
+    the only padded path the sum_mask case can't reach)."""
     batch, time, fea = 3, 7, 8
     local_out, summary_out = 32, fea
     x_np = rng.standard_normal((batch, time, fea)).astype(np.float32)
@@ -64,34 +66,57 @@ def test_torch_oracle_parity(mode, nhead, masked, rng):
     p = draw_summary_mixing(
         1234 + nhead, fea, nhead, [32], local_out, [64], summary_out, mode
     )
-    if masked and mode == "SummaryMixing-lite":
+    if masked == "pad+sum" and mode == "SummaryMixing-lite":
         # deliberate deviation: the reference's lite path silently IGNORES
         # sum_mask (no per-step weighting exists); this build raises
-        # instead of training non-causally (see test below)
+        # instead of training non-causally (see test below). The padded
+        # mean itself is covered by the "pad" case.
         pytest.skip("lite + sum_mask raises by design")
     sum_mask_t = pad_t = sum_mask_j = pad_j = None
-    if masked:
-        # random binary context mask with nonzero rows + padding mask
-        sm = (rng.random((time, time)) < 0.6).astype(np.float32)
-        sm[np.arange(time), np.arange(time)] = 1.0
+    if masked != "none":
         lens = np.array([time, time - 2, time - 4])
         pm = (np.arange(time)[None, :] < lens[:, None]).astype(np.float32)
-        sum_mask_t, pad_t = torch.tensor(sm), torch.tensor(pm)
-        sum_mask_j, pad_j = jnp.asarray(sm), jnp.asarray(pm)
-
-    want = summary_mixing_forward(
-        torch.tensor(x_np), p, sum_mask=sum_mask_t, pad_mask=pad_t
-    ).numpy()
+        pad_t, pad_j = torch.tensor(pm), jnp.asarray(pm)
+    if masked == "pad+sum":
+        # random binary context mask with nonzero rows
+        sm = (rng.random((time, time)) < 0.6).astype(np.float32)
+        sm[np.arange(time), np.arange(time)] = 1.0
+        sum_mask_t, sum_mask_j = torch.tensor(sm), jnp.asarray(sm)
 
     cell = make_cell(mode, nhead, fea=fea, local_out=local_out)
     variables = to_flax_params(p)
     got = cell.apply(
         variables, jnp.asarray(x_np), sum_mask=sum_mask_j, pad_mask=pad_j
     )
+
+    if masked == "pad" and mode == "SummaryMixing-expdecay":
+        # deliberate deviation: the reference normalises expdecay
+        # summaries by the raw decay rowsum, attenuating short
+        # utterances in proportion to bucket padding; this build embeds
+        # padding into the decay columns (padding-invariant — see
+        # SummaryMixing._mix). Oracle parity therefore holds per row on
+        # the TRUNCATED unpadded sequence, where the two agree exactly.
+        for i, L in enumerate(lens):
+            want_i = summary_mixing_forward(
+                torch.tensor(x_np[i:i + 1, :L]), p).numpy()
+            np.testing.assert_allclose(np.asarray(got)[i, :L], want_i[0],
+                                       atol=2e-5, rtol=2e-5)
+        return
+
+    want = summary_mixing_forward(
+        torch.tensor(x_np), p, sum_mask=sum_mask_t, pad_mask=pad_t
+    ).numpy()
+    if masked == "pad":
+        # padded positions carry no contract; compare valid steps
+        for i, L in enumerate(lens):
+            np.testing.assert_allclose(np.asarray(got)[i, :L], want[i, :L],
+                                       atol=2e-5, rtol=2e-5)
+        return
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=2e-5)
 
 
-@pytest.mark.parametrize("mode", ["SummaryMixing", "SummaryMixing-lite"])
+@pytest.mark.parametrize(
+    "mode", ["SummaryMixing", "SummaryMixing-lite", "SummaryMixing-fast"])
 def test_padding_invariance(mode, rng):
     """Outputs at valid steps must not change when trailing padding grows.
     Critical property: the mean divides by real length
@@ -205,10 +230,15 @@ def test_fully_masked_rows_do_not_nan(rng):
     (regression: summary_matmul divided by a zero rowsum)."""
     from summarymixing_tpu.ops.masks import chunked_context_mask, combine_padding
 
-    t, chunk, left = 24, 8, 1
+    # t=32 with 10 valid frames: rows 24-31 see ONLY padding (their
+    # chunk + left context covers frames 16-31), so the combined mask
+    # genuinely has zero rowsums — t=24 never did, and the clamp under
+    # test was unexercised
+    t, chunk, left = 32, 8, 1
     x = jnp.asarray(rng.standard_normal((1, t, 8)), jnp.float32)
     pad = (jnp.arange(t) < 10).astype(jnp.float32)[None, :]
     sm = combine_padding(chunked_context_mask(t, chunk, left), pad)
+    assert float(jnp.min(jnp.sum(sm, axis=-1))) == 0.0  # the 0/0 rows exist
     cell = make_cell("SummaryMixing", 1, fea=8)
     params = cell.init(jax.random.PRNGKey(0), x)
     out = cell.apply(params, x, sum_mask=sm, pad_mask=pad)

@@ -115,7 +115,11 @@ class BranchformerLayerTorch(nn.Module):
         super().__init__()
         self.mha_layer = SummaryMixingTorch(d_model, hid, local_out,
                                             sum_hid, sum_out)
-        self.merge_proj = VanillaNNTorch(local_out + d_model,
+        # the mixing branch's output dim is sum_out (the cell's merging
+        # MLP output — SummaryMixingTorch above), NOT local_out; the two
+        # coincide in every current parity config, but the formula must
+        # not rely on that
+        self.merge_proj = VanillaNNTorch(sum_out + d_model,
                                          list(sum_hid) + [d_model])
         self.norm_mhsa = SBLayerNorm(d_model)
         self.convolution_branch = ConvolutionBranchTorch(
