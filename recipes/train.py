@@ -458,12 +458,14 @@ def make_lm_fusion(cfg, lm_ckpt_dir):
 def make_beam_step(cfg, model, params, enc_t, len_t, enc_pad, bc,
                    lm_step, lm_make_cache):
     """Beam-search step construction shared by train.py beam_validate and
-    evaluate.py: KV-cached decoder stepping for MHA decoders, full-prefix
-    decode_position for the Summary Decoder (README.md:35 — KV caching is
-    MHA-only). Returns (step_fn, cache, lm_cache)."""
+    evaluate.py: cached decoder stepping for MHA decoders (KV cache) AND
+    the Summary Decoder (running-mean carry — O(1) state per step,
+    models/transformer.py init_cache/step). Returns
+    (step_fn, cache, lm_cache)."""
     lm_cache = (lm_make_cache(enc_t.shape[0], bc.max_length + 1)
                 if lm_step else None)
-    if cfg.model.decoder_attention_type in ("regularMHA", "vanillaMHA"):
+    if cfg.model.decoder_attention_type in ("regularMHA", "vanillaMHA",
+                                            "SummaryMixing"):
         cache = model.apply(params, enc_t, bc.max_length + 1,
                             method=model.decode_cache_init)
 

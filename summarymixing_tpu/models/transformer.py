@@ -414,12 +414,22 @@ class TransformerDecoderLayer(nn.Module):
             tgt = self.norm3(tgt)
         return tgt
 
-    # -- incremental decoding (KV cache; regularMHA only) --------------------
+    # -- incremental decoding (KV cache for regularMHA; running-mean
+    # carry for the Summary Decoder) -----------------------------------------
     def init_cache(self, memory: Array, max_len: int) -> dict:
-        if self.attention_type != "regularMHA":
-            raise ValueError("KV-cached decoding supports regularMHA only")
+        if self.attention_type not in ("regularMHA", "SummaryMixing"):
+            raise ValueError(
+                "cached decoding supports regularMHA and SummaryMixing")
         mem_k, mem_v = self.cross_attn.kv(memory)
         b = memory.shape[0]
+        if self.attention_type == "SummaryMixing":
+            # the causal summary is a running mean: O(1) carry per step
+            # where MHA needs an O(max_len) KV buffer
+            return {
+                "sm": self.self_attn.decode_init(b),
+                "mem_k": mem_k,
+                "mem_v": mem_v,
+            }
         h, hd = self.nhead, self.d_model // self.nhead
         return {
             "self_k": jnp.zeros((b, max_len, h, hd), mem_k.dtype),
@@ -437,9 +447,14 @@ class TransformerDecoderLayer(nn.Module):
     ):
         """One decoding position: x_t [B, D] -> ([B, D], cache')."""
         t1 = self.norm1(x_t) if self.normalize_before else x_t
-        out, sk, sv = self.self_attn.step(
-            t1, cache["self_k"], cache["self_v"], pos, append=True
-        )
+        if self.attention_type == "SummaryMixing":
+            out, sm = self.self_attn.decode_step(t1, cache["sm"])
+            cache_self = dict(cache, sm=sm)
+        else:
+            out, sk, sv = self.self_attn.step(
+                t1, cache["self_k"], cache["self_v"], pos, append=True
+            )
+            cache_self = dict(cache, self_k=sk, self_v=sv)
         x = x_t + out
         if not self.normalize_before:
             x = self.norm1(x)
@@ -456,7 +471,7 @@ class TransformerDecoderLayer(nn.Module):
         x = x + out
         if not self.normalize_before:
             x = self.norm3(x)
-        return x, dict(cache, self_k=sk, self_v=sv)
+        return x, cache_self
 
 
 class TransformerDecoder(nn.Module):

@@ -234,6 +234,50 @@ class SummaryMixing(nn.Module):
             return self._mix_fast(x, sum_mask, pad_mask, deterministic)
         return self._avg_only(x, pad_mask)
 
+    # -- incremental causal decoding ----------------------------------------
+    def decode_init(self, batch: int, dtype=jnp.float32) -> dict:
+        """Carry for `decode_step`: the causal summary is a RUNNING mean
+        (plain sum for full/fast/lite; geometrically decayed for
+        expdecay), so one (sum, denom) pair replaces the whole-prefix
+        recomputation — O(1) state per step where MHA's KV cache is
+        O(T). The summary-feature width per mode matches _mix/_mix_fast."""
+        dim = (self.local_proj_out_dim if self.mode == "SummaryMixing-fast"
+               else self.summary_out_dim)
+        return {
+            "sum": jnp.zeros((batch, dim), dtype),
+            "denom": jnp.zeros((batch, 1), dtype),
+        }
+
+    def decode_step(self, x_t: Array, cache: dict):
+        """One causal decoding position: x_t [B, F] -> ([B, out], cache').
+
+        Exactly the lower-triangular sum_mask path of __call__ evaluated
+        at the newest position: pooled_t = sum_{s<=t} w^(t-s) s(x_s) /
+        sum_{s<=t} w^(t-s) with w = 1 (full/fast) or decay_constant
+        (expdecay — the laplace weights restricted by the lookahead mask
+        ARE the one-sided geometric decay, summary_mixing.py:316-365).
+        Equivalence with the full-prefix forward is pinned in
+        tests/test_models.py."""
+        x = x_t[:, None, :]
+        local = None
+        if self.mode in ("SummaryMixing", "SummaryMixing-expdecay"):
+            local = self.local_proj(x)[:, 0]
+            s = self.summary_proj(x)[:, 0]
+        elif self.mode == "SummaryMixing-fast":
+            proj = self.global_proj(x)[:, 0]
+            local, s = jnp.split(proj, 2, axis=-1)
+        else:  # lite
+            s = self.summary_proj(x)[:, 0]
+        w = self.decay_constant if self.mode == "SummaryMixing-expdecay" else 1.0
+        new_sum = cache["sum"] * w + s.astype(cache["sum"].dtype)
+        new_denom = cache["denom"] * w + 1.0
+        pooled = (new_sum / new_denom).astype(s.dtype)
+        cache = {"sum": new_sum, "denom": new_denom}
+        if self.mode == "SummaryMixing-lite":
+            return pooled, cache
+        cat = jnp.concatenate([local, pooled], axis=-1)
+        return self.summary_local_merging(cat[:, None])[:, 0], cache
+
     # -- full / expdecay -----------------------------------------------------
     def _mix(self, x, sum_mask, pad_mask, deterministic):
         t = x.shape[1]

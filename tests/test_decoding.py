@@ -526,9 +526,9 @@ def test_lm_fusion_wer_not_worse_on_overfit(rng):
 
 
 def test_summary_decoder_beam_search(rng):
-    """The paper's Summary Decoder variant (reference README.md:35) decodes
-    through the full-prefix (uncached) beam path — KV caching is MHA-only,
-    so the recipes fall back to decode_position for this variant."""
+    """The paper's Summary Decoder variant (reference README.md:35)
+    decodes through BOTH beam paths: full-prefix decode_position and the
+    cached running-mean step (the recipes' default), which must agree."""
     from tests.test_train_e2e import make_trainer, synth_batch
     from summarymixing_tpu.parallel.mesh import make_mesh
 
@@ -566,6 +566,24 @@ def test_summary_decoder_beam_search(rng):
                                          config)
     assert toks.shape[0] == 4 and int(np.max(np.asarray(lens))) <= 6
     assert np.isfinite(np.asarray(scores)).all()
+
+    # cached running-mean path == full-prefix path
+    from summarymixing_tpu.ops.masks import length_to_mask
+
+    enc_pad = length_to_mask(len_t, enc_t.shape[1])
+    cache = model.apply({"params": state["params"]}, enc_t,
+                        config.max_length + 1, method=model.decode_cache_init)
+
+    def step_cached(last_tok, step, cache):
+        return model.apply({"params": state["params"]}, last_tok, step,
+                           cache, enc_pad, method=model.decode_step_cached)
+
+    t2, l2, s2 = s2s_beam_search(step_cached, enc_t, len_t, ctc_t, config,
+                                 cache=cache)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(s2),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_beam_never_emits_blank(rng):
@@ -865,3 +883,35 @@ def test_deferred_ctc_states_match_materialized(rng):
                                   np.asarray(out_mat[1]))
     np.testing.assert_allclose(np.asarray(out_def[2]),
                                np.asarray(out_mat[2]), rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["SummaryMixing", "SummaryMixing-expdecay",
+                                  "SummaryMixing-fast"])
+def test_summary_decoder_cached_step_matches_prefix(mode, rng):
+    """The Summary Decoder's running-mean cached step must reproduce the
+    full-prefix decoder exactly, position by position — the causal
+    summary is an O(1) recurrence (geometric for expdecay), so caching
+    is cheaper than MHA's KV buffer, not merely possible."""
+    from summarymixing_tpu.models.transformer import TransformerDecoder
+    from summarymixing_tpu.ops.masks import lookahead_mask
+
+    b, u, t, d = 2, 5, 7, 16
+    dec = TransformerDecoder(num_layers=2, d_model=d, d_ffn=32, nhead=2,
+                             normalize_before=True,
+                             attention_type="SummaryMixing", mode=mode,
+                             local_proj_hid_dim=(16,), local_proj_out_dim=16,
+                             summary_hid_dim=(16,))
+    tgt = jnp.asarray(rng.standard_normal((b, u, d)), jnp.float32)
+    mem = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    params = dec.init(jax.random.PRNGKey(0), tgt, mem)
+    full = dec.apply(params, tgt, mem, tgt_mask=lookahead_mask(u))
+
+    bound = dec.bind(params)
+    cache = bound.init_cache(mem, max_len=u)
+    outs = []
+    for pos in range(u):
+        h, cache = bound.step(tgt[:, pos], pos, cache)
+        outs.append(h)
+    stepped = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(stepped),
+                               atol=1e-5, rtol=1e-5)

@@ -366,10 +366,13 @@ def test_summary_decoder_through_asr(rng):
     _, dec2 = asr.apply(params, src, tgt2)
     np.testing.assert_allclose(np.asarray(dec_out)[:, :4],
                                np.asarray(dec2)[:, :4], atol=1e-5, rtol=1e-5)
-    # KV-cached stepping is MHA-only and must fail loudly
-    with pytest.raises(ValueError, match="regularMHA"):
-        asr.apply(params, jnp.zeros((2, 3, D)), 4,
-                  method=asr.decode_cache_init)
+    # cached stepping works for the Summary Decoder too (running-mean
+    # carry; step==prefix parity is pinned in test_decoding.py)
+    cache = asr.apply(params, jnp.zeros((2, 3, D)), 4,
+                      method=asr.decode_cache_init)
+    h, cache = asr.apply(params, tgt[:, 0], 0, cache,
+                         method=asr.decode_step_cached)
+    assert h.shape == (2, D)
 
 
 def test_invalid_config_surface_rejected(rng):
