@@ -337,6 +337,10 @@ def main():
                          "(parallel/sequence.py) for the greedy decode — "
                          "the long-form scaling path; requires "
                          "n_devices %% N == 0 and greedy (non-beam) mode")
+    ap.add_argument("--nbest", type=int, default=1,
+                    help="with --beam: also emit the top-N hypotheses per "
+                         "utterance (nbest.jsonl under --output; rank 0 "
+                         "scores the WER)")
     ap.add_argument("--output", default=None)
     ap.add_argument("--set", action="append", default=[],
                     metavar="KEY=VALUE", dest="overrides",
@@ -411,6 +415,7 @@ def main():
     t0 = time.time()
     n_utts = 0
     seen = set()
+    nbest_rows = {}  # utt idx -> top-N [{text, score}] (--nbest > 1)
     for batch, idx in batches(test_set, tokenizer, cfg, mesh, False, 0, fbank):
         if args.beam:
             feats = fbank(batch["wav"])
@@ -441,11 +446,24 @@ def main():
             step, cache, lm_cache = make_beam_step(
                 cfg, model, params, enc_t, len_t, enc_pad, bc, lm_step,
                 lm_make_cache)
-            toks, lens, _ = s2s_beam_search(step, enc_t, scorer_len_t, ctc_t,
-                                            bc, cache=cache,
-                                            lm_step_fn=lm_step,
-                                            lm_cache=lm_cache)
-            toks, lens = np.asarray(toks), np.asarray(lens)
+            if args.nbest > 1:
+                tn, ln, sn = (np.asarray(a) for a in s2s_beam_search(
+                    step, enc_t, scorer_len_t, ctc_t, bc, cache=cache,
+                    lm_step_fn=lm_step, lm_cache=lm_cache,
+                    nbest=args.nbest))
+                toks, lens = tn[:, 0], ln[:, 0]
+                for i, u in enumerate(idx):
+                    if int(u) not in nbest_rows:
+                        nbest_rows[int(u)] = [
+                            {"text": tokenizer.decode(tn[i, r, : ln[i, r]]),
+                             "score": float(sn[i, r])}
+                            for r in range(tn.shape[1])]
+            else:
+                toks, lens, _ = s2s_beam_search(step, enc_t, scorer_len_t,
+                                                ctc_t, bc, cache=cache,
+                                                lm_step_fn=lm_step,
+                                                lm_cache=lm_cache)
+                toks, lens = np.asarray(toks), np.asarray(lens)
             hyps = [list(toks[i, : lens[i]]) for i in range(toks.shape[0])]
         elif sp_decode is not None:
             # pad the WAV (not the features) so the frame count divides
@@ -484,11 +502,18 @@ def main():
         summary["seq_parallel"] = args.seq_parallel
     if lm_step:
         summary["lm_weight"] = cfg.decoding.lm_weight
+    if nbest_rows:
+        summary["nbest"] = args.nbest
     print(json.dumps(summary))
     if args.output:
         os.makedirs(args.output, exist_ok=True)
         with open(os.path.join(args.output, "eval.json"), "w") as f:
             json.dump(summary, f, indent=2)
+        if nbest_rows:
+            with open(os.path.join(args.output, "nbest.jsonl"), "w") as f:
+                for u, hyps_n in sorted(nbest_rows.items()):
+                    f.write(json.dumps(
+                        {"id": test_set[u].utt_id, "nbest": hyps_n}) + "\n")
 
 
 if __name__ == "__main__":
