@@ -103,35 +103,22 @@ def measure_decode(model, fbank, wav, wav_lens):
         float(carry)  # single fetch: waits for the whole chain
         return time.perf_counter() - t0
 
-    k_small, k_large = 5, 55
-    estimates = []
-    for _ in range(3):
-        t_small = timed_chain(k_small)
-        t_large = timed_chain(k_large)
-        estimates.append((t_large - t_small) / (k_large - k_small))
-    positive = [e for e in estimates if e > 0]
-    # co-tenant noise can eat every marginal; resample — but bounded,
-    # so a degraded backend produces a clear failure (exit 3) instead
-    # of an indefinite silent hang for the caller
-    for _ in range(20):
-        if positive:
-            break
-        t_small = timed_chain(k_small)
-        t_large = timed_chain(k_large)
-        e = (t_large - t_small) / (k_large - k_small)
-        estimates.append(e)
-        positive = [e for e in estimates if e > 0]
-    if not positive:
-        import sys
+    # chained-marginal methodology lives in ONE place
+    # (benchmarks/_timing.py): median of positive estimates (min keeps
+    # co-tenancy artifacts), bounded resampling of all-negative rounds
+    # so a degraded backend fails clearly (exit 3) instead of hanging
+    import sys
 
-        print(f"bench.py: no positive marginal in {len(estimates)} "
-              "rounds; chip timing unusable right now", file=sys.stderr)
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    from _timing import marginal_time
+
+    try:
+        per_iter, estimates = marginal_time(
+            timed_chain, reps=(5, 55), min_rounds=3, max_rounds=23)
+    except RuntimeError as e:
+        print(f"bench.py: {e}", file=sys.stderr)
         raise SystemExit(3)
-    # median, not min: under chip co-tenancy the marginal can swing LOW as
-    # well as high (short chain measured during a busy period, long chain
-    # during a free one), and min would report that artifact as throughput
-    positive.sort()
-    per_iter = positive[len(positive) // 2]
     return per_iter, estimates, n_params, cost
 
 

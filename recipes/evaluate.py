@@ -212,6 +212,7 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
     t0 = time.time()
     n_utts = 0
     seen = set()
+    nbest_rows = {}  # utt idx -> top-N [{text, score}] (--nbest > 1)
     chunk_times = []
     stream_fns = None
     if getattr(args, "streaming_full", False):
@@ -247,9 +248,7 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
             _, (enc_out, enc_lens) = trainer.eval_step(state, batch)
             enc_proj = bound.encode_proj(enc_out)
             if args.beam:
-                toks, lens, _ = transducer_beam_search_batched(
-                    enc_proj, enc_lens, bound.predictor_init,
-                    bound.predictor_step, bound.joint_step,
+                kw = dict(
                     blank_id=cfg.model.blank_index,
                     bos_id=cfg.model.bos_index,
                     beam_size=cfg.decoding.beam_size,
@@ -258,6 +257,26 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
                     lm_step=lm_step, lm_init=lm_init,
                     lm_weight=cfg.decoding.lm_weight if lm_step else 0.0,
                 )
+                if args.nbest > 1:
+                    tn, ln, sn = (np.asarray(a)
+                                  for a in transducer_beam_search_batched(
+                                      enc_proj, enc_lens,
+                                      bound.predictor_init,
+                                      bound.predictor_step,
+                                      bound.joint_step,
+                                      nbest=args.nbest, **kw))
+                    toks, lens = tn[:, 0], ln[:, 0]
+                    for i, u in enumerate(idx):
+                        if int(u) not in nbest_rows:
+                            nbest_rows[int(u)] = [
+                                {"text": tokenizer.decode(
+                                    tn[i, r, : ln[i, r]]),
+                                 "score": float(sn[i, r])}
+                                for r in range(tn.shape[1])]
+                else:
+                    toks, lens, _ = transducer_beam_search_batched(
+                        enc_proj, enc_lens, bound.predictor_init,
+                        bound.predictor_step, bound.joint_step, **kw)
             else:
                 toks, lens = transducer_greedy_decode(
                     enc_proj, enc_lens, bound.predictor_init,
@@ -299,11 +318,18 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
             ("transducer_beam+lm" if lm_step else "transducer_beam")
             if args.beam else "transducer_greedy"
         )
+    if nbest_rows:
+        summary["nbest"] = args.nbest
     print(json.dumps(summary))
     if args.output:
         os.makedirs(args.output, exist_ok=True)
         with open(os.path.join(args.output, "eval.json"), "w") as f:
             json.dump(summary, f, indent=2)
+        if nbest_rows:
+            with open(os.path.join(args.output, "nbest.jsonl"), "w") as f:
+                for u, hyps_n in sorted(nbest_rows.items()):
+                    f.write(json.dumps(
+                        {"id": test_set[u].utt_id, "nbest": hyps_n}) + "\n")
 
 
 def main():
@@ -347,6 +373,8 @@ def main():
                     help="override any recipe value by dotted path, e.g. "
                          "--set training.lr_adam=0.0005 --set model.remat=true")
     args = ap.parse_args()
+    if args.nbest > 1 and not args.beam:
+        raise SystemExit("--nbest requires --beam")
 
     from train import parse_overrides  # noqa: E402
 

@@ -114,7 +114,7 @@ def _synth_utterance(rng, phone_seq, sr):
     pitch = float(rng.uniform(90, 180))          # speaker f0
     fscale = float(rng.uniform(0.92, 1.08))      # vocal-tract length
     speed = float(rng.uniform(0.9, 1.1))
-    phone_dur = 0.08 * speed
+    phone_dur = 0.12 * speed
     n_per = int(phone_dur * sr)
     n_total = n_per * len(phone_seq)
     # per-sample formant tracks with linear coarticulation over 30% of
@@ -141,7 +141,7 @@ def _synth_utterance(rng, phone_seq, sr):
         env[s:s + edge] *= np.linspace(0.3, 1.0, edge)
         env[s + n_per - edge:s + n_per] *= np.linspace(1.0, 0.5, edge)
     audio = audio * env * float(rng.uniform(0.3, 0.6))
-    snr_db = float(rng.uniform(8, 25))
+    snr_db = float(rng.uniform(12, 30))
     noise = rng.standard_normal(n_total)
     noise *= np.sqrt((audio ** 2).mean() / 10 ** (snr_db / 10))
     return (audio + noise).astype(np.float32)

@@ -47,11 +47,12 @@ class CharTokenizer:
 
     def decode(self, ids: Sequence[int]) -> str:
         # cached inverse map (rebuilt per hypothesis otherwise — O(vocab)
-        # in the eval scoring loop); keyed by the vocab OBJECT so
-        # replacing self.vocab with a different same-size mapping
-        # invalidates it (a size-only check silently kept the old map)
+        # in the eval scoring loop); keyed by the vocab OBJECT (replacing
+        # self.vocab with a different same-size mapping invalidates it)
+        # AND its size (growing the same dict in place invalidates too)
         cached = getattr(self, "_inv", None)
-        if cached is None or cached[0] is not self.vocab:
+        if (cached is None or cached[0] is not self.vocab
+                or len(cached[1]) != len(self.vocab)):
             inv = {i: c for c, i in self.vocab.items()}
             cached = (self.vocab, inv)
             object.__setattr__(self, "_inv", cached)

@@ -303,6 +303,14 @@ class StreamingSessionServer:
         self._jnp = jnp
 
         self._sessions: Dict[str, _Session] = {}
+        # transcripts of recently closed/evicted streams: tokens() stays
+        # answerable after close() — including a close whose FLUSH failed
+        # after earlier chunks already decoded (their tokens must not
+        # vanish with the slot). Bounded FIFO.
+        from collections import OrderedDict
+
+        self._finished: "OrderedDict[str, List[int]]" = OrderedDict()
+        self._finished_cap = 256
         self._free = list(range(slots))
         self._gens = [0] * slots   # bumped on every reallocation: stale
         self._lock = threading.Lock()  # queued jobs are dropped by gen
@@ -333,8 +341,16 @@ class StreamingSessionServer:
             if s.inflight == 0 and now - s.last_active > self.idle_timeout_s:
                 s.closed = True
                 del self._sessions[sid]
+                self._record_finished_locked(sid, s)
                 self._gens[s.slot] += 1
                 self._free.append(s.slot)
+
+    def _record_finished_locked(self, sid: str, sess: _Session) -> None:
+        """Keep a closed/evicted stream's transcript answerable via
+        tokens(). Caller holds self._lock."""
+        self._finished[sid] = list(sess.tokens)
+        while len(self._finished) > self._finished_cap:
+            self._finished.popitem(last=False)
 
     def open(self) -> str:
         """Allocate a slot for a new stream; returns the session id."""
@@ -452,14 +468,25 @@ class StreamingSessionServer:
             # resets the slot's carry, so reuse is always safe. pop()
             # guards double-close: only the closer that actually removes
             # the session frees the slot (sess.closed is set above,
-            # inside the flush's own critical section)
+            # inside the flush's own critical section). The transcript —
+            # including chunks decoded BEFORE a failed flush — stays
+            # answerable via tokens() through the finished map.
             with self._lock:
                 if self._sessions.pop(sid, None) is not None:
+                    self._record_finished_locked(sid, sess)
                     self._gens[sess.slot] += 1
                     self._free.append(sess.slot)
 
     def tokens(self, sid: str) -> List[int]:
-        return list(self._session(sid).tokens)
+        """All tokens decoded for a stream so far — live, closed, or
+        evicted (closed transcripts are kept in a bounded FIFO)."""
+        with self._lock:
+            s = self._sessions.get(sid)
+            if s is None and sid in self._finished:
+                return list(self._finished[sid])
+        if s is None or s.closed:
+            raise KeyError(f"unknown or closed session {sid!r}")
+        return list(s.tokens)
 
     def active_ids(self) -> set:
         with self._lock:

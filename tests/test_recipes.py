@@ -403,7 +403,8 @@ augment:
         [sys.executable, os.path.join(REPO, "recipes/evaluate.py"),
          str(recipe), "--test-manifest", manifest,
          "--ckpt", str(out / "save"), "--beam",
-         "--lm-ckpt", str(out / "lm")],
+         "--lm-ckpt", str(out / "lm"), "--nbest", "2",
+         "--output", str(out / "eval")],
         capture_output=True, text=True, timeout=560, env=env, cwd=REPO,
     )
     assert res.returncode == 0, res.stderr[-3000:]
@@ -411,6 +412,10 @@ augment:
     summary = _json.loads(res.stdout.strip().splitlines()[-1])
     assert summary["decode"] == "transducer_beam+lm"
     assert "WER" in summary
+    assert summary["nbest"] == 2
+    nb = [_json.loads(line) for line in
+          (out / "eval" / "nbest.jsonl").read_text().splitlines()]
+    assert nb and all(len(r["nbest"]) == 2 for r in nb)
 
 
 def test_streaming_eval_smoke(tmp_path):

@@ -190,6 +190,10 @@ def test_completed_chunk_tokens_survive_later_failure(fns):
         assert jobs[0].tokens is not None and jobs[1].tokens is not None
         assert recorded == jobs[0].tokens + jobs[1].tokens
         assert srv.tokens(sid) == recorded
+        # ...and stay retrievable AFTER the stream is closed (the
+        # finished-transcript map outlives the slot)
+        flush = srv.close(sid)
+        assert srv.tokens(sid) == recorded + flush
 
 
 def test_streaming_http_end_to_end(tmp_path):
