@@ -185,6 +185,17 @@ def make_hard(args):
         w = csv.DictWriter(f, fieldnames=fields)
         w.writeheader()
         w.writerows(rows)
+    if args.lm_text > 0:
+        # text-only LM corpus from the SAME language (the reference's
+        # TransformerLM trains on far more text than the paired audio —
+        # LibriSpeech's LM corpus; fusion only helps when the LM knows
+        # more than the decoder saw)
+        p = os.path.join(args.out_dir, "lm_text.txt")
+        with open(p, "w") as f:
+            for _ in range(args.lm_text):
+                sent = _sample_sentence(rng, uni, trans)
+                f.write(" ".join(names[w] for w in sent) + "\n")
+        print(p, args.lm_text)
 
 
 def main():
@@ -193,6 +204,9 @@ def main():
     ap.add_argument("--n", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sr", type=int, default=16000)
+    ap.add_argument("--lm-text", type=int, default=0,
+                    help="--hard only: also write this many TEXT-ONLY "
+                         "sentences (lm_text.txt) for LM training")
     ap.add_argument("--hard", action="store_true",
                     help="confusable formant pseudo-language with bigram "
                          "statistics + train/dev/test splits (module doc)")
