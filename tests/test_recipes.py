@@ -723,3 +723,26 @@ def test_fix_restored_rng():
 
     ok = {"rng": np.asarray(native), "step": np.asarray(7, np.int32)}
     assert _fix_restored_rng(ok)["rng"] is ok["rng"]  # untouched
+
+
+def test_resolve_tokenizer_refuses_char_fallback_for_subword(tmp_path):
+    """A subword recipe with no persisted tokenizer must ERROR, not
+    silently decode through a rebuilt char map (garbage hypotheses at
+    near-100% WER); char recipes keep the documented fallback. Also:
+    run_dir_of normalizes trailing slashes and accepts either the save
+    dir or the run dir."""
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "recipes"))
+    import evaluate as _eval
+    from summarymixing_tpu.config import load_recipe
+
+    cfg = load_recipe(os.path.join(
+        REPO, "recipes/LibriSpeech/branchformer_summarymixing.yaml"))
+    assert cfg.tokenizer_type != "char"
+    with pytest.raises(SystemExit, match="refusing to fall back"):
+        _eval.resolve_tokenizer(cfg, str(tmp_path), ["some text"])
+
+    run = tmp_path / "run"
+    (run / "save").mkdir(parents=True)
+    for p in (str(run / "save"), str(run / "save") + "/", str(run)):
+        assert _eval.run_dir_of(p) == str(run), p
