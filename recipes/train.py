@@ -363,7 +363,7 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
              if val_losses else 0.0,
              cfg.error_rate.upper(): summary["WER"]},
         )
-        state["epoch"] = state["epoch"] + 1  # gates normalizer freezing
+        state = trainer.next_epoch(state)  # gates normalizer freezing
         ckpt.save(step, fetch_to_host(state), force=True)
         if args.steps and step >= args.steps:
             break

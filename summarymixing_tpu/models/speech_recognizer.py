@@ -91,11 +91,16 @@ class SpeechRecognizer(nn.Module):
         feats: Array,
         feat_lengths: Array,
         dynchunktrain: Optional[DynChunkTrainConfig] = None,
+        deterministic: bool = True,
     ) -> Tuple[Array, Array]:
-        x = self.cnn(feats, deterministic=True)
+        """Inference default deterministic=True; the transducer TRAIN
+        step passes False so the frontend/encoder dropout actually runs
+        (it silently didn't, training without its main regularizer)."""
+        x = self.cnn(feats, deterministic=deterministic)
         out_len = self.subsampled_length(feat_lengths)
         wav_len_rel = out_len.astype(jnp.float32) / x.shape[1]
-        enc = self.asr.encode(x, wav_len_rel, dynchunktrain, deterministic=True)
+        enc = self.asr.encode(x, wav_len_rel, dynchunktrain,
+                              deterministic=deterministic)
         return enc, out_len
 
     def ctc_head(self, enc_out: Array) -> Array:

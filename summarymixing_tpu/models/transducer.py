@@ -176,10 +176,18 @@ class TransducerModel(nn.Module):
         return (self(enc_out, tokens_bos), self.ctc_head(enc_out),
                 self.ce_head(tokens_bos))
 
-    def ce_head(self, tokens_bos: Array) -> Array:
+    def ce_head(self, tokens_bos: Array,
+                deterministic: bool = True) -> Array:
         """Next-token log-probs from the prediction network alone
         ([B, U+1, V]); position u predicts target u."""
-        dec_proj = self.predictor(tokens_bos, deterministic=True)
+        dec_proj = self.predictor(tokens_bos, deterministic=deterministic)
+        return self.ce_from_dec(dec_proj)
+
+    def ce_from_dec(self, dec_proj: Array) -> Array:
+        """CE log-probs from an ALREADY-computed predictor output — the
+        train step shares one dropout-applied dec_proj between the joint
+        and this aux head (reference: dec_lin over the same decoder
+        output, transducer yaml:319-320)."""
         return jax.nn.log_softmax(self.dec_lin(dec_proj), axis=-1)
 
     def ctc_head(self, enc_out: Array) -> Array:

@@ -46,6 +46,7 @@ __all__ = [
     "local_rows",
     "global_batch",
     "allreduce_counts",
+    "fetch_global",
 ]
 
 

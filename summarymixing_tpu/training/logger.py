@@ -18,9 +18,14 @@ class FileTrainLogger:
 
         if jax.process_count() > 1 and jax.process_index() != 0:
             # multi-process: non-coordinators log to per-process files so
-            # the canonical train_log.txt has one writer
+            # each canonical file has ONE writer — the jsonl too, even
+            # when an explicit path is passed (N concurrent appenders
+            # would interleave/duplicate records in the stream)
             root, ext = os.path.splitext(save_file)
             save_file = f"{root}.p{jax.process_index()}{ext}"
+            if jsonl_file is not None:
+                jroot, jext = os.path.splitext(jsonl_file)
+                jsonl_file = f"{jroot}.p{jax.process_index()}{jext}"
         self.save_file = save_file
         self.jsonl_file = jsonl_file or (
             os.path.splitext(save_file)[0] + ".jsonl"

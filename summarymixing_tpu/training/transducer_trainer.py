@@ -189,6 +189,7 @@ class TransducerTrainer:
         enc_out, enc_lens = self.encoder_model.apply(
             {"params": params["encoder"]}, feats, feat_len,
             dynchunktrain=dct,
+            deterministic=deterministic,  # train-time encoder dropout ON
             method=self.encoder_model.encode,
             rngs=rngs,
         )
@@ -202,15 +203,19 @@ class TransducerTrainer:
         # (conformer_summarymixing_transducer.yaml:333-336), so the
         # speechbrain default "mean" applies — only ctc_cost gets the
         # yaml's loss_reduction "batchmean" (yaml:297-299)
+        # ONE predictor pass shared by the joint AND the CE aux (the
+        # reference's dec_lin reads the same dropout-applied decoder
+        # output the joint consumes; a separate deterministic ce_head
+        # pass both wasted a forward and regularized differently)
+        enc_proj = self.transducer_model.apply(
+            td_params, enc_out, method=self.transducer_model.encode_proj)
+        dec_proj = self.transducer_model.apply(
+            td_params, tokens_bos,
+            method=lambda m, t: m.predictor(
+                t, deterministic=deterministic),
+            rngs=rngs,
+        )
         if cfg.joint_chunk > 0:
-            enc_proj = self.transducer_model.apply(
-                td_params, enc_out, method=self.transducer_model.encode_proj)
-            dec_proj = self.transducer_model.apply(
-                td_params, tokens_bos,
-                method=lambda m, t: m.predictor(
-                    t, deterministic=deterministic),
-                rngs=rngs,
-            )
             l_t = transducer_loss_chunked(
                 enc_proj, dec_proj,
                 lambda e, d: self.transducer_model.apply(
@@ -220,8 +225,8 @@ class TransducerTrainer:
             )
         else:
             logits = self.transducer_model.apply(
-                td_params, enc_out, tokens_bos,
-                deterministic=deterministic, rngs=rngs,
+                td_params, enc_proj, dec_proj,
+                method=lambda m, e, d: m.joint(e, d),
             )
             l_t = transducer_loss(
                 logits, tokens, enc_lens, token_lens, blank_id=cfg.blank_id,
@@ -258,10 +263,11 @@ class TransducerTrainer:
             losses["ctc"] = l_ctc
             loss = loss + cfg.ctc_weight * l_ctc
         if cfg.ce_weight > 0.0:
-            # CE over the prediction network: position u predicts tokens[u]
+            # CE over the prediction network: position u predicts
+            # tokens[u] — from the SAME dec_proj the joint consumed
             ce_lp = self.transducer_model.apply(
-                {"params": params["transducer"]}, tokens_bos,
-                method=self.transducer_model.ce_head,
+                td_params, dec_proj,
+                method=self.transducer_model.ce_from_dec,
             )[:, :-1]
             l_ce = nll_loss(ce_lp, tokens, token_lens)
             losses["ce"] = l_ce
@@ -290,6 +296,12 @@ class TransducerTrainer:
             jax.random.PRNGKey(0), True, state["epoch"],
         )
         return losses, enc
+
+    def next_epoch(self, state):
+        """Advance the epoch counter (gates normalizer freezing and
+        number_of_ctc_epochs) — same API as ASRTrainer.next_epoch."""
+        state["epoch"] = state["epoch"] + 1
+        return state
 
     def train_step(self, state, batch):
         return self._train_step(state, shard_batch(batch, self.mesh))
