@@ -468,6 +468,7 @@ def main():
                 bos_id=cfg.model.bos_index, eos_id=cfg.model.eos_index,
                 blank_id=cfg.model.blank_index,
                 max_length=lmax,
+                temperature=cfg.decoding.test_temperature,
             )
             from train import make_beam_step  # noqa: E402
 

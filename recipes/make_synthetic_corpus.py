@@ -64,13 +64,14 @@ PHONES = [
 ]
 
 
-def _build_lexicon(rng, n_words=60):
-    """Words of 2-4 phonemes; half the lexicon is generated as MINIMAL
-    PAIRS of an earlier word (one phoneme substituted by a near
-    neighbour), so the acoustic space is crowded on purpose."""
+def _build_lexicon(rng, n_words=60, phones_lo=2, phones_hi=4):
+    """Words of phones_lo..phones_hi phonemes; half the lexicon is
+    generated as MINIMAL PAIRS of an earlier word (one phoneme substituted
+    by a near neighbour), so the acoustic space is crowded on purpose."""
     words, seen = [], set()
     while len(words) < n_words // 2:
-        w = tuple(rng.integers(0, len(PHONES), int(rng.integers(2, 5))))
+        w = tuple(rng.integers(0, len(PHONES),
+                               int(rng.integers(phones_lo, phones_hi + 1))))
         if w not in seen:
             seen.add(w)
             words.append(w)
@@ -147,27 +148,59 @@ def _synth_utterance(rng, phone_seq, sr):
     return (audio + noise).astype(np.float32)
 
 
+def _synth_row(task):
+    """Worker: synthesize one utterance deterministically from (seed, i).
+    Separate from the master rng so corpora can be generated in parallel
+    (--workers) at recipe scale (tens of thousands of utterances)."""
+    i, sent_words, out_dir, seed, sr = task
+    rng = np.random.default_rng((seed, i))
+    gap = np.zeros(int(0.04 * sr), np.float32)
+    pieces = []
+    for w in sent_words:
+        pieces.append(_synth_utterance(rng, w, sr))
+        pieces.append(gap)
+    audio = np.concatenate(pieces[:-1])
+    path = os.path.join(out_dir, f"utt{i}.wav")
+    write_wav(path, audio, sr)
+    return i, len(audio) / sr
+
+
 def make_hard(args):
     rng = np.random.default_rng(args.seed)
     sr = args.sr
     os.makedirs(args.out_dir, exist_ok=True)
-    words, names = _build_lexicon(rng)
+    words, names = _build_lexicon(rng, n_words=args.n_words,
+                                  phones_lo=args.phones_lo,
+                                  phones_hi=args.phones_hi)
     uni, trans = _bigram_lm(rng, len(words))
-    gap = np.zeros(int(0.04 * sr), np.float32)
+
+    # sample the language sequentially (cheap, one rng stream), then
+    # synthesize audio in parallel with per-utterance substreams
+    sents = [_sample_sentence(rng, uni, trans, lo=args.sent_lo,
+                              hi=args.sent_hi) for _ in range(args.n)]
+    tasks = [(i, [words[w] for w in s], args.out_dir, args.seed, sr)
+             for i, s in enumerate(sents)]
+    durations = [0.0] * args.n
+    if args.workers > 1:
+        import multiprocessing as mp
+
+        with mp.Pool(args.workers) as pool:
+            for i, dur in pool.imap_unordered(_synth_row, tasks,
+                                              chunksize=64):
+                durations[i] = dur
+    else:
+        for t in tasks:
+            i, dur = _synth_row(t)
+            durations[i] = dur
 
     rows = []
-    for i in range(args.n):
-        sent = _sample_sentence(rng, uni, trans)
+    for i, sent in enumerate(sents):
         text = " ".join(names[w] for w in sent)
-        pieces = []
-        for w in sent:
-            pieces.append(_synth_utterance(rng, words[w], sr))
-            pieces.append(gap)
-        audio = np.concatenate(pieces[:-1])
-        path = os.path.join(args.out_dir, f"utt{i}.wav")
-        write_wav(path, audio, sr)
-        rows.append({"ID": f"utt{i}", "duration": len(audio) / sr,
-                     "wav": path, "spk_id": f"spk{i % 7}", "wrd": text})
+        rows.append({"ID": f"utt{i}", "duration": durations[i],
+                     "wav": os.path.join(args.out_dir, f"utt{i}.wav"),
+                     "spk_id": f"spk{i % 7}", "wrd": text})
+    print(f"total audio: {sum(durations) / 3600:.2f} h over {args.n} "
+          f"utterances, lexicon {len(words)} words")
 
     fields = ["ID", "duration", "wav", "spk_id", "wrd"]
     splits = {"train": rows[: int(0.8 * len(rows))],
@@ -193,7 +226,8 @@ def make_hard(args):
         p = os.path.join(args.out_dir, "lm_text.txt")
         with open(p, "w") as f:
             for _ in range(args.lm_text):
-                sent = _sample_sentence(rng, uni, trans)
+                sent = _sample_sentence(rng, uni, trans, lo=args.sent_lo,
+                                        hi=args.sent_hi)
                 f.write(" ".join(names[w] for w in sent) + "\n")
         print(p, args.lm_text)
 
@@ -210,6 +244,15 @@ def main():
     ap.add_argument("--hard", action="store_true",
                     help="confusable formant pseudo-language with bigram "
                          "statistics + train/dev/test splits (module doc)")
+    ap.add_argument("--n-words", type=int, default=60,
+                    help="--hard lexicon size (recipe-scale runs use ~1000 "
+                         "so the 5k-piece unigram tokenizer is meaningful)")
+    ap.add_argument("--phones-lo", type=int, default=2)
+    ap.add_argument("--phones-hi", type=int, default=4)
+    ap.add_argument("--sent-lo", type=int, default=3)
+    ap.add_argument("--sent-hi", type=int, default=8)
+    ap.add_argument("--workers", type=int, default=1,
+                    help="parallel synthesis processes for large corpora")
     args = ap.parse_args()
 
     if args.hard:

@@ -503,7 +503,7 @@ def maybe_compact_ctc(cfg, ctc_lp, enc_lens):
 
 
 def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
-                  fbank, lm_ckpt=None, beam_size=None):
+                  fbank, lm_ckpt=None, beam_size=None, temperature=1.0):
     """Joint CTC/attention beam search (the reference's valid_search stage,
     yaml:248-263; with beam_size=test_beam_size it is the test_search
     stage, yaml:258-269), KV-cached, with optional TransformerLM fusion."""
@@ -540,7 +540,7 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
             lm_weight=cfg.decoding.lm_weight if lm_step else 0.0,
             bos_id=cfg.model.bos_index, eos_id=cfg.model.eos_index,
             blank_id=cfg.model.blank_index,
-            max_length=lmax,
+            max_length=lmax, temperature=temperature,
         )
         step, cache, lm_cache = make_beam_step(
             cfg, model, params, enc_t, len_t, enc_pad, bc, lm_step,
@@ -884,7 +884,8 @@ def main():
             summary = beam_validate(cfg, model, trainer, state, test_set,
                                     tokenizer, mesh, fbank,
                                     lm_ckpt=args.lm_ckpt,
-                                    beam_size=cfg.decoding.test_beam_size)
+                                    beam_size=cfg.decoding.test_beam_size,
+                                    temperature=cfg.decoding.test_temperature)
         else:
             stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                                    remove_spaces=cfg.remove_spaces)

@@ -198,6 +198,10 @@ class DecodingConfig:
     test_beam_size: int = 66
     lm_weight: float = 0.60
     lm_temperature: float = 1.15   # TransformerLMScorer temperature (yaml:235)
+    # decoder-softmax temperature at the TEST search stage only
+    # (reference test_search `temperature: 1.15`, branchformer yaml:266 /
+    # CommonVoice yaml:203; valid_search and AISHELL have none)
+    test_temperature: float = 1.0
     ctc_weight_decode: float = 0.40
     min_decode_ratio: float = 0.0
     max_decode_ratio: float = 1.0

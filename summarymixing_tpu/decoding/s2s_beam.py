@@ -49,6 +49,13 @@ class S2SBeamConfig:
     min_steps: int = 0        # min_decode_ratio * enc_len equivalent
     ctc_candidates: int = 0   # 0 -> 2 * beam_size
     length_norm: bool = True
+    # decoder-softmax temperature (reference S2SBeamSearcher `temperature`;
+    # the LibriSpeech/CommonVoice test_search stages use 1.15, branchformer
+    # yaml:266 / CommonVoice yaml:203). Applied as a re-normalised
+    # log-softmax over the decoder's log-probs, which is mathematically
+    # identical to softmax(logits / T): the 1/T-scaled log-partition shift
+    # is constant per row and cancels in the re-normalisation.
+    temperature: float = 1.0
     # score candidates without materialising their [N, K, T] prefix
     # states, rebuilding only the selected beam's states after pruning
     # (exact; skips the two [N, T, K] cumulative-logsumexp scans that
@@ -138,6 +145,8 @@ def s2s_beam_search(
             att_lp = decode_step_fn(tokens, step)      # [N, V]
         v = att_lp.shape[-1]
         k = min(k_ctc, v)  # static at trace time
+        if config.temperature != 1.0:
+            att_lp = jax.nn.log_softmax(att_lp / config.temperature, axis=-1)
         base_lp = att_w * att_lp
         if lm_step_fn is not None and config.lm_weight > 0.0:
             if lm_cache_c is not None:

@@ -174,6 +174,41 @@ def test_beam_search_decodes_overfit_model(rng):
     )
 
 
+def test_beam_temperature_matches_logit_scaling(rng):
+    """S2SBeamConfig.temperature re-normalises the decoder's LOG-PROBS
+    (log_softmax(lp / T)); the reference's S2SBeamSearcher applies
+    softmax(logits / T). The two must select identical hypotheses with
+    identical scores: the 1/T-scaled log-partition is a per-row constant
+    that cancels in re-normalisation (reference test_search
+    temperature: 1.15, branchformer yaml:266)."""
+    b, beam, v, t_enc, temp = 3, 4, 12, 6, 1.15
+    key = jax.random.PRNGKey(7)
+    logits = jax.random.normal(key, (b * beam, 24, v)) * 3.0
+    enc = jnp.zeros((b * beam, t_enc, 4))
+    lens = jnp.full((b * beam,), t_enc, jnp.int32)
+
+    def step_lp(tokens, step):
+        return jax.nn.log_softmax(logits[:, step], axis=-1)
+
+    def step_scaled(tokens, step):
+        return jax.nn.log_softmax(logits[:, step] / temp, axis=-1)
+
+    base = dict(beam_size=beam, ctc_weight=0.0, lm_weight=0.0,
+                bos_id=1, eos_id=2, blank_id=0, max_length=8, min_steps=2)
+    toks_a, lens_a, sc_a = s2s_beam_search(
+        step_lp, enc, lens, None, S2SBeamConfig(temperature=temp, **base))
+    toks_b, lens_b, sc_b = s2s_beam_search(
+        step_scaled, enc, lens, None, S2SBeamConfig(**base))
+    np.testing.assert_array_equal(np.asarray(toks_a), np.asarray(toks_b))
+    np.testing.assert_array_equal(np.asarray(lens_a), np.asarray(lens_b))
+    np.testing.assert_allclose(np.asarray(sc_a), np.asarray(sc_b),
+                               rtol=1e-5, atol=1e-5)
+    # and T != 1 is not a no-op on the scores
+    _, _, sc_c = s2s_beam_search(step_lp, enc, lens, None,
+                                 S2SBeamConfig(**base))
+    assert not np.allclose(np.asarray(sc_a), np.asarray(sc_c))
+
+
 def test_beam_search_early_exit_is_exact(rng):
     """Raising max_length must not change the result once every beam has
     emitted eos: the while_loop exits at the all-finished step, so the

@@ -211,6 +211,10 @@ def test_librispeech_branchformer_fidelity():
             "model.csgu_kernel_size": "csgu_kernel_size",
             "model.d_ffn": "decoder_linear_units",
             "decoding.lm_weight": "lm_weight",
+            # decoder-softmax temperature at the TEST stage (yaml:266) and
+            # the LM scorer temperature (yaml:235) — VERDICT round 2 #4
+            "decoding.test_temperature": "test_search.temperature",
+            "decoding.lm_temperature": "transformerlm_scorer.temperature",
             "augment.time_drop_length_low": "time_drop.drop_length_low",
             "augment.time_drop_length_high": "time_drop.drop_length_high",
             "augment.time_drop_count": "time_drop.drop_count_low",
@@ -283,6 +287,7 @@ def test_commonvoice_branchformer_fidelity():
             "model.csgu_kernel_size": "csgu_kernel_size",
             "token_type": "token_type",
             "character_coverage": "character_coverage",
+            "decoding.test_temperature": "test_search.temperature",
             # CV's drop blocks omit `replace`/warp_window (speechbrain
             # defaults zeros/5, mirrored in the repo yaml literally)
             "augment.time_drop_length_low": "time_drop.drop_length_low",
