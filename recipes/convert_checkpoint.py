@@ -12,10 +12,27 @@ saves it as a checkpoint, so evaluating a reference-trained model is:
   python recipes/convert_checkpoint.py recipe.yaml \\
       --torch-ckpt save/.../model.ckpt \\
       [--norm-ckpt save/.../normalizer.ckpt] \\
-      [--tokenizer path/to/tokenizer.(json|model)] \\
+      [--tokenizer path/to/tokenizer.(json|model|ckpt)] \\
+      [--lm-ckpt save/.../lm.ckpt] \\
       --output converted_run
   python recipes/evaluate.py recipe.yaml --test-manifest test.csv \\
-      --ckpt converted_run/save [--beam]
+      --ckpt converted_run/save [--beam] [--lm-ckpt converted_run/lm]
+
+or, pointing at a whole reference-format checkpoint directory (the
+Pretrainer's collect_in layout {model.ckpt, lm.ckpt, tokenizer.ckpt,
+normalizer.ckpt}, reference yaml:349-360):
+
+  python recipes/convert_checkpoint.py recipe.yaml \\
+      --ref-dir downloaded_save_dir --output converted_run
+
+--lm-ckpt converts the published fusion LM — the SpeechBrain
+TransformerLM for the attention recipes (utils/convert.py::
+convert_transformer_lm) or the RNNLM for the transducer recipes
+(convert_rnnlm) — into <output>/lm (checkpoint + lm_config.json), the
+layout train.py/evaluate.py's --lm-ckpt fusion loader consumes. A
+sentencepiece tokenizer.ckpt is recognised by content (ModelProto) and
+placed as tokenizer.model, which loads through the pure-python reader
+(data/sentencepiece_model.py) — no sentencepiece wheel needed.
 
 --norm-ckpt maps the reference InputNormalization statistics
 (glob_mean/glob_std, speechbrain normalization.py _save/_load format)
@@ -68,21 +85,105 @@ def norm_stats_from_reference(path: str, n_mels: int) -> dict:
     }
 
 
+def convert_lm_ckpt(cfg, lm_path: str, out_dir: str, is_transducer: bool):
+    """Convert a published lm.ckpt into <out_dir>/lm: an orbax checkpoint
+    ({"params": ...}) plus lm_config.json with the architecture inferred
+    from the weights, i.e. exactly what train.py::_restore_lm loads for
+    shallow fusion (reference Pretrainer loadables lm:, yaml:353-360).
+
+    Dims that are visible in the weights (d_model/layers/d_ffn, LSTM
+    sizes) are inferred; nhead is NOT recoverable from a fused qkv
+    projection, so it comes from the recipe's lm: block (the LMConfig
+    default, 12, is the published 768d LM's value, yaml:185)."""
+    import dataclasses
+    import json as _json
+
+    from summarymixing_tpu.config.schema import LMConfig
+    from summarymixing_tpu.utils.convert import (
+        convert_rnnlm,
+        convert_transformer_lm,
+    )
+
+    sd = load_torch_checkpoint(lm_path)
+    base = dataclasses.asdict(cfg.lm) if cfg.lm else dataclasses.asdict(
+        LMConfig(model_type="rnn" if is_transducer else "transformer"))
+    if is_transducer:
+        params = convert_rnnlm(sd)
+        n_lstm = sum(1 for k in params if k.startswith("lstm_"))
+        base.update(
+            model_type="rnn",
+            embedding_dim=int(params["emb"]["embedding"].shape[1]),
+            rnn_layers=n_lstm,
+            rnn_neurons=int(params["lstm_0"]["hi"]["kernel"].shape[0]),
+            dnn_neurons=int(params["dnn"]["kernel"].shape[1]),
+        )
+    else:
+        params = convert_transformer_lm(sd)
+        base.update(
+            model_type="transformer",
+            output_proj=params.pop("__output_proj__"),
+            d_model=int(params["emb"]["emb"]["embedding"].shape[1]),
+            num_layers=sum(1 for k in params["encoder"]
+                           if k.startswith("layer_")),
+            d_ffn=int(params["encoder"]["layer_0"]["pos_ffn"]["ffn_in"]
+                      ["kernel"].shape[1]),
+        )
+    lm_dir = os.path.join(out_dir, "lm")
+    os.makedirs(lm_dir, exist_ok=True)
+    CheckpointManager(os.path.join(lm_dir, "save")).save(
+        0, {"params": jax.tree.map(jnp.asarray, params)}, force=True)
+    with open(os.path.join(lm_dir, "lm_config.json"), "w") as f:
+        _json.dump(base, f, indent=1)
+    n = sum(int(np.asarray(p).size) for p in jax.tree.leaves(params))
+    print(f"converted LM ({base['model_type']}, {n:,} params) -> {lm_dir} "
+          f"(fuse with --lm-ckpt {lm_dir})")
+
+
+def _is_sentencepiece_model(path: str) -> bool:
+    from summarymixing_tpu.data.sentencepiece_model import parse_model_proto
+
+    try:
+        with open(path, "rb") as f:
+            return len(parse_model_proto(f.read())) > 0
+    except Exception:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("recipe")
-    ap.add_argument("--torch-ckpt", required=True,
+    ap.add_argument("--torch-ckpt", default=None,
                     help="reference model.ckpt (torch state dict)")
+    ap.add_argument("--ref-dir", default=None,
+                    help="reference checkpoint directory (Pretrainer "
+                         "collect_in layout): picks up model.ckpt, "
+                         "lm.ckpt, tokenizer.ckpt, normalizer.ckpt")
     ap.add_argument("--norm-ckpt", default=None,
                     help="reference normalizer.ckpt (InputNormalization "
                          "glob stats)")
+    ap.add_argument("--lm-ckpt", default=None,
+                    help="reference lm.ckpt (TransformerLM for attention "
+                         "recipes, RNNLM for transducer recipes) -> "
+                         "<output>/lm fusion run dir")
     ap.add_argument("--tokenizer", default=None,
                     help="tokenizer file to place in the run dir "
                          "(tokenizer.json from data/subword.py, a "
-                         "sentencepiece tokenizer.model, or a "
+                         "sentencepiece tokenizer.model/.ckpt, or a "
                          "tokenizer_vocab.json char map)")
     ap.add_argument("--output", required=True, help="run directory to write")
     args = ap.parse_args()
+
+    if args.ref_dir:
+        def _pick(current, name):
+            p = os.path.join(args.ref_dir, name)
+            return current or (p if os.path.exists(p) else None)
+
+        args.torch_ckpt = _pick(args.torch_ckpt, "model.ckpt")
+        args.lm_ckpt = _pick(args.lm_ckpt, "lm.ckpt")
+        args.norm_ckpt = _pick(args.norm_ckpt, "normalizer.ckpt")
+        args.tokenizer = _pick(args.tokenizer, "tokenizer.ckpt")
+    if not args.torch_ckpt:
+        raise SystemExit("need --torch-ckpt (or --ref-dir with model.ckpt)")
 
     cfg = load_recipe(args.recipe)
     model, fbank, td_model = build_model(cfg)
@@ -127,7 +228,9 @@ def main():
         if base not in ("tokenizer.json", "tokenizer.model",
                         "tokenizer_vocab.json"):
             ext = os.path.splitext(base)[1]
-            if ext == ".model":
+            if ext == ".model" or _is_sentencepiece_model(args.tokenizer):
+                # content sniffing covers the Pretrainer's tokenizer.ckpt
+                # (a sentencepiece ModelProto under a .ckpt name)
                 base = "tokenizer.model"
             elif ext == ".json":
                 # disambiguate by content: a subword tokenizer carries
@@ -146,6 +249,10 @@ def main():
                     "--tokenizer must be a .json (subword/char) or "
                     ".model (sentencepiece) file")
         shutil.copy(args.tokenizer, os.path.join(args.output, base))
+
+    if args.lm_ckpt:
+        convert_lm_ckpt(cfg, args.lm_ckpt, args.output,
+                        is_transducer=td_model is not None)
 
     n_params = sum(int(np.asarray(p).size) for p in jax.tree.leaves(params))
     print(f"converted {n_params:,} parameters -> {save_dir} "

@@ -193,7 +193,7 @@ def score_batch(stats, tokenizer, batch, idx, seen, hyp_tokens,
         hlens_np = launch.fetch_global(hyp_lens)
         hyps = [tokenizer.decode(hyp_np[i, : int(hlens_np[i])]).split()
                 for i in keep]
-    stats.append(refs, hyps)
+    stats.append(refs, hyps, ids=[int(idx[i]) for i in keep])
     return len(keep)
 
 
@@ -218,7 +218,16 @@ def _spec_augment_config(a):
 def _restore_lm(cfg, lm_ckpt_dir, default_model_type=None):
     """Shared LM checkpoint restore for shallow fusion: resolves the run
     dir's save/ subdir and loads params. Returns (lm_cfg, lm, params) or
-    None (with a warning) when no checkpoint exists."""
+    None (with a warning) when no checkpoint exists.
+
+    An `lm_config.json` in the LM run dir (written by train_lm.py and
+    convert_checkpoint.py) takes precedence over the recipe's lm: block —
+    the checkpointed weights fix the architecture (e.g. a converted
+    published lm.ckpt uses the SpeechBrain "sb" output head), so the run
+    dir, not the decoding-side recipe, is the source of truth."""
+    import dataclasses
+    import json as _json
+
     from summarymixing_tpu.config.schema import LMConfig
     from summarymixing_tpu.models.lm import build_lm
     from summarymixing_tpu.training.checkpoint import CheckpointManager
@@ -227,6 +236,12 @@ def _restore_lm(cfg, lm_ckpt_dir, default_model_type=None):
                         if default_model_type else LMConfig())
     save_dir = (lm_ckpt_dir if os.path.basename(lm_ckpt_dir) == "save"
                 else os.path.join(lm_ckpt_dir, "save"))
+    cfg_path = os.path.join(os.path.dirname(save_dir), "lm_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            data = _json.load(f)
+        known = {f.name for f in dataclasses.fields(LMConfig)}
+        lm_cfg = LMConfig(**{k: v for k, v in data.items() if k in known})
     raw = CheckpointManager(save_dir).restore({"params": None}, partial=True)
     if raw is None:
         print(f"WARNING: no LM checkpoint in {save_dir}; decoding without "
@@ -808,9 +823,11 @@ def main():
     rng_np = np.random.default_rng(cfg.seed)
     profiler = StepProfiler(args.profile, args.profile_steps)
     stopper = TrainStopper(max_hours=args.max_hours, install=True)
+    hb_every = int(os.environ.get("SMT_HEARTBEAT_STEPS", "10"))
     for epoch in EpochCounter(cfg.training.number_of_epochs,
                               start=start_epoch):
         t0 = time.time()
+        hb_t = time.time()
         train_losses = []
         for batch, _ in prefetch(batches(train_set, tokenizer, cfg, mesh,
                                          True, cfg.seed + epoch, fbank)):
@@ -825,10 +842,25 @@ def main():
             step += 1
             profiler.step(step, metrics["loss"])
             train_losses.append(metrics["loss"])  # device scalar, no sync
+            if hb_every and step % hb_every == 0:
+                # one host fetch per window: a truthful mean step time
+                # under async dispatch (CLAUDE.md timing methodology)
+                loss_now = float(np.asarray(metrics["loss"]))
+                now = time.time()
+                print(f"[hb] step {step} mean_step_s "
+                      f"{(now - hb_t) / hb_every:.2f} loss {loss_now:.3f}",
+                      flush=True)
+                hb_t = now
             if ckpt.should_save():
                 # force: the interval decision was already made (and in
                 # multi-process runs broadcast) by should_save above
-                ckpt.save(step, fetch_to_host(state), force=True)
+                t_fetch = time.time()
+                host_state = fetch_to_host(state)
+                t_save = time.time()
+                ckpt.save(step, host_state, force=True)
+                print(f"[hb] ckpt step {step}: fetch {t_save - t_fetch:.1f}s"
+                      f" save {time.time() - t_save:.1f}s", flush=True)
+                hb_t = time.time()
             if stopper.should_stop(step):
                 ckpt.save(step, fetch_to_host(state), force=True)
                 print(f"[preempt] checkpoint saved at step {step} "

@@ -118,6 +118,14 @@ def main():
     if args.model_type:
         lm_cfg.model_type = args.model_type
     os.makedirs(args.output, exist_ok=True)
+    # persist the architecture with the run: fusion-side consumers
+    # (train.py::_restore_lm) rebuild the LM from this file, so a decode
+    # recipe without an lm: block still gets the right topology
+    import dataclasses
+    import json as _json
+
+    with open(os.path.join(args.output, "lm_config.json"), "w") as f:
+        _json.dump(dataclasses.asdict(lm_cfg), f, indent=1)
 
     texts = load_texts(args)
 

@@ -184,6 +184,10 @@ class LMConfig:
     rnn_layers: int = 2
     rnn_neurons: int = 2048
     dnn_neurons: int = 512
+    # TransformerLM output head: "linear" (in-repo trained) or "sb" (the
+    # SpeechBrain Linear->LayerNorm->Linear output_proj; set by
+    # convert_checkpoint.py for converted published lm.ckpt weights)
+    output_proj: str = "linear"
     # training (recipes/train_lm.py)
     lr: float = 1.0e-4
     dropout: float = 0.0

@@ -4,8 +4,11 @@ yaml:193) loaded through the `sentencepiece` package when available.
 
 The reference depends on the SentencePiece C++ library via its Python
 wheel (SURVEY.md §2.3); tokenization is host-side data prep, not model
-code, so the wheel is used as-is when installed and cleanly gated when not
-(this image does not ship it)."""
+code, so the wheel is used as-is when installed. When it is not (this
+image does not ship it), `.model` files still load through the in-repo
+pure-python ModelProto reader (data/sentencepiece_model.py) — the
+published-tokenizer route of the reference's Pretrainer (yaml:353-360)
+works either way."""
 
 from __future__ import annotations
 
@@ -61,26 +64,42 @@ class CharTokenizer:
 
 
 class SentencePieceTokenizer:
-    """Thin wrapper over a trained sentencepiece model (host-side)."""
+    """Tokenizer over a trained sentencepiece ``.model`` file.
+
+    Uses the sentencepiece wheel when installed; otherwise falls back to
+    the in-repo pure-python ModelProto reader
+    (data/sentencepiece_model.py), so PUBLISHED tokenizers — the
+    reference Pretrainer's tokenizer.ckpt (branchformer yaml:353-360) —
+    load with no native dependency. Ids follow the model file's own
+    layout in both paths."""
 
     def __init__(self, model_path: str):
-        if not HAS_SENTENCEPIECE:
-            raise ImportError(
-                "sentencepiece is not installed; use CharTokenizer or install "
-                "the sentencepiece wheel for BPE/unigram recipes"
+        if HAS_SENTENCEPIECE:  # pragma: no cover - wheel not in this image
+            self.sp = _spm.SentencePieceProcessor()
+            self.sp.load(model_path)
+        else:
+            from summarymixing_tpu.data.sentencepiece_model import (
+                SentencePieceModel,
             )
-        self.sp = _spm.SentencePieceProcessor()
-        self.sp.load(model_path)
+
+            self.sp = None
+            self._model = SentencePieceModel.load(model_path)
 
     @property
     def vocab_size(self) -> int:
-        return self.sp.get_piece_size()
+        if self.sp is not None:  # pragma: no cover
+            return self.sp.get_piece_size()
+        return self._model.vocab_size
 
     def encode(self, text: str) -> List[int]:
-        return self.sp.encode_as_ids(text)
+        if self.sp is not None:  # pragma: no cover
+            return self.sp.encode_as_ids(text)
+        return self._model.encode(text)
 
     def decode(self, ids: Sequence[int]) -> str:
-        return self.sp.decode_ids(list(ids))
+        if self.sp is not None:  # pragma: no cover
+            return self.sp.decode_ids(list(ids))
+        return self._model.decode(ids)
 
 
 def load_tokenizer(kind: str, **kwargs):

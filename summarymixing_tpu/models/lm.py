@@ -38,6 +38,11 @@ class TransformerLM(nn.Module):
     activation: Callable = gelu_exact
     normalize_before: bool = False
     max_length: int = 2500
+    # "linear": single Dense head (in-repo trained LMs). "sb": the
+    # SpeechBrain TransformerLM output_proj ModuleList — Linear(d, d) ->
+    # LayerNorm(eps 1e-6) -> Linear(d, vocab) — required to host converted
+    # published lm.ckpt weights (utils/convert.py::convert_transformer_lm)
+    output_proj: str = "linear"
     dtype: jnp.dtype | None = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -59,8 +64,22 @@ class TransformerLM(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
+        if self.output_proj == "sb":
+            self.out_proj = nn.Dense(self.d_model, dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     name="out_proj")
+            self.out_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                         param_dtype=self.param_dtype,
+                                         name="out_norm")
+        elif self.output_proj != "linear":
+            raise ValueError(f"unknown output_proj {self.output_proj!r}")
         self.out = nn.Dense(self.vocab, dtype=self.dtype,
                             param_dtype=self.param_dtype, name="out")
+
+    def _head(self, x: Array) -> Array:
+        if self.output_proj == "sb":
+            x = self.out_norm(self.out_proj(x))
+        return self.out(x)
 
     def __call__(
         self,
@@ -74,7 +93,7 @@ class TransformerLM(nn.Module):
         x = x + positional_encoding(u, self.d_model, x.dtype)
         x = self.encoder(x, src_mask=lookahead_mask(u), pad_mask=pad_mask,
                          deterministic=deterministic)
-        return self.out(x)
+        return self._head(x)
 
     # -- KV-cached scoring for beam-search fusion -----------------------------
     def init_cache(self, batch: int, max_len: int, dtype=jnp.float32):
@@ -87,7 +106,7 @@ class TransformerLM(nn.Module):
         pe = jax.lax.dynamic_slice(table, (0, pos, 0), (1, 1, self.d_model))
         x = x + pe[0, 0]
         h, cache = self.encoder.step(x, pos, cache)
-        return self.out(h), cache
+        return self._head(h), cache
 
 
 class RNNLM(nn.Module):
@@ -157,7 +176,7 @@ def build_lm(lm_cfg, vocab: int):
         return TransformerLM(
             vocab=vocab, d_model=lm_cfg.d_model, nhead=lm_cfg.nhead,
             num_layers=lm_cfg.num_layers, d_ffn=lm_cfg.d_ffn,
-            dropout_rate=lm_cfg.dropout,
+            dropout_rate=lm_cfg.dropout, output_proj=lm_cfg.output_proj,
         )
     if lm_cfg.model_type == "rnn":
         return RNNLM(

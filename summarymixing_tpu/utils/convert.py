@@ -341,6 +341,141 @@ def convert_full_model(sd: Dict[str, np.ndarray], *, nhead: int, mode: str,
     return params
 
 
+def convert_encoder_layer(prefix: str, sd: Dict[str, np.ndarray]) -> dict:
+    """Reference TransformerEncoderLayer with regularMHA
+    (Transformer.py:404-467: attrs self_att/pos_ffn/norm1/norm2) -> flax
+    TransformerEncoderLayer params (models/transformer.py)."""
+    return {
+        "self_att": convert_mha(f"{prefix}.self_att", sd),
+        "pos_ffn": {
+            "ffn_in": convert_linear(sd[f"{prefix}.pos_ffn.ffn.0.weight"],
+                                     sd[f"{prefix}.pos_ffn.ffn.0.bias"]),
+            "ffn_out": convert_linear(sd[f"{prefix}.pos_ffn.ffn.3.weight"],
+                                      sd[f"{prefix}.pos_ffn.ffn.3.bias"]),
+        },
+        "norm1": _ln(f"{prefix}.norm1", sd),
+        "norm2": _ln(f"{prefix}.norm2", sd),
+    }
+
+
+def convert_transformer_lm(sd: Dict[str, np.ndarray]) -> dict:
+    """Convert a SpeechBrain TransformerLM `lm.ckpt` state dict (the
+    Pretrainer's published LM, reference branchformer yaml:182-191:
+    768d/12h/12L, d_ffn 3072, GELU, normalize_before False, causal) into
+    the flax TransformerLM parameter tree (models/lm.py).
+
+    SpeechBrain layout (speechbrain TransformerLM over the encoder classes
+    of the vendored Transformer.py):
+
+      custom_src_module.emb.Embedding.weight   NormalizedEmbedding
+      encoder.layers.{i}.{self_att,pos_ffn,norm1,norm2}
+      encoder.norm                              stack-final LN (eps 1e-6)
+      output_proj.layers.{0,1,2}                Linear(d,d) -> LayerNorm
+                                                -> Linear(d,vocab)
+      (older/simpler heads: a single output-projection Linear)
+
+    The 3-module head maps onto the flax model's output_proj="sb" variant
+    (out_proj/out_norm/out); a single-Linear head maps onto the default
+    output_proj="linear". The returned dict carries the inferred variant
+    under the "__output_proj__" key for the caller (convert_checkpoint.py)
+    to build the matching LMConfig."""
+    if "embedding_proj.w.weight" in sd:
+        raise NotImplementedError(
+            "TransformerLM with d_embedding != d_model (embedding_proj) "
+            "is not supported; the published 768d LM does not use it")
+    params = {"emb": {"emb": {"embedding": np.asarray(
+        sd["custom_src_module.emb.Embedding.weight"])}}}
+    enc = {}
+    i = 0
+    while f"encoder.layers.{i}.self_att.att.in_proj_weight" in sd:
+        enc[f"layer_{i}"] = convert_encoder_layer(f"encoder.layers.{i}", sd)
+        i += 1
+    if not enc:
+        raise KeyError("no encoder layers found: not a SpeechBrain "
+                       "TransformerLM state dict?")
+    enc["norm"] = _ln("encoder.norm", sd)
+    params["encoder"] = enc
+    if "output_proj.layers.0.w.weight" in sd:
+        params["out_proj"] = convert_linear(
+            sd["output_proj.layers.0.w.weight"],
+            sd["output_proj.layers.0.w.bias"])
+        params["out_norm"] = _ln("output_proj.layers.1", sd)
+        params["out"] = convert_linear(sd["output_proj.layers.2.w.weight"],
+                                       sd["output_proj.layers.2.w.bias"])
+        params["__output_proj__"] = "sb"
+    elif "output_proj.w.weight" in sd:
+        params["out"] = convert_linear(sd["output_proj.w.weight"],
+                                       sd["output_proj.w.bias"])
+        params["__output_proj__"] = "linear"
+    else:
+        raise KeyError("no output_proj head found in the LM state dict")
+    return params
+
+
+def convert_rnnlm(sd: Dict[str, np.ndarray]) -> dict:
+    """Convert a SpeechBrain RNNLM `lm.ckpt` (the transducer recipes'
+    fusion LM, reference transducer yaml:339-348: emb 128, 2-layer LSTM
+    2048, one 512 DNN block) into the flax RNNLM tree (models/lm.py:
+    emb -> lstm_{i} -> dnn -> leaky_relu -> out).
+
+    Key discovery is shape-driven so SpeechBrain container-naming
+    variants all convert: the embedding is the [vocab, emb] matrix under
+    an 'emb' key, LSTM layers are the torch `weight_ih_l{k}` stacks, the
+    DNN linear is [dnn, rnn] and the head [vocab, dnn]. Any unconsumed
+    parameters (e.g. a normalisation block this converter does not model)
+    raise instead of silently converting to different numerics."""
+    emb_key = next((k for k in sd if "emb" in k.lower()
+                    and k.endswith(".weight") and sd[k].ndim == 2), None)
+    ih0 = next((k for k in sd if k.endswith("weight_ih_l0")), None)
+    if emb_key is None or ih0 is None:
+        raise KeyError("no embedding / LSTM weights found: not an RNNLM "
+                       "state dict?")
+    rnn_prefix = ih0[: -len(".weight_ih_l0")]
+    n_layers = 0
+    while f"{rnn_prefix}.weight_ih_l{n_layers}" in sd:
+        n_layers += 1
+    rnn_neurons = sd[f"{rnn_prefix}.weight_hh_l0"].shape[1]
+    vocab = sd[emb_key].shape[0]
+    params = {"emb": {"embedding": np.asarray(sd[emb_key])}}
+    consumed = {emb_key}
+    for li in range(n_layers):
+        params[f"lstm_{li}"] = convert_lstm(rnn_prefix, sd, layer=li)
+        consumed |= {f"{rnn_prefix}.{n}_l{li}"
+                     for n in ("weight_ih", "weight_hh", "bias_ih",
+                               "bias_hh")}
+    # remaining 2-D linears in registration order (state dicts preserve
+    # it): the DNN block's linear, then the output head
+    linears = [k for k in sd if k.endswith(".weight") and sd[k].ndim == 2
+               and k not in consumed]
+    if len(linears) != 2:
+        raise KeyError(
+            f"expected exactly [dnn, out] linears after the LSTM, found "
+            f"{linears}; convert_rnnlm models the reference transducer "
+            "RNNLM topology (one 512 DNN block)")
+    dnn_k, out_k = linears
+    if (sd[dnn_k].shape[1] != rnn_neurons
+            or sd[out_k].shape[1] != sd[dnn_k].shape[0]
+            or sd[out_k].shape[0] != vocab):
+        raise KeyError(
+            f"linear shapes do not chain emb->lstm({rnn_neurons})->dnn->"
+            f"out({vocab}): {dnn_k}={sd[dnn_k].shape}, "
+            f"{out_k}={sd[out_k].shape}")
+    params["dnn"] = convert_linear(sd[dnn_k],
+                                   sd.get(dnn_k[:-len(".weight")] + ".bias"))
+    params["out"] = convert_linear(sd[out_k],
+                                   sd.get(out_k[:-len(".weight")] + ".bias"))
+    consumed |= {dnn_k, dnn_k[:-len(".weight")] + ".bias",
+                 out_k, out_k[:-len(".weight")] + ".bias"}
+    leftovers = [k for k in sd if k not in consumed
+                 and not k.endswith("num_batches_tracked")]
+    if any(sd[k].ndim >= 1 and sd[k].size > 1 for k in leftovers):
+        raise KeyError(
+            f"unconsumed RNNLM parameters {sorted(leftovers)}: the state "
+            "dict contains blocks (e.g. normalisation) this converter "
+            "does not model — converting would silently change numerics")
+    return params
+
+
 def convert_summary_mixing(
     prefix: str, sd: Dict[str, np.ndarray], nhead: int, mode: str
 ) -> dict:

@@ -1,0 +1,123 @@
+"""Pure-python sentencepiece ModelProto reader
+(data/sentencepiece_model.py): wire-format round trip, Viterbi
+segmentation semantics, byte fallback, and agreement with the in-repo
+SubwordTokenizer's Viterbi on an identical piece table."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from summarymixing_tpu.data.sentencepiece_model import (
+    BYTE,
+    CONTROL,
+    NORMAL,
+    UNKNOWN,
+    SentencePieceModel,
+    parse_model_proto,
+    serialize_model_proto,
+)
+
+
+def _std_pieces(extra=()):
+    return [("<unk>", 0.0, UNKNOWN), ("<s>", 0.0, CONTROL),
+            ("</s>", 0.0, CONTROL)] + list(extra)
+
+
+def test_round_trip():
+    pieces = _std_pieces([("▁ab", -1.5, NORMAL), ("▁a", -2.0, NORMAL),
+                          ("b", -2.5, NORMAL), ("<0x41>", -10.0, BYTE)])
+    data = serialize_model_proto(pieces)
+    got = parse_model_proto(data)
+    assert [(p, t) for p, _, t in got] == [(p, t) for p, _, t in pieces]
+    np.testing.assert_allclose([s for _, s, _ in got],
+                               [s for _, s, _ in pieces], rtol=1e-6)
+
+
+def test_ids_follow_file_order_and_specials():
+    m = SentencePieceModel(_std_pieces([("▁x", -1.0, NORMAL)]))
+    assert m.unk_id == 0 and m.bos_id == 1 and m.eos_id == 2
+    assert m.vocab_size == 4
+    assert m.encode("x") == [3]
+
+
+def test_viterbi_picks_best_scoring_segmentation():
+    # "▁ab" single piece (-1.5) beats "▁a"+"b" (-2.0 + -2.5)
+    m = SentencePieceModel(_std_pieces([
+        ("▁ab", -1.5, NORMAL), ("▁a", -2.0, NORMAL), ("b", -2.5, NORMAL)]))
+    assert m.encode("ab") == [3]
+    # flip the scores: now the split wins
+    m2 = SentencePieceModel(_std_pieces([
+        ("▁ab", -9.0, NORMAL), ("▁a", -2.0, NORMAL), ("b", -2.5, NORMAL)]))
+    assert m2.encode("ab") == [4, 5]
+    assert m2.decode([4, 5]) == "ab"
+
+
+def test_unknown_char_becomes_unk():
+    m = SentencePieceModel(_std_pieces([("▁a", -1.0, NORMAL)]))
+    ids = m.encode("aq")  # q is not in the vocabulary, no byte pieces
+    assert ids == [3, m.unk_id]
+    assert "⁇" in m.decode(ids)
+
+
+def test_byte_fallback_encode_decode():
+    byte_pieces = [(f"<0x{b:02X}>", -20.0, BYTE) for b in range(256)]
+    m = SentencePieceModel(_std_pieces([("▁a", -1.0, NORMAL)] + byte_pieces))
+    ids = m.encode("aé")
+    # é is two UTF-8 bytes -> two byte pieces after ▁a
+    assert len(ids) == 3 and ids[0] == 3
+    assert m.decode(ids) == "aé"
+
+
+def test_skips_unknown_proto_fields():
+    """TrainerSpec/NormalizerSpec (fields 2/3) and unknown piece fields
+    must be skipped, as the real files contain them."""
+    pieces = serialize_model_proto(_std_pieces([("▁hi", -1.0, NORMAL)]))
+    # append field 2 (trainer_spec) as a length-delimited blob
+    blob = b"\x08\x01"  # arbitrary inner varint field
+    data = pieces + b"\x12" + bytes([len(blob)]) + blob
+    # and field 7 (fixed32) + field 8 (varint) at top level
+    data += bytes([7 << 3 | 5]) + struct.pack("<f", 1.0)
+    data += bytes([8 << 3 | 0, 42])
+    got = parse_model_proto(data)
+    assert [p for p, _, _ in got][-1] == "▁hi"
+
+
+def test_matches_subword_tokenizer_viterbi():
+    """Exporting the in-repo unigram trainer's piece table as a
+    ModelProto (reserved ids 0-2 preserved) must reproduce the
+    SubwordTokenizer's encodings exactly — the two Viterbi
+    implementations agree on real piece tables."""
+    from summarymixing_tpu.data.subword import train_subword
+
+    rng = np.random.default_rng(0)
+    words = ["ba", "do", "ki", "lu", "me", "ta", "bado", "kilu", "meta"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(2, 6)))
+             for _ in range(200)]
+    tok = train_subword(texts, 40, "unigram")
+    pieces = _std_pieces([(p, lp, NORMAL) for p, lp in tok.pieces.items()])
+    m = SentencePieceModel(parse_model_proto(serialize_model_proto(pieces)))
+    assert m.vocab_size == tok.vocab_size
+    for t in texts[:50]:
+        assert m.encode(t) == tok.encode(t), t
+        assert m.decode(m.encode(t)) == t
+
+
+def test_loads_through_sentencepiece_tokenizer(tmp_path):
+    """data/tokenizer.py::SentencePieceTokenizer must load a .model file
+    with no sentencepiece wheel installed (the Pretrainer route)."""
+    from summarymixing_tpu.data.tokenizer import (
+        HAS_SENTENCEPIECE,
+        SentencePieceTokenizer,
+    )
+
+    if HAS_SENTENCEPIECE:  # pragma: no cover - wheel not in this image
+        pytest.skip("wheel present; the fallback path is not reachable")
+    path = tmp_path / "tokenizer.model"
+    path.write_bytes(serialize_model_proto(_std_pieces(
+        [("▁ba", -1.0, NORMAL), ("▁do", -1.2, NORMAL)])))
+    tok = SentencePieceTokenizer(str(path))
+    assert tok.vocab_size == 5
+    ids = tok.encode("ba do")
+    assert ids == [3, 4]
+    assert tok.decode(ids) == "ba do"
