@@ -208,7 +208,8 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
     lm_init, lm_step = (load_rnnlm(cfg, args.lm_ckpt) if args.beam
                         else (None, None))
     stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
-                           remove_spaces=cfg.remove_spaces)
+                           remove_spaces=cfg.remove_spaces,
+                           keep_details=bool(args.output))
     t0 = time.time()
     n_utts = 0
     seen = set()
@@ -325,11 +326,25 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
         os.makedirs(args.output, exist_ok=True)
         with open(os.path.join(args.output, "eval.json"), "w") as f:
             json.dump(summary, f, indent=2)
+        write_details(stats, cfg, args.output, test_set)
         if nbest_rows:
             with open(os.path.join(args.output, "nbest.jsonl"), "w") as f:
                 for u, hyps_n in sorted(nbest_rows.items()):
                     f.write(json.dumps(
                         {"id": test_set[u].utt_id, "nbest": hyps_n}) + "\n")
+
+
+def write_details(stats, cfg, out_dir, test_set):
+    """Per-utterance alignment report (SpeechBrain ErrorRateStats.
+    write_stats; the reference AISHELL recipe's cer_file, yaml:18):
+    <out_dir>/{wer,cer}_details.txt, worst utterances first."""
+    name = f"{cfg.error_rate}_details.txt"
+    path = os.path.join(out_dir, name)
+    stats.write_stats(path, id_map={i: u.utt_id
+                                    for i, u in enumerate(test_set)})
+    # stderr: stdout's last line is the JSON summary (consumed by tests
+    # and tooling)
+    print("per-utterance details ->", path, file=sys.stderr)
 
 
 def main():
@@ -411,7 +426,8 @@ def main():
         args.avg)
 
     stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
-                           remove_spaces=cfg.remove_spaces)
+                           remove_spaces=cfg.remove_spaces,
+                           keep_details=bool(args.output))
     params = {"params": state["params"]}
 
     sp_decode = None
@@ -538,6 +554,7 @@ def main():
         os.makedirs(args.output, exist_ok=True)
         with open(os.path.join(args.output, "eval.json"), "w") as f:
             json.dump(summary, f, indent=2)
+        write_details(stats, cfg, args.output, test_set)
         if nbest_rows:
             with open(os.path.join(args.output, "nbest.jsonl"), "w") as f:
                 for u, hyps_n in sorted(nbest_rows.items()):

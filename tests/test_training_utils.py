@@ -41,6 +41,38 @@ def test_wer_cer():
     assert abs(cer.summarize()["WER"] - 25.0) < 1e-6
 
 
+def test_edit_distance_ops_alignment():
+    d = edit_distance("abc".split() if False else list("abc"),
+                      list("axbcd"), return_ops=True)
+    # counts and ops must agree
+    assert sum(1 for op, _, _ in d["ops"] if op == "I") == d["ins"]
+    assert sum(1 for op, _, _ in d["ops"] if op == "D") == d["del"]
+    assert sum(1 for op, _, _ in d["ops"] if op == "S") == d["sub"]
+    # ops replay ref and hyp in order
+    assert [r for _, r, _ in d["ops"] if r is not None] == list("abc")
+    assert [h for _, _, h in d["ops"] if h is not None] == list("axbcd")
+
+
+def test_write_stats_details(tmp_path):
+    stats = ErrorRateStats(keep_details=True)
+    stats.append([["the", "cat", "sat"], ["a", "dog"]],
+                 [["the", "bat", "sat"], ["a", "dog"]],
+                 ids=[7, 3])
+    path = tmp_path / "wer_details.txt"
+    stats.write_stats(str(path), id_map={7: "utt-seven", 3: "utt-three"})
+    text = path.read_text()
+    assert text.startswith("%WER")
+    # worst-first ordering: the errorful utterance block comes first
+    assert text.index("utt-seven") < text.index("utt-three")
+    assert "1 sub" in text
+    assert "cat" in text and "bat" in text
+    # details off -> write_stats refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ErrorRateStats().write_stats(str(path))
+
+
 def test_accuracy():
     acc = AccuracyStats()
     lp = np.zeros((1, 3, 4))
