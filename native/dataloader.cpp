@@ -18,7 +18,14 @@
 // C ABI (ctypes-friendly):
 //   load_wav_batch(paths, n, out, max_len, lengths, expected_rate, threads)
 //     paths:    array of n C strings (WAV or FLAC)
-//     out:      float32 buffer [n * max_len], zero-padded, in [-1, 1]
+//     out:      float32 buffer [n * max_len], MUST be zero-initialised by
+//               the caller (the ctypes wrapper passes np.zeros, whose
+//               calloc pages are lazily zero). Each row is written only on
+//               [0, lengths[i]); the padding tail is never touched —
+//               re-zeroing it here would fault in and memset the whole
+//               [n, max_len] buffer per call, which measured 4.5x slower
+//               than the python fallback at corpus scale
+//               (benchmarks/dataloader_bench.py).
 //     lengths:  int32[n] decoded sample counts (clipped to max_len)
 //     returns:  0 on success, else the 1-based index of the first bad file
 //
@@ -485,6 +492,9 @@ int load_wav_batch(const char** paths, int n, float* out, int64_t max_len,
   if (num_threads <= 0) {
     num_threads = (int)std::thread::hardware_concurrency();
     if (num_threads <= 0) num_threads = 4;
+    // threads are spawned per call; past ~16 the join overhead exceeds
+    // the decode win for typical (<=128-row) batches
+    if (num_threads > 16) num_threads = 16;
   }
   if (num_threads > n) num_threads = n > 0 ? n : 1;
 
@@ -495,8 +505,9 @@ int load_wav_batch(const char** paths, int n, float* out, int64_t max_len,
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n) break;
+      // no memset: the caller's buffer is zero-initialised (ABI contract
+      // above) and decode_one writes only the [0, got) prefix
       float* dst = out + (int64_t)i * max_len;
-      memset(dst, 0, sizeof(float) * max_len);
       int64_t got = decode_one(paths[i], dst, max_len, expected_rate);
       if (got < 0) {
         int expected = 0;
