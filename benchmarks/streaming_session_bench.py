@@ -31,15 +31,17 @@ if os.environ.get("JAX_PLATFORMS"):  # sitecustomize ignores the env var
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     except Exception:
         pass
-from summarymixing_tpu.utils.cache import cpu_cache_dir, repo_cache_dir  # noqa: E402
+from summarymixing_tpu.utils.cache import repo_cache_dir  # noqa: E402
 
-if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    _cache = cpu_cache_dir()
-else:  # TPU runs share the repo cache (CPU AOT is host-specific)
-    _cache = repo_cache_dir(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # TPU runs share the repo cache; CPU runs skip persistent caching
+    # entirely — XLA:CPU AOT loads always warn about SIGILL-risk
+    # pseudo-features (see recipes/_env.py), and CPU compiles are fast.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        repo_cache_dir(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -32,14 +32,18 @@ if os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
-from summarymixing_tpu.utils.cache import (  # noqa: E402
-    cpu_cache_dir,
-    repo_cache_dir,
-)
+from summarymixing_tpu.utils.cache import repo_cache_dir  # noqa: E402
 
 if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    _cache = cpu_cache_dir()
+    # No persistent cache on CPU: XLA:CPU AOT artifacts record
+    # compile-time tuning pseudo-features (+prefer-no-gather/-scatter)
+    # that never appear in host feature detection, so every cache LOAD
+    # logs a SIGILL-risk error regardless of cache keying — and CPU
+    # compiles of recipe-sized shapes take seconds anyway (same
+    # rationale as __graft_entry__._setup_compile_cache).
+    _cache = None
 else:
     _cache = repo_cache_dir(_REPO)
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+if _cache is not None:
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -2,34 +2,17 @@
 point: recipes/_env.py, __graft_entry__.py, benchmarks).
 
 TPU runs share the repo-level `.jax_cache` (compiles through the remote
-service take minutes — CLAUDE.md). CPU runs must NOT share it across
-machines: XLA:CPU AOT artifacts are machine-feature specific and the
-loader only *warns* about mismatches before risking SIGILL. The cache
-key is therefore hostname + a fingerprint of /proc/cpuinfo flags —
-containers here migrate between physical hosts that keep the same
-hostname (observed: cpu_aot_loader feature-mismatch warnings after a
-migration), so hostname alone is not a stable key.
+service take minutes — CLAUDE.md). CPU runs use NO persistent cache at
+all: XLA:CPU AOT artifacts record compile-time tuning pseudo-features
+(+prefer-no-gather/-scatter) that never appear in host feature
+detection, so every cache load logs a SIGILL-risk error regardless of
+how the cache is keyed (a hostname+cpuinfo key was tried and the spam
+persisted), and CPU compiles of recipe-sized shapes take seconds.
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
-import platform
-
-
-def cpu_cache_dir() -> str:
-    """Per-(host, CPU-generation) JAX compile cache dir under /tmp."""
-    try:
-        fp = "na"
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    fp = hashlib.md5(line.encode()).hexdigest()[:8]
-                    break
-    except OSError:
-        fp = "na"
-    return os.path.join("/tmp", f"jax_cache_cpu_{platform.node()}_{fp}")
 
 
 def repo_cache_dir(repo_root: str) -> str:
