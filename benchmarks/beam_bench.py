@@ -176,7 +176,7 @@ def main():
                     ctc_lp, enc_lens, 0, cap, blank_skip)
             enc_t = tile_for_beam(enc_out, args.beam)
             len_t = tile_for_beam(enc_lens, args.beam)
-            ctc_t = tile_for_beam(ctc_lp, args.beam)
+            # ctc_lp stays untiled (scorer row-maps by n // beam)
             scorer_len_t = tile_for_beam(scorer_lens, args.beam)
             enc_pad = length_to_mask(len_t, enc_t.shape[1])
             cache = model.apply(params, enc_t, bc.max_length + 1,
@@ -189,7 +189,7 @@ def main():
                                    method=model.decode_step_cached)
 
             toks, lens, scores = s2s_beam_search(
-                step, enc_t, scorer_len_t, ctc_t, bc, cache=cache,
+                step, enc_t, scorer_len_t, ctc_lp, bc, cache=cache,
                 lm_step_fn=lm_step, lm_cache=lm_cache)
             return jnp.sum(toks).astype(jnp.float32)
 

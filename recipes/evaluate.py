@@ -474,7 +474,8 @@ def main():
             beam = cfg.decoding.test_beam_size
             enc_t = tile_for_beam(enc_out, beam)
             len_t = tile_for_beam(enc_lens, beam)
-            ctc_t = tile_for_beam(ctc_lp, beam)
+            # ctc_lp stays UNtiled (scorer indexes by n // beam; a beam
+            # tile OOM'd v5e HBM at beam 66 — decoding/ctc_prefix.py)
             scorer_len_t = tile_for_beam(scorer_lens, beam)
             enc_pad = length_to_mask(len_t, enc_t.shape[1])
             bc = S2SBeamConfig(
@@ -493,7 +494,7 @@ def main():
                 lm_make_cache)
             if args.nbest > 1:
                 tn, ln, sn = (np.asarray(a) for a in s2s_beam_search(
-                    step, enc_t, scorer_len_t, ctc_t, bc, cache=cache,
+                    step, enc_t, scorer_len_t, ctc_lp, bc, cache=cache,
                     lm_step_fn=lm_step, lm_cache=lm_cache,
                     nbest=args.nbest))
                 toks, lens = tn[:, 0], ln[:, 0]
@@ -505,7 +506,7 @@ def main():
                             for r in range(tn.shape[1])]
             else:
                 toks, lens, _ = s2s_beam_search(step, enc_t, scorer_len_t,
-                                                ctc_t, bc, cache=cache,
+                                                ctc_lp, bc, cache=cache,
                                                 lm_step_fn=lm_step,
                                                 lm_cache=lm_cache)
                 toks, lens = np.asarray(toks), np.asarray(lens)

@@ -145,6 +145,12 @@ def batches(manifest, tokenizer, cfg, mesh, shuffle, seed, fbank=None):
         toks = [np.asarray(tokenizer.encode(manifest[i].text), np.int32)
                 for i in idx]
         umax = max(max(len(t) for t in toks), 1)
+        if not shuffle:
+            # eval: stabilise the token axis so each wav bucket is ONE
+            # compiled program (schema.eval_token_multiple); padding is
+            # loss-masked by token_lens
+            m = max(int(cfg.training.eval_token_multiple), 1)
+            umax = -(-umax // m) * m
         tokens, token_lens = pad_batch(toks, umax)
         # audio decode is the heavy part: each process loads only the
         # rows its chips own (every process iterates the SAME batch
@@ -547,7 +553,10 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
         ctc_lp, scorer_lens = maybe_compact_ctc(cfg, ctc_lp, enc_lens)
         enc_t = tile_for_beam(enc_out, beam)
         len_t = tile_for_beam(enc_lens, beam)
-        ctc_t = tile_for_beam(ctc_lp, beam)
+        # the CTC lattice stays UNtiled [B, T, V]: tiling it by the beam
+        # put three O(beam)-sized layout copies inside the decode loop
+        # and OOM'd v5e HBM at the reference test config (beam 66) —
+        # the scorer indexes rows by n // beam (decoding/ctc_prefix.py)
         scorer_len_t = tile_for_beam(scorer_lens, beam)
         enc_pad = length_to_mask(len_t, enc_t.shape[1])
         bc = S2SBeamConfig(
@@ -560,8 +569,8 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
         step, cache, lm_cache = make_beam_step(
             cfg, model, params, enc_t, len_t, enc_pad, bc, lm_step,
             lm_make_cache)
-        toks, lens, _ = s2s_beam_search(step, enc_t, scorer_len_t, ctc_t, bc,
-                                        cache=cache, lm_step_fn=lm_step,
+        toks, lens, _ = s2s_beam_search(step, enc_t, scorer_len_t, ctc_lp,
+                                        bc, cache=cache, lm_step_fn=lm_step,
                                         lm_cache=lm_cache)
         score_batch(stats, tokenizer, batch, idx, seen, toks, lens)
     return stats.summarize()
@@ -870,6 +879,14 @@ def main():
                 break
 
         profiler.close()
+        # epoch-end checkpoint BEFORE validation: the shared TPU's worker
+        # process has been observed to die while compiling/executing the
+        # first-epoch eval programs (multi-minute tunnel compiles); saving
+        # first means a valid-stage crash costs only that epoch's
+        # validation numbers, not the epoch's training. epoch is advanced
+        # here (it is unused by the eval path: norm updates are off).
+        state = trainer.next_epoch(state)
+        ckpt.save(step, fetch_to_host(state), force=True)
         # validation: greedy CTC WER every epoch
         stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                                remove_spaces=cfg.remove_spaces)
@@ -901,8 +918,6 @@ def main():
             _epoch_loss_stats(train_losses),
             valid_stats,
         )
-        state = trainer.next_epoch(state)
-        ckpt.save(step, fetch_to_host(state), force=True)
         if args.steps and step >= args.steps:
             break
     print("training done:", step, "steps")

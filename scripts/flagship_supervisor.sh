@@ -9,6 +9,32 @@ set -u
 cd /root/repo
 LOG=runs/flagship_r3_sup.log
 MAX_RETRIES=${MAX_RETRIES:-6}
+
+# Phase 0: warm the compile cache (recipes/warmup_cache.py). Warming is
+# monotonic — every attempt persists at least the program whose compile
+# it reached — so retry the crash signature until it completes.
+n=0
+while [ "$n" -le "$MAX_RETRIES" ]; do
+  echo "[sup] warmup attempt $((n+1)) $(date -u +%H:%M:%S)" >> "$LOG"
+  python recipes/warmup_cache.py \
+    recipes/LibriSpeech/branchformer_summarymixing.yaml \
+    --train-manifest corpora/hard27h/manifest_train.csv \
+    --valid-manifest corpora/hard27h/manifest_dev.csv \
+    --test-manifest corpora/hard27h/manifest_test.csv \
+    --output runs/flagship_r3 --num-buckets 8 --beam \
+    --set training.number_of_epochs=25 \
+    >> "$LOG" 2>&1
+  rc=$?
+  echo "[sup] warmup exited rc=$rc $(date -u +%H:%M:%S)" >> "$LOG"
+  [ "$rc" -eq 0 ] && break
+  if ! tail -40 "$LOG" | grep -q "TPU worker process crashed"; then
+    echo "[sup] warmup non-crash failure; NOT retrying" >> "$LOG"
+    exit "$rc"
+  fi
+  n=$((n+1))
+  sleep 30
+done
+
 n=0
 while [ "$n" -le "$MAX_RETRIES" ]; do
   echo "[sup] attempt $((n+1)) $(date -u +%H:%M:%S)" >> "$LOG"
@@ -22,6 +48,13 @@ while [ "$n" -le "$MAX_RETRIES" ]; do
   rc=$?
   echo "[sup] train.py exited rc=$rc $(date -u +%H:%M:%S)" >> "$LOG"
   if [ "$rc" -eq 0 ]; then
+    # a preemption-stop (SIGTERM / --max-hours) also exits 0 after
+    # checkpointing; that is a request to RESUME, not completion
+    if tail -5 "$LOG" | grep -q "\[preempt\]"; then
+      echo "[sup] preemption stop; resuming" >> "$LOG"
+      sleep 10
+      continue
+    fi
     echo "[sup] run complete" >> "$LOG"
     exit 0
   fi

@@ -61,6 +61,32 @@ state, step, start_epoch = _init_or_restore(
     trainer, ckpt, cfg, tokenizer, train_set, mesh, fbank)
 print(f"restored step={step} epoch={start_epoch}", flush=True)
 
+def memstats(tag):
+    try:
+        s = jax.local_devices()[0].memory_stats() or {}
+        gb = 1024 ** 3
+        print(f"[mem {tag}] in_use={s.get('bytes_in_use', 0)/gb:.2f}GB "
+              f"peak={s.get('peak_bytes_in_use', 0)/gb:.2f}GB "
+              f"limit={s.get('bytes_limit', 0)/gb:.2f}GB", flush=True)
+    except Exception as e:  # axon may not expose memory_stats
+        print(f"[mem {tag}] unavailable: {e}", flush=True)
+
+
+memstats("after restore")
+
+# mimic the live loop: a few donated train steps BEFORE the eval program
+# (the standalone eval-after-restore case did NOT crash; the live run
+# crashes 4/4 at the first eval after an epoch of training)
+n_train = int(os.environ.get("REPRO_TRAIN_STEPS", "3"))
+for i, (tb, _) in enumerate(batches(train_set, tokenizer, cfg, mesh, True,
+                                    cfg.seed + 1, fbank)):
+    if i >= n_train:
+        break
+    state, metrics = trainer.train_step(state, tb)
+    print(f"train step {i} loss={float(np.asarray(metrics['loss'])):.3f}",
+          flush=True)
+memstats("after train steps")
+
 batch, idx = next(iter(batches(valid_set, tokenizer, cfg, mesh, False, 0,
                                fbank)))
 print("valid batch shapes:",
@@ -81,4 +107,23 @@ ids_np = np.asarray(ids)
 keep_np = np.asarray(keep)
 print("  ids", ids_np.shape, "keep", keep_np.shape,
       f"({time.time()-t0:.1f}s)", flush=True)
-print("REPRO DID NOT CRASH", flush=True)
+
+# stage C: the FULL valid loop — every bucket shape compiles its own
+# eval program through the tunnel; the live run may be dying on a
+# later shape's compile/execute, not the first batch
+print("stage C: full valid loop over every bucket shape ...", flush=True)
+seen_shapes = set()
+for k, (vb, _) in enumerate(batches(valid_set, tokenizer, cfg, mesh,
+                                    False, 0, fbank)):
+    shape = tuple(vb["wav"].shape)
+    new = shape not in seen_shapes
+    seen_shapes.add(shape)
+    t0 = time.time()
+    losses, ids, keep = trainer._eval_step(state, shard_batch(vb,
+                                                              trainer.mesh))
+    loss_k = float(np.asarray(losses["loss"]))
+    np.asarray(ids)
+    print(f"  batch {k} wav{shape} {'NEW-SHAPE ' if new else ''}"
+          f"loss={loss_k:.2f} ({time.time()-t0:.1f}s)", flush=True)
+print(f"REPRO DID NOT CRASH ({len(seen_shapes)} distinct shapes)",
+      flush=True)

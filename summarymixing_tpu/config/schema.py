@@ -163,6 +163,14 @@ class TrainingConfig:
     max_batch_length_val: Optional[float] = None
     num_buckets: int = 200
     max_batch_ex: int = 128
+    # Eval batches pad the token axis up to a multiple of this, so the
+    # valid/test loops present ONE compiled shape per wav bucket instead
+    # of one per distinct batch-max token length (measured: the flagship
+    # valid stage collapses 16 programs -> 8; each extra program is a
+    # multi-minute XLA:TPU compile in this environment, and the padding
+    # columns are loss-masked by token_lens). Train batches are left
+    # exact: their umax concentrates on the corpus maximum anyway. 1 = off.
+    eval_token_multiple: int = 16
     # checkpointing
     ckpt_interval_minutes: float = 15.0
     avg_checkpoints: int = 10

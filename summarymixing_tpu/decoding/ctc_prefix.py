@@ -74,11 +74,42 @@ class CTCPrefixState(NamedTuple):
     last: Array      # [N] last token of the prefix (-1 for empty)
 
 
-def ctc_prefix_init(x: Array, input_lengths: Array, blank_id: int = 0) -> CTCPrefixState:
-    """x [N, T, V] CTC log-probs (N = batch*beam, rows repeated per beam).
-    Initial state for the empty prefix: r_b = cumsum of blank lps, r_nb = -inf."""
-    n, t, _ = x.shape
-    blank_lp = x[..., blank_id]  # [N, T]
+def _gather_cand_lp(x: Array, cand: Array, beam: int) -> Array:
+    """Candidate log-probs [N, T, K] from UNtiled x [B, T, V]
+    (N = B*beam, row n belongs to utterance n // beam).
+
+    This is the memory fix that makes test-scale beams fit: tiling x to
+    [N, T, V] before the search puts an O(beam) copy of the CTC lattice
+    inside the decode loop — at the reference test configuration
+    (beam 66, V 5000) XLA materialised three ~1.7 GB layout copies of it
+    and the program exceeded v5e HBM by 1 GB at compile. Gathering the
+    K candidate columns per utterance FIRST keeps the big tensor at
+    [B, T, V] and only the [N, T, K] slice is ever beam-shaped."""
+    n, k = cand.shape
+    if beam == 1:
+        return jnp.take_along_axis(x, cand[:, None, :], axis=2)
+    b, t, _ = x.shape
+    cb = cand.reshape(b, beam * k)
+    xc = jnp.take_along_axis(x, cb[:, None, :], axis=2)  # [B, T, beam*K]
+    xc = xc.reshape(b, t, beam, k)
+    return jnp.moveaxis(xc, 2, 1).reshape(n, t, k)
+
+
+def _rows(x2d: Array, beam: int) -> Array:
+    """[B, T] per-utterance values -> [N, T] per-hypothesis rows."""
+    return x2d if beam == 1 else jnp.repeat(x2d, beam, axis=0)
+
+
+def ctc_prefix_init(x: Array, input_lengths: Array, blank_id: int = 0,
+                    beam: int = 1) -> CTCPrefixState:
+    """x [B, T, V] CTC log-probs; with beam > 1 the state gets
+    N = B*beam rows (row n = utterance n // beam) and input_lengths is
+    [N]. beam=1 keeps the legacy one-row-per-hypothesis layout (callers
+    that pre-tile x). Initial state for the empty prefix: r_b = cumsum
+    of blank lps, r_nb = -inf."""
+    t = x.shape[1]
+    blank_lp = _rows(x[..., blank_id], beam)  # [N, T]
+    n = blank_lp.shape[0]
     valid = jnp.arange(t)[None, :] < input_lengths[:, None]
     blank_lp = jnp.where(valid, blank_lp, 0.0)  # padding frames emit nothing
     r_b = jnp.cumsum(blank_lp, axis=1)
@@ -105,27 +136,28 @@ def ctc_prefix_score(
     blank_id: int = 0,
     eos_id: Optional[int] = None,
     impl: str = "parallel",
+    beam: int = 1,
 ) -> Tuple[Array, CTCPrefixState]:
     """Score K candidate extensions for each of N hypotheses.
 
-    x [N, T, V]; cand [N, K] int. Returns (score_delta [N, K],
-    candidate_states) where candidate_states holds r/psi for EVERY candidate
+    x [B, T, V] (beam > 1: N = B*beam hypotheses share each utterance's
+    lattice — see _gather_cand_lp; beam=1: x is [N, T, V] pre-tiled);
+    cand [N, K] int. Returns (score_delta [N, K], candidate_states)
+    where candidate_states holds r/psi for EVERY candidate
     ([N, K, T] / [N, K]); beam search gathers the chosen ones via
     `ctc_prefix_select`. impl: "parallel" (closed-form, no sequential
     T-loop — default) or "scan" (the sequential oracle)."""
-    n, t, v = x.shape
-    k = cand.shape[1]
+    t = x.shape[1]
+    n, k = cand.shape
     valid = (jnp.arange(t)[None, :] < input_lengths[:, None])  # [N, T]
 
-    x_cand = jnp.take_along_axis(
-        x, cand[:, None, :], axis=2
-    )  # [N, T, K]
+    x_cand = _gather_cand_lp(x, cand, beam)  # [N, T, K]
     # padding frames contribute nothing: 0 in the parallel cumsums (their
     # r values are suffix garbage, see module docstring), and psi masks
     # them explicitly below / via _NEG in the scan oracle
     pad_fill = 0.0 if impl == "parallel" else _NEG
     x_cand = jnp.where(valid[..., None], x_cand, pad_fill)
-    x_blank = jnp.where(valid, x[..., blank_id], 0.0)  # [N, T]
+    x_blank = jnp.where(valid, _rows(x[..., blank_id], beam), 0.0)  # [N, T]
 
     same_as_last = cand == state.last[:, None]  # [N, K]
     # phi[t, c]: contribution of the parent prefix at frame t
@@ -226,6 +258,7 @@ def ctc_prefix_score_only(
     cand: Array,
     blank_id: int = 0,
     eos_id: Optional[int] = None,
+    beam: int = 1,
 ) -> Tuple[Array, Array]:
     """Candidate score deltas WITHOUT materialising candidate states.
 
@@ -239,10 +272,12 @@ def ctc_prefix_score_only(
     state for the selected extensions only, at [N, T] cost, after
     pruning. Scores are EXACTLY those of ctc_prefix_score.
 
-    Returns (score_delta [N, K], psi [N, K])."""
-    n, t, v = x.shape
+    x layout as in ctc_prefix_score: [B, T, V] with beam > 1, [N, T, V]
+    pre-tiled with beam=1. Returns (score_delta [N, K], psi [N, K])."""
+    t = x.shape[1]
+    n = cand.shape[0]
     valid = jnp.arange(t)[None, :] < input_lengths[:, None]  # [N, T]
-    x_cand = jnp.take_along_axis(x, cand[:, None, :], axis=2)  # [N, T, K]
+    x_cand = _gather_cand_lp(x, cand, beam)  # [N, T, K]
 
     same_as_last = cand == state.last[:, None]
     phi = jnp.where(
@@ -277,18 +312,29 @@ def ctc_prefix_advance(
     token: Array,
     psi: Array,
     blank_id: int = 0,
+    beam: int = 1,
 ) -> CTCPrefixState:
     """Rebuild the full prefix state for ONE chosen extension per row —
     the closed forms of `ctc_prefix_score` at K=1 (identical math, so
     states equal the ctc_prefix_select path bit-for-bit up to reduction
-    order). `state`/`x`/`input_lengths` are the PARENT rows (already
+    order). `state`/`input_lengths` are the PARENT rows (already
     gathered by the beam's parent indices), `token` [N] the chosen
-    extension, `psi` [N] its prefix score from ctc_prefix_score_only."""
-    n, t, v = x.shape
+    extension, `psi` [N] its prefix score from ctc_prefix_score_only.
+    x layout as in ctc_prefix_score ([B, T, V] with beam > 1 — the
+    parent gather never applies to x: all rows of an utterance share
+    its lattice)."""
+    t = x.shape[1]
+    n = token.shape[0]
     valid = jnp.arange(t)[None, :] < input_lengths[:, None]
-    xc = jnp.take_along_axis(x, token[:, None, None], axis=2)[..., 0]
+    if beam == 1:
+        xc = jnp.take_along_axis(x, token[:, None, None], axis=2)[..., 0]
+    else:
+        b = x.shape[0]
+        tb = token.reshape(b, beam)
+        xc = jnp.take_along_axis(x, tb[:, None, :], axis=2)  # [B, T, beam]
+        xc = jnp.moveaxis(xc, 2, 1).reshape(n, t)
     xc = jnp.where(valid, xc, 0.0)                      # [N, T]
-    xb = jnp.where(valid, x[..., blank_id], 0.0)
+    xb = jnp.where(valid, _rows(x[..., blank_id], beam), 0.0)
 
     same = token == state.last
     phi = jnp.where(same[:, None], state.r_b,

@@ -79,7 +79,14 @@ def s2s_beam_search(
 
     decode_step_fn(tokens [N, L], step) -> [N, V] next-token log-probs for
     the prefix tokens[:, :step+1] (N = batch * beam; enc state must already
-    be tiled to N rows by the caller via `tile_for_beam`).
+    be tiled to N rows by the caller via `tile_for_beam`). `ctc_log_probs`
+    is the EXCEPTION: pass it UNtiled, [B, T, V] — the prefix scorer maps
+    hypothesis rows onto utterances itself (n // beam), because a beam
+    tile of the lattice inside the decode loop is O(beam) HBM on the
+    search's largest tensor (a legacy pre-tiled [N, T, V] is accepted and
+    folded back). `enc_lengths` here is the scorer's length vector,
+    beam-tiled [N] (it may differ from the encoder mask lengths under
+    blank-skip compaction).
 
     KV-cached mode: pass `cache` (from the model's decode_cache_init, tiled
     per beam) and a decode_step_fn(last_tokens [N], step, cache) ->
@@ -118,6 +125,16 @@ def s2s_beam_search(
     finished = jnp.zeros((n,), bool)
 
     if use_ctc:
+        # The scorer consumes the CTC lattice UNtiled ([B, T, V]): every
+        # beam row of an utterance shares its lattice, and carrying an
+        # O(beam) tile of it through the decode loop is what blew past
+        # v5e HBM at the reference test configuration (beam 66, V 5000:
+        # three ~1.7 GB layout copies; compile-time OOM by 1 GB).
+        # Callers pass [B, T, V]; a legacy pre-tiled [N, T, V] is folded
+        # back to one row per utterance (rows repeat, so [::beam] is
+        # exact).
+        if ctc_log_probs.shape[0] == n and beam > 1:
+            ctc_log_probs = ctc_log_probs[::beam]
         # Pad the scorer's time axis to a scan-friendly size: the prefix
         # scorer's cumulative ops (associative_scan) want power-of-two
         # divisibility — measured 39.4 ms/step at T=750 vs 8.2 ms at
@@ -130,7 +147,8 @@ def s2s_beam_search(
         if t_pad:
             ctc_log_probs = jnp.pad(ctc_log_probs,
                                     ((0, 0), (0, t_pad), (0, 0)))
-        ctc_state = ctc_prefix_init(ctc_log_probs, enc_lengths, config.blank_id)
+        ctc_state = ctc_prefix_init(ctc_log_probs, enc_lengths,
+                                    config.blank_id, beam=beam)
     else:
         ctc_state = ctc_prefix_init(
             jnp.zeros((n, 1, 2), jnp.float32), jnp.ones((n,), jnp.int32)
@@ -178,13 +196,13 @@ def s2s_beam_search(
             if config.ctc_defer_states:
                 ctc_delta, cand_psi = ctc_prefix_score_only(
                     ctc_state, ctc_log_probs, enc_lengths, cand_ids,
-                    config.blank_id, config.eos_id,
+                    config.blank_id, config.eos_id, beam=beam,
                 )
                 cand_states = None
             else:
                 ctc_delta, cand_states = ctc_prefix_score(
                     ctc_state, ctc_log_probs, enc_lengths, cand_ids,
-                    config.blank_id, config.eos_id,
+                    config.blank_id, config.eos_id, beam=beam,
                 )
             step_scores = cand_lp + config.ctc_weight * ctc_delta  # [N, K]
         else:
@@ -218,14 +236,15 @@ def s2s_beam_search(
         if use_ctc:
             if config.ctc_defer_states:
                 # rebuild states for the `beam` selected extensions only
-                # (x rows are beam-tiled per utterance, so row i's
-                # tensor equals its parent's — no gather of x needed)
+                # (x stays [B, T, V]: all rows of an utterance share its
+                # lattice, and parents never cross utterances — no
+                # gather of x needed)
                 parent_state = CTCPrefixState(
                     r_nb=ctc_state.r_nb[parent], r_b=ctc_state.r_b[parent],
                     psi=ctc_state.psi[parent], last=ctc_state.last[parent])
                 new_ctc = ctc_prefix_advance(
                     parent_state, ctc_log_probs, enc_lengths, chosen_ids,
-                    cand_psi[parent, cand], config.blank_id)
+                    cand_psi[parent, cand], config.blank_id, beam=beam)
             else:
                 new_ctc = ctc_prefix_select(cand_states, parent, cand)
             # finished rows keep parent state (frozen)

@@ -950,3 +950,50 @@ def test_summary_decoder_cached_step_matches_prefix(mode, rng):
     stepped = jnp.stack(outs, axis=1)
     np.testing.assert_allclose(np.asarray(full), np.asarray(stepped),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_beam_untiled_ctc_matches_tiled(rng):
+    """The memory-lean CTC layout — lattice left at [B, T, V], scorer
+    rows mapped by n // beam (the fix that lets the reference beam-66
+    test config fit v5e HBM) — must produce bit-identical beams to the
+    legacy pre-tiled [N, T, V] path."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    trainer, state, batch, _ = _train_tiny_joint(rng)
+    model = trainer.model
+    cfg = trainer.config
+
+    feats = trainer.fbank(batch["wav"])
+    feat_lens = trainer.fbank.frame_lengths(batch["wav_lens"])
+    feats, _ = trainer.normalize(feats, state["norm_stats"])
+    enc_out, enc_lens = model.apply(
+        {"params": state["params"]}, feats, feat_lens, method=model.encode
+    )
+    ctc_lp = model.apply(
+        {"params": state["params"]}, enc_out, method=model.ctc_head
+    )
+
+    beam = 4
+    enc_t = tile_for_beam(enc_out, beam)
+    len_t = tile_for_beam(enc_lens, beam)
+
+    def decode_step(tokens, step):
+        return model.apply(
+            {"params": state["params"]}, tokens, enc_t, len_t, step,
+            method=model.decode_position,
+        )
+
+    for defer in (True, False):
+        config = S2SBeamConfig(
+            beam_size=beam, ctc_weight=0.4, lm_weight=0.0,
+            bos_id=cfg.bos_id, eos_id=cfg.eos_id, blank_id=cfg.blank_id,
+            max_length=6, min_steps=1, ctc_defer_states=defer,
+        )
+        t1, l1, s1 = s2s_beam_search(decode_step, enc_t, len_t,
+                                     ctc_lp, config)           # untiled
+        t2, l2, s2 = s2s_beam_search(decode_step, enc_t, len_t,
+                                     tile_for_beam(ctc_lp, beam), config)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-6, atol=1e-6)

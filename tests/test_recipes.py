@@ -587,6 +587,41 @@ augment:
     assert jsonl.read_text().count("\n") == 3
 
 
+def test_eval_batches_token_axis_stable(tmp_path):
+    """Eval (non-shuffled) batches pad the token axis to
+    training.eval_token_multiple so each wav bucket is ONE compiled
+    program; train batches stay exact (schema.eval_token_multiple)."""
+    sys.path.insert(0, os.path.join(REPO, "recipes"))
+    from train import batches, build_or_load_tokenizer
+
+    from summarymixing_tpu.data.dataio import read_manifest_csv
+    from summarymixing_tpu.parallel.mesh import make_mesh
+
+    manifest_path = _make_dataset(str(tmp_path))
+    manifest = read_manifest_csv(manifest_path)
+    cfg = load_recipe(
+        os.path.join(REPO,
+                     "recipes/LibriSpeech/branchformer_summarymixing.yaml"))
+    cfg.training.num_buckets = 2
+    cfg.training.eval_token_multiple = 8
+    tokenizer = build_or_load_tokenizer(cfg, str(tmp_path), manifest)
+    mesh = make_mesh()
+    eval_dims = {b["tokens"].shape[1]
+                 for b, _ in batches(manifest, tokenizer, cfg, mesh,
+                                     False, 0)}
+    assert all(d % 8 == 0 for d in eval_dims), eval_dims
+    # lengths survive padding: decode must still see the real tokens
+    b, _ = next(iter(batches(manifest, tokenizer, cfg, mesh, False, 0)))
+    assert int(max(b["token_lens"])) < b["tokens"].shape[1]
+    assert int(max(b["token_lens"])) > 0
+    # train batches keep the exact umax (no stabilisation)
+    cfg.training.eval_token_multiple = 1000
+    tr_dims = {b["tokens"].shape[1]
+               for b, _ in batches(manifest, tokenizer, cfg, mesh,
+                                   True, 1)}
+    assert all(d < 1000 for d in tr_dims), tr_dims
+
+
 def test_cli_set_overrides():
     """--set dotted-path overrides (the plain-YAML equivalent of
     HyperPyYAML/SpeechBrain CLI overrides): YAML-typed values reach the
