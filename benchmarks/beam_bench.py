@@ -174,14 +174,16 @@ def main():
                 cap = frame_cap or max(ctc_lp.shape[1] // 4, 1)
                 ctc_lp, scorer_lens, _ = compact_blank_frames(
                     ctc_lp, enc_lens, 0, cap, blank_skip)
-            enc_t = tile_for_beam(enc_out, args.beam)
-            len_t = tile_for_beam(enc_lens, args.beam)
-            # ctc_lp stays untiled (scorer row-maps by n // beam)
+            # nothing encoder-sized is beam-tiled: ctc_lp stays [B, T, V]
+            # (scorer row-maps by n // beam) and the decode cache keeps
+            # cross-attention K/V per-utterance (rows=N only for the
+            # per-hypothesis self-attn state)
+            n_rows = enc_out.shape[0] * args.beam
             scorer_len_t = tile_for_beam(scorer_lens, args.beam)
-            enc_pad = length_to_mask(len_t, enc_t.shape[1])
-            cache = model.apply(params, enc_t, bc.max_length + 1,
+            enc_pad = length_to_mask(enc_lens, enc_out.shape[1])
+            cache = model.apply(params, enc_out, bc.max_length + 1, n_rows,
                                 method=model.decode_cache_init)
-            lm_cache = (lm_make_cache(enc_t.shape[0], bc.max_length + 1)
+            lm_cache = (lm_make_cache(n_rows, bc.max_length + 1)
                         if lm_step is not None else None)
 
             def step(last_tok, step_i, cache):
@@ -189,7 +191,7 @@ def main():
                                    method=model.decode_step_cached)
 
             toks, lens, scores = s2s_beam_search(
-                step, enc_t, scorer_len_t, ctc_lp, bc, cache=cache,
+                step, enc_out, scorer_len_t, ctc_lp, bc, cache=cache,
                 lm_step_fn=lm_step, lm_cache=lm_cache)
             return jnp.sum(toks).astype(jnp.float32)
 

@@ -33,7 +33,6 @@ from summarymixing_tpu.decoding.s2s_beam import (
     tile_for_beam,
 )
 from summarymixing_tpu.frontend.features import NormStats
-from summarymixing_tpu.ops.masks import length_to_mask
 from summarymixing_tpu.parallel.mesh import make_mesh
 from summarymixing_tpu.training.checkpoint import (
     CheckpointManager,
@@ -472,12 +471,11 @@ def main():
 
             ctc_lp, scorer_lens = maybe_compact_ctc(cfg, ctc_lp, enc_lens)
             beam = cfg.decoding.test_beam_size
-            enc_t = tile_for_beam(enc_out, beam)
-            len_t = tile_for_beam(enc_lens, beam)
-            # ctc_lp stays UNtiled (scorer indexes by n // beam; a beam
-            # tile OOM'd v5e HBM at beam 66 — decoding/ctc_prefix.py)
-            scorer_len_t = tile_for_beam(scorer_lens, beam)
-            enc_pad = length_to_mask(len_t, enc_t.shape[1])
+            # nothing encoder-sized is beam-tiled (the O(beam) tiles and
+            # their per-step gathers OOM'd v5e HBM at beam 66): the CTC
+            # lattice stays [B, T, V], make_beam_step keeps the
+            # cross-attention K/V per-utterance, and wide buckets decode
+            # in row-capped slices (decoding.max_beam_rows)
             bc = S2SBeamConfig(
                 beam_size=beam,
                 ctc_weight=cfg.decoding.ctc_weight_decode,
@@ -487,29 +485,45 @@ def main():
                 max_length=lmax,
                 temperature=cfg.decoding.test_temperature,
             )
-            from train import make_beam_step  # noqa: E402
+            from train import beam_slices, make_beam_step  # noqa: E402
 
-            step, cache, lm_cache = make_beam_step(
-                cfg, model, params, enc_t, len_t, enc_pad, bc, lm_step,
-                lm_make_cache)
-            if args.nbest > 1:
-                tn, ln, sn = (np.asarray(a) for a in s2s_beam_search(
-                    step, enc_t, scorer_len_t, ctc_lp, bc, cache=cache,
-                    lm_step_fn=lm_step, lm_cache=lm_cache,
-                    nbest=args.nbest))
-                toks, lens = tn[:, 0], ln[:, 0]
-                for i, u in enumerate(idx):
-                    if int(u) not in nbest_rows:
-                        nbest_rows[int(u)] = [
-                            {"text": tokenizer.decode(tn[i, r, : ln[i, r]]),
-                             "score": float(sn[i, r])}
-                            for r in range(tn.shape[1])]
-            else:
-                toks, lens, _ = s2s_beam_search(step, enc_t, scorer_len_t,
-                                                ctc_lp, bc, cache=cache,
-                                                lm_step_fn=lm_step,
-                                                lm_cache=lm_cache)
-                toks, lens = np.asarray(toks), np.asarray(lens)
+            row_map = []   # hyp row -> position in this batch's idx
+            toks_l, lens_l = [], []
+            for s_idx, s_pos, eo, el, cl, sl in beam_slices(
+                    cfg.decoding.max_beam_rows, beam, idx,
+                    np.arange(len(idx)), enc_out, enc_lens, ctc_lp,
+                    scorer_lens):
+                step, cache, lm_cache = make_beam_step(
+                    cfg, model, params, eo, el, beam, bc, lm_step,
+                    lm_make_cache)
+                if args.nbest > 1:
+                    tn, ln, sn = (np.asarray(a) for a in s2s_beam_search(
+                        step, eo, tile_for_beam(sl, beam), cl, bc,
+                        cache=cache, lm_step_fn=lm_step, lm_cache=lm_cache,
+                        nbest=args.nbest))
+                    tk, ll = tn[:, 0], ln[:, 0]
+                    for i, u in enumerate(s_idx):
+                        if int(u) not in nbest_rows:
+                            nbest_rows[int(u)] = [
+                                {"text":
+                                 tokenizer.decode(tn[i, r, : ln[i, r]]),
+                                 "score": float(sn[i, r])}
+                                for r in range(tn.shape[1])]
+                else:
+                    tk, ll, _ = s2s_beam_search(
+                        step, eo, tile_for_beam(sl, beam), cl, bc,
+                        cache=cache, lm_step_fn=lm_step, lm_cache=lm_cache)
+                    tk, ll = np.asarray(tk), np.asarray(ll)
+                toks_l.append(tk)
+                lens_l.append(ll)
+                row_map.extend(int(p) for p in s_pos)
+            toks = np.concatenate(toks_l, axis=0)
+            lens = np.concatenate(lens_l, axis=0)
+            # undo the repeat-padding/reorder: one hyp row per batch row
+            # (later duplicates overwrite with identical hyps)
+            by_pos = {p: i for i, p in enumerate(row_map)}
+            order = [by_pos[p] for p in range(len(idx))]
+            toks, lens = toks[order], lens[order]
             hyps = [list(toks[i, : lens[i]]) for i in range(toks.shape[0])]
         elif sp_decode is not None:
             # pad the WAV (not the features) so the frame count divides

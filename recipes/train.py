@@ -476,19 +476,31 @@ def make_lm_fusion(cfg, lm_ckpt_dir):
 
 
 
-def make_beam_step(cfg, model, params, enc_t, len_t, enc_pad, bc,
+def make_beam_step(cfg, model, params, enc_out, enc_lens, beam, bc,
                    lm_step, lm_make_cache):
     """Beam-search step construction shared by train.py beam_validate and
     evaluate.py: cached decoder stepping for MHA decoders (KV cache) AND
     the Summary Decoder (running-mean carry — O(1) state per step,
     models/transformer.py init_cache/step). Returns
-    (step_fn, cache, lm_cache)."""
-    lm_cache = (lm_make_cache(enc_t.shape[0], bc.max_length + 1)
-                if lm_step else None)
+    (step_fn, cache, lm_cache).
+
+    Takes the encoder output UNTILED [B, T, D]: in cached mode nothing is
+    ever beam-tiled — per-hypothesis state is allocated at N = B*beam rows
+    (decode_cache_init rows=N) while the cross-attention K/V and pad mask
+    stay per-utterance, which is what keeps the reference's beam-66
+    test_search inside v5e HBM (the O(beam) enc/KV tiles plus their
+    per-step parent-gather copies were the OOM). Only the no-cache
+    decode_position fallback still materialises a beam tile."""
+    from summarymixing_tpu.decoding.s2s_beam import tile_for_beam
+    from summarymixing_tpu.ops.masks import length_to_mask
+
+    n = enc_out.shape[0] * beam
+    lm_cache = lm_make_cache(n, bc.max_length + 1) if lm_step else None
     if cfg.model.decoder_attention_type in ("regularMHA", "vanillaMHA",
                                             "SummaryMixing"):
-        cache = model.apply(params, enc_t, bc.max_length + 1,
+        cache = model.apply(params, enc_out, bc.max_length + 1, n,
                             method=model.decode_cache_init)
+        enc_pad = length_to_mask(enc_lens, enc_out.shape[1])  # [B, T]
 
         def step(last_tok, step_i, cache):
             return model.apply(params, last_tok, step_i, cache, enc_pad,
@@ -496,11 +508,31 @@ def make_beam_step(cfg, model, params, enc_t, len_t, enc_pad, bc,
 
         return step, cache, lm_cache
 
+    enc_t = tile_for_beam(enc_out, beam)
+    len_t = tile_for_beam(enc_lens, beam)
+
     def step_plain(tokens, step_i):
         return model.apply(params, tokens, enc_t, len_t, step_i,
                            method=model.decode_position)
 
     return step_plain, None, lm_cache
+
+
+def beam_slices(max_rows, beam, idx, *arrays):
+    """Row-capped slicing of one eval batch for beam decode
+    (decoding.max_beam_rows): yields (sub_idx, *sliced_arrays) with at
+    most max_rows // beam utterances each. The per-hypothesis decode
+    state (self-attn KV, LM KV, CTC prefix rows) is linear in
+    batch*beam, so wide eval buckets at test-scale beams must be
+    decoded in slices to stay inside HBM. The trailing slice
+    repeat-pads with clamped indices — every slice is the SAME compiled
+    program, and the repeated utterances dedup in score_batch via the
+    caller's `seen` set."""
+    b = len(idx)
+    size = b if max_rows <= 0 else max(1, min(b, max_rows // max(beam, 1)))
+    for lo in range(0, b, size):
+        take = np.minimum(np.arange(lo, lo + size), b - 1)
+        yield [idx[i] for i in take], *(a[take] for a in arrays)
 
 
 def maybe_compact_ctc(cfg, ctc_lp, enc_lens):
@@ -533,7 +565,6 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
         s2s_beam_search,
         tile_for_beam,
     )
-    from summarymixing_tpu.ops.masks import length_to_mask
 
     params = {"params": state["params"]}
     stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
@@ -551,14 +582,10 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
                                         method=model.encode)
         ctc_lp = model.apply(params, enc_out, method=model.ctc_head)
         ctc_lp, scorer_lens = maybe_compact_ctc(cfg, ctc_lp, enc_lens)
-        enc_t = tile_for_beam(enc_out, beam)
-        len_t = tile_for_beam(enc_lens, beam)
-        # the CTC lattice stays UNtiled [B, T, V]: tiling it by the beam
-        # put three O(beam)-sized layout copies inside the decode loop
-        # and OOM'd v5e HBM at the reference test config (beam 66) —
-        # the scorer indexes rows by n // beam (decoding/ctc_prefix.py)
-        scorer_len_t = tile_for_beam(scorer_lens, beam)
-        enc_pad = length_to_mask(len_t, enc_t.shape[1])
+        # nothing encoder-sized is beam-tiled: the CTC lattice stays
+        # [B, T, V] (scorer maps rows by n // beam) and make_beam_step
+        # keeps the cross-attention K/V per-utterance — the O(beam)
+        # tiles OOM'd v5e HBM at the reference test config (beam 66)
         bc = S2SBeamConfig(
             beam_size=beam, ctc_weight=cfg.decoding.ctc_weight_decode,
             lm_weight=cfg.decoding.lm_weight if lm_step else 0.0,
@@ -566,13 +593,20 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
             blank_id=cfg.model.blank_index,
             max_length=lmax, temperature=temperature,
         )
-        step, cache, lm_cache = make_beam_step(
-            cfg, model, params, enc_t, len_t, enc_pad, bc, lm_step,
-            lm_make_cache)
-        toks, lens, _ = s2s_beam_search(step, enc_t, scorer_len_t, ctc_lp,
-                                        bc, cache=cache, lm_step_fn=lm_step,
-                                        lm_cache=lm_cache)
-        score_batch(stats, tokenizer, batch, idx, seen, toks, lens)
+        tok_np = launch.fetch_global(batch["tokens"])
+        tl_np = launch.fetch_global(batch["token_lens"])
+        for s_idx, eo, el, cl, sl, s_tok, s_tl in beam_slices(
+                cfg.decoding.max_beam_rows, beam, idx, enc_out, enc_lens,
+                ctc_lp, scorer_lens, tok_np, tl_np):
+            step, cache, lm_cache = make_beam_step(
+                cfg, model, params, eo, el, beam, bc, lm_step,
+                lm_make_cache)
+            toks, lens, _ = s2s_beam_search(
+                step, eo, tile_for_beam(sl, beam), cl, bc, cache=cache,
+                lm_step_fn=lm_step, lm_cache=lm_cache)
+            score_batch(stats, tokenizer,
+                        {"tokens": s_tok, "token_lens": s_tl},
+                        s_idx, seen, toks, lens)
     return stats.summarize()
 
 

@@ -225,6 +225,14 @@ class DecodingConfig:
     # 2*cap+1, which is what sets the speedup)
     ctc_blank_skip: float = 0.0
     ctc_frame_cap: int = 0
+    # HBM budget for one beam-decode program, in hypothesis rows
+    # (batch_slice * beam). Eval buckets can be tens of utterances wide;
+    # at the reference test config (beam 66, 6L d512 decoder + 12L d768
+    # LM) the per-hypothesis KV caches scale linearly in rows, so wide
+    # buckets are decoded in row-capped slices (train.py::beam_slices;
+    # the trailing slice repeat-pads so every slice is ONE compiled
+    # program). 0 = never slice.
+    max_beam_rows: int = 1024
     # transducer beam (transducer yaml:150-156)
     beam_size: int = 10
     nbest: int = 1

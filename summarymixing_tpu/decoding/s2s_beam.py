@@ -78,20 +78,26 @@ def s2s_beam_search(
     """Run beam search.
 
     decode_step_fn(tokens [N, L], step) -> [N, V] next-token log-probs for
-    the prefix tokens[:, :step+1] (N = batch * beam; enc state must already
-    be tiled to N rows by the caller via `tile_for_beam`). `ctc_log_probs`
-    is the EXCEPTION: pass it UNtiled, [B, T, V] — the prefix scorer maps
-    hypothesis rows onto utterances itself (n // beam), because a beam
-    tile of the lattice inside the decode loop is O(beam) HBM on the
-    search's largest tensor (a legacy pre-tiled [N, T, V] is accepted and
-    folded back). `enc_lengths` here is the scorer's length vector,
-    beam-tiled [N] (it may differ from the encoder mask lengths under
-    blank-skip compaction).
+    the prefix tokens[:, :step+1] (N = batch * beam; any encoder state the
+    step closure holds must map its N query rows onto utterances itself —
+    either pre-tiled via `tile_for_beam`, or kept per-utterance with the
+    n // beam row map, see ops/attention.py::_step_grouped). `enc_out` is
+    unused by the search itself and only documents the API (the encoder
+    state lives in the step closure / cache); pass it in whichever layout
+    the closure was built from. `ctc_log_probs` MUST be per-utterance
+    [B, T, V] — the prefix scorer maps hypothesis rows itself (n // beam),
+    because a beam tile of the lattice inside the decode loop is O(beam)
+    HBM on the search's largest tensor (a legacy pre-tiled [N, T, V] is
+    accepted and folded back). `enc_lengths` here is the scorer's length
+    vector, beam-tiled [N] (it may differ from the encoder mask lengths
+    under blank-skip compaction).
 
-    KV-cached mode: pass `cache` (from the model's decode_cache_init, tiled
-    per beam) and a decode_step_fn(last_tokens [N], step, cache) ->
-    (log-probs [N, V], cache). The cache is gathered on beam pruning, making
-    each step O(step) instead of O(max_length^2).
+    KV-cached mode: pass `cache` (from the model's decode_cache_init with
+    rows=N) and a decode_step_fn(last_tokens [N], step, cache) ->
+    (log-probs [N, V], cache). On beam pruning, only cache leaves with N
+    rows (per-hypothesis state) are parent-gathered; per-utterance leaves
+    (the cross-attention K/V) pass through untouched. Each step is
+    O(step) instead of O(max_length^2).
 
     LM shallow fusion (TransformerLMScorer, reference yaml:233-246,
     lm_weight 0.60): pass lm_step_fn. Full-prefix signature
@@ -259,10 +265,19 @@ def s2s_beam_search(
             )
         else:
             new_ctc = ctc_state
+        # parent-gather ONLY the per-hypothesis cache state (N rows).
+        # Beam-invariant leaves — the cross-attention K/V precomputed
+        # from the encoder, kept UNtiled at B rows (decode_cache_init
+        # rows=N) — pass through untouched: gathering them was pure HBM
+        # traffic (identical rows) and its double-buffered while-body
+        # copies were the largest allocations in the beam-66 OOM.
+        def _gather_live(c):
+            return c[parent] if c.shape[0] == n else c
+
         if dec_cache is not None:
-            dec_cache = jax.tree.map(lambda c: c[parent], dec_cache)
+            dec_cache = jax.tree.map(_gather_live, dec_cache)
         if lm_cache_c is not None:
-            lm_cache_c = jax.tree.map(lambda c: c[parent], lm_cache_c)
+            lm_cache_c = jax.tree.map(_gather_live, lm_cache_c)
         return (new_tokens, new_scores, new_lengths, now_finished, new_ctc,
                 dec_cache, lm_cache_c)
 

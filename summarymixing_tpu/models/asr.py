@@ -397,10 +397,14 @@ class TransformerASR(nn.Module):
         return self._decode_inner(tgt, enc_out, enc_pad_mask, None, True)
 
     # -- KV-cached incremental decoding -------------------------------------
-    def decode_cache_init(self, enc_out: Array, max_len: int):
+    def decode_cache_init(self, enc_out: Array, max_len: int,
+                          rows: Optional[int] = None):
         """Per-layer KV caches for incremental decoding (beam search):
-        precomputes cross-attention K/V from enc_out once."""
-        return self.decoder.init_cache(enc_out, max_len)
+        precomputes cross-attention K/V from enc_out once. Pass enc_out
+        UNTILED [B, T, D] with rows=B*beam under beam search — the
+        per-hypothesis state gets `rows` rows while the cross-attention
+        K/V stays per-utterance (models/transformer.py::init_cache)."""
+        return self.decoder.init_cache(enc_out, max_len, rows)
 
     def decode_step_cached(
         self,

@@ -135,8 +135,8 @@ class SpeechRecognizer(nn.Module):
         dec = self.asr.decode_prefix(tgt, enc_out, enc_len)
         return jax.nn.log_softmax(self.seq_lin(dec[:, pos]), axis=-1)
 
-    def decode_cache_init(self, enc_out: Array, max_len: int):
-        return self.asr.decode_cache_init(enc_out, max_len)
+    def decode_cache_init(self, enc_out: Array, max_len: int, rows=None):
+        return self.asr.decode_cache_init(enc_out, max_len, rows)
 
     def decode_step_cached(self, tok_t: Array, pos, cache, enc_pad_mask=None):
         """KV-cached step: tok_t [B] -> (log-probs [B, V], cache')."""

@@ -416,12 +416,21 @@ class TransformerDecoderLayer(nn.Module):
 
     # -- incremental decoding (KV cache for regularMHA; running-mean
     # carry for the Summary Decoder) -----------------------------------------
-    def init_cache(self, memory: Array, max_len: int) -> dict:
+    def init_cache(self, memory: Array, max_len: int,
+                   rows: Optional[int] = None) -> dict:
+        """Per-layer decode cache. `rows` (beam search): number of
+        hypothesis rows N = B*beam for the PER-HYPOTHESIS state (self-attn
+        KV / summary carry), while the encoder-derived cross-attention
+        K/V stays at memory's B rows — it is identical across an
+        utterance's beams, and keeping it untiled removes both the
+        O(beam) HBM copy and the per-step parent-gather traffic in the
+        beam loop (ops/attention.py::_step_grouped maps rows by
+        n // beam)."""
         if self.attention_type not in ("regularMHA", "SummaryMixing"):
             raise ValueError(
                 "cached decoding supports regularMHA and SummaryMixing")
         mem_k, mem_v = self.cross_attn.kv(memory)
-        b = memory.shape[0]
+        b = rows or memory.shape[0]
         if self.attention_type == "SummaryMixing":
             # the causal summary is a running mean: O(1) carry per step
             # where MHA needs an O(max_len) KV buffer
@@ -535,8 +544,10 @@ class TransformerDecoder(nn.Module):
         return self.norm(tgt)
 
     # -- incremental decoding ------------------------------------------------
-    def init_cache(self, memory: Array, max_len: int):
-        return tuple(layer.init_cache(memory, max_len) for layer in self.layers)
+    def init_cache(self, memory: Array, max_len: int,
+                   rows: Optional[int] = None):
+        return tuple(layer.init_cache(memory, max_len, rows)
+                     for layer in self.layers)
 
     def step(
         self,

@@ -135,10 +135,21 @@ class MultiheadAttention(nn.Module):
         With append=True (self-attention), writes this position's K/V at
         `pos` and attends over cache[:pos+1]; with append=False
         (cross-attention), attends over the full cache (use pad_mask).
-        Returns (out [B, D], k_cache, v_cache)."""
+        Returns (out [B, D], k_cache, v_cache).
+
+        Beam-shared memory (cross-attention under beam search): x_t may
+        have N = B*beam rows against a cache of B rows — row n attends
+        over utterance n // beam's memory. Keeping the encoder-derived
+        K/V UNtiled this way removes the O(beam) cache copies a per-step
+        parent gather would otherwise materialise inside the decode loop
+        (v5e HBM: 12 x ~177 MB gather temps at the reference beam-66
+        test config). pad_mask then has B rows too."""
         d, h = self.d_model, self.nhead
         hd = d // h
         b = x_t.shape[0]
+        b_kv = k_cache.shape[0]
+        if not append and b_kv != b:
+            return self._step_grouped(x_t, k_cache, v_cache, pad_mask)
         q = self.q_proj(x_t).reshape(b, h, hd)
         if append:
             k_t = self.k_proj(x_t).reshape(b, 1, h, hd)
@@ -166,6 +177,41 @@ class MultiheadAttention(nn.Module):
             preferred_element_type=jnp.float32,
         ).astype(x_t.dtype)
         out = self.out_proj(ctx.reshape(b, d))
+        return out, k_cache, v_cache
+
+    def _step_grouped(
+        self,
+        x_t: Array,
+        k_cache: Array,
+        v_cache: Array,
+        pad_mask: Optional[Array] = None,
+    ):
+        """Cross-attention step with beam-shared memory: x_t [N, D]
+        (N = B*beam), k/v_cache [B, S, H, hd] — the beam axis rides as
+        extra query positions of its utterance (queries are independent
+        in cross-attention, so this is exactly per-row attention)."""
+        d, h = self.d_model, self.nhead
+        hd = d // h
+        n = x_t.shape[0]
+        b, s = k_cache.shape[0], k_cache.shape[1]
+        g = n // b  # beam width
+        q = self.q_proj(x_t).reshape(b, g, h, hd)
+        scores = jnp.einsum(
+            "bghd,bshd->bghs", q, k_cache, preferred_element_type=jnp.float32
+        ) / math.sqrt(hd)
+        if pad_mask is not None:
+            if pad_mask.shape[0] == n:  # beam-tiled mask: fold (rows repeat)
+                pad_mask = pad_mask[::g]
+            scores = jnp.where(
+                pad_mask[:, None, None, :] > 0, scores,
+                jnp.finfo(scores.dtype).min,
+            )
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum(
+            "bghs,bshd->bghd", probs.astype(v_cache.dtype), v_cache,
+            preferred_element_type=jnp.float32,
+        ).astype(x_t.dtype)
+        out = self.out_proj(ctx.reshape(n, d))
         return out, k_cache, v_cache
 
 

@@ -997,3 +997,68 @@ def test_beam_untiled_ctc_matches_tiled(rng):
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_beam_untiled_cross_kv_matches_tiled(rng):
+    """decode_cache_init(enc UNTILED, rows=N) — per-utterance cross-attn
+    K/V shared across an utterance's beams via the n // beam row map
+    (ops/attention.py::_step_grouped), per-hypothesis self state at N
+    rows, and the beam loop gathering only N-row leaves — must decode
+    identically to the legacy fully-tiled cache. This is what removes
+    the O(beam) enc/KV copies that OOM'd v5e HBM at the reference
+    test config (beam 66)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    trainer, state, batch, _ = _train_tiny_joint(rng)
+    model = trainer.model
+    cfg = trainer.config
+    params = {"params": state["params"]}
+
+    feats = trainer.fbank(batch["wav"])
+    feat_lens = trainer.fbank.frame_lengths(batch["wav_lens"])
+    feats, _ = trainer.normalize(feats, state["norm_stats"])
+    enc_out, enc_lens = model.apply(params, feats, feat_lens,
+                                    method=model.encode)
+    ctc_lp = model.apply(params, enc_out, method=model.ctc_head)
+
+    beam = 4
+    n = enc_out.shape[0] * beam
+    from summarymixing_tpu.ops.masks import length_to_mask
+
+    config = S2SBeamConfig(beam_size=beam, ctc_weight=0.4, lm_weight=0.0,
+                           bos_id=cfg.bos_id, eos_id=cfg.eos_id,
+                           blank_id=cfg.blank_id, max_length=6, min_steps=1)
+
+    # legacy: everything beam-tiled
+    enc_t = tile_for_beam(enc_out, beam)
+    len_t = tile_for_beam(enc_lens, beam)
+    pad_t = length_to_mask(len_t, enc_t.shape[1])
+    cache_t = model.apply(params, enc_t, config.max_length + 1,
+                          method=model.decode_cache_init)
+
+    def step_tiled(last_tok, step, cache):
+        return model.apply(params, last_tok, step, cache, pad_t,
+                           method=model.decode_step_cached)
+
+    t0_, l0_, s0_ = s2s_beam_search(step_tiled, enc_t, len_t, ctc_lp,
+                                    config, cache=cache_t)
+
+    # memory-lean: enc state per-utterance, self state per-hypothesis
+    pad_b = length_to_mask(enc_lens, enc_out.shape[1])  # [B, T]
+    cache_u = model.apply(params, enc_out, config.max_length + 1, n,
+                          method=model.decode_cache_init)
+    # the cross-attn K/V really is untiled (B rows, not N)
+    assert jax.tree.leaves(cache_u)[0].shape[0] in (enc_out.shape[0], n)
+    assert any(leaf.shape[0] == enc_out.shape[0]
+               for leaf in jax.tree.leaves(cache_u))
+
+    def step_untiled(last_tok, step, cache):
+        return model.apply(params, last_tok, step, cache, pad_b,
+                           method=model.decode_step_cached)
+
+    t1_, l1_, s1_ = s2s_beam_search(step_untiled, enc_out, len_t, ctc_lp,
+                                    config, cache=cache_u)
+    np.testing.assert_array_equal(np.asarray(t0_), np.asarray(t1_))
+    np.testing.assert_array_equal(np.asarray(l0_), np.asarray(l1_))
+    np.testing.assert_allclose(np.asarray(s0_), np.asarray(s1_),
+                               rtol=1e-5, atol=1e-5)

@@ -622,6 +622,29 @@ def test_eval_batches_token_axis_stable(tmp_path):
     assert all(d < 1000 for d in tr_dims), tr_dims
 
 
+def test_beam_slices_row_cap():
+    """beam_slices (decoding.max_beam_rows): row-capped slicing with a
+    repeat-padded trailing slice so every slice is one compiled shape;
+    0 disables slicing; repeated utterances dedup downstream via idx."""
+    sys.path.insert(0, os.path.join(REPO, "recipes"))
+    from train import beam_slices
+
+    idx = [10, 11, 12, 13, 14]
+    a = np.arange(5) * 2.0
+    # beam 66, cap 200 -> 3 utterances per slice
+    out = list(beam_slices(200, 66, idx, a))
+    assert [o[0] for o in out] == [[10, 11, 12], [13, 14, 14]]
+    np.testing.assert_array_equal(out[0][1], [0.0, 2.0, 4.0])
+    np.testing.assert_array_equal(out[1][1], [6.0, 8.0, 8.0])  # repeat-pad
+    assert out[0][1].shape == out[1][1].shape  # one compiled shape
+    # 0 = never slice
+    out = list(beam_slices(0, 66, idx, a))
+    assert len(out) == 1 and out[0][0] == idx
+    # cap below one row still yields one utterance per slice
+    out = list(beam_slices(10, 66, idx, a))
+    assert len(out) == 5 and all(o[1].shape == (1,) for o in out)
+
+
 def test_cli_set_overrides():
     """--set dotted-path overrides (the plain-YAML equivalent of
     HyperPyYAML/SpeechBrain CLI overrides): YAML-typed values reach the
