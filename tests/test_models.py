@@ -416,3 +416,38 @@ def test_rnnlm_dropout_active(rng):
     d1 = lm.apply(params, toks)
     d2 = lm.apply(params, toks)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2))
+
+
+def test_mha_grouped_cross_step_matches_tiled(rng):
+    """ops/attention.py::_step_grouped — cross-attention step with a
+    per-utterance K/V cache ([B, S, H, hd]) against N = B*beam query
+    rows — must equal the per-row step on a beam-tiled cache exactly
+    (same math, the beam axis rides as extra query positions). This is
+    the kernel of the beam-66 HBM fix."""
+    from summarymixing_tpu.ops.attention import MultiheadAttention
+
+    b, s, d, h, beam = 3, 7, 16, 4, 5
+    n = b * beam
+    mha = MultiheadAttention(d_model=d, nhead=h)
+    mem = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+    x_t = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    params = mha.init(jax.random.PRNGKey(0), mem, mem, mem)
+    bound = mha.bind(params)
+    k_b, v_b = bound.kv(mem)                       # [B, S, H, hd]
+    k_n = jnp.repeat(k_b, beam, axis=0)            # legacy beam tile
+    v_n = jnp.repeat(v_b, beam, axis=0)
+    lens = jnp.asarray([s, s - 2, s - 5], jnp.int32)
+    pad_b = length_to_mask(lens, s)                # [B, S]
+    pad_n = jnp.repeat(pad_b, beam, axis=0)        # [N, S]
+
+    out_t, _, _ = bound.step(x_t, k_n, v_n, 0, pad_mask=pad_n, append=False)
+    out_g, k2, v2 = bound.step(x_t, k_b, v_b, 0, pad_mask=pad_b,
+                               append=False)
+    assert k2.shape == k_b.shape                   # cache stays untiled
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_g),
+                               rtol=1e-5, atol=1e-6)
+    # a beam-tiled pad mask is folded back ([::beam]) — same result
+    out_g2, _, _ = bound.step(x_t, k_b, v_b, 0, pad_mask=pad_n,
+                              append=False)
+    np.testing.assert_allclose(np.asarray(out_g2), np.asarray(out_g),
+                               rtol=0, atol=0)
