@@ -5,45 +5,79 @@
 # CheckpointManager), so the correct response is resume-from-checkpoint
 # with the SAME command. Bounded retries so a deterministic crash loop
 # stops instead of burning the chip.
+#
+# Env knobs (all optional):
+#   DEADLINE_TS  epoch-seconds wall deadline; each attempt gets
+#                --max-hours of the remaining budget and the loop stops
+#                resuming once < 120 s remain (a deliberately bounded
+#                session still ends with a clean checkpoint + eval).
+#   EPOCHS       training.number_of_epochs override   (default 25)
+#   NUM_BUCKETS  --num-buckets                        (default 8)
+#   SKIP_WARMUP  1 = skip the phase-0 AOT warmup; train.py compiles
+#                lazily through the same persistent cache, so warming
+#                only front-loads (it never saves) compile time.
 set -u
 cd /root/repo
 LOG=runs/flagship_r3_sup.log
 MAX_RETRIES=${MAX_RETRIES:-6}
+EPOCHS=${EPOCHS:-25}
+NUM_BUCKETS=${NUM_BUCKETS:-8}
+DEADLINE_TS=${DEADLINE_TS:-}
+SKIP_WARMUP=${SKIP_WARMUP:-0}
+
+remaining_hours() {
+  # prints remaining budget in hours (blank = unbounded)
+  if [ -n "$DEADLINE_TS" ]; then
+    python3 -c "import time; print(max(0.0, ($DEADLINE_TS - time.time()) / 3600))"
+  fi
+}
 
 # Phase 0: warm the compile cache (recipes/warmup_cache.py). Warming is
 # monotonic — every attempt persists at least the program whose compile
 # it reached — so retry the crash signature until it completes.
-n=0
-while [ "$n" -le "$MAX_RETRIES" ]; do
-  echo "[sup] warmup attempt $((n+1)) $(date -u +%H:%M:%S)" >> "$LOG"
-  python recipes/warmup_cache.py \
-    recipes/LibriSpeech/branchformer_summarymixing.yaml \
-    --train-manifest corpora/hard27h/manifest_train.csv \
-    --valid-manifest corpora/hard27h/manifest_dev.csv \
-    --test-manifest corpora/hard27h/manifest_test.csv \
-    --output runs/flagship_r3 --num-buckets 8 --beam \
-    --set training.number_of_epochs=25 \
-    >> "$LOG" 2>&1
-  rc=$?
-  echo "[sup] warmup exited rc=$rc $(date -u +%H:%M:%S)" >> "$LOG"
-  [ "$rc" -eq 0 ] && break
-  if ! tail -40 "$LOG" | grep -q "TPU worker process crashed"; then
-    echo "[sup] warmup non-crash failure; NOT retrying" >> "$LOG"
-    exit "$rc"
-  fi
-  n=$((n+1))
-  sleep 30
-done
+if [ "$SKIP_WARMUP" != "1" ]; then
+  n=0
+  while [ "$n" -le "$MAX_RETRIES" ]; do
+    echo "[sup] warmup attempt $((n+1)) $(date -u +%H:%M:%S)" >> "$LOG"
+    python recipes/warmup_cache.py \
+      recipes/LibriSpeech/branchformer_summarymixing.yaml \
+      --train-manifest corpora/hard27h/manifest_train.csv \
+      --valid-manifest corpora/hard27h/manifest_dev.csv \
+      --test-manifest corpora/hard27h/manifest_test.csv \
+      --output runs/flagship_r3 --num-buckets "$NUM_BUCKETS" --beam \
+      --set training.number_of_epochs="$EPOCHS" \
+      >> "$LOG" 2>&1
+    rc=$?
+    echo "[sup] warmup exited rc=$rc $(date -u +%H:%M:%S)" >> "$LOG"
+    [ "$rc" -eq 0 ] && break
+    if ! tail -40 "$LOG" | grep -q "TPU worker process crashed"; then
+      echo "[sup] warmup non-crash failure; NOT retrying" >> "$LOG"
+      exit "$rc"
+    fi
+    n=$((n+1))
+    sleep 30
+  done
+fi
 
 n=0
 while [ "$n" -le "$MAX_RETRIES" ]; do
-  echo "[sup] attempt $((n+1)) $(date -u +%H:%M:%S)" >> "$LOG"
+  HOURS_ARGS=()
+  rem=$(remaining_hours)
+  if [ -n "$rem" ]; then
+    if python3 -c "import sys; sys.exit(0 if $rem < 0.034 else 1)"; then
+      echo "[sup] deadline reached; stopping with last checkpoint" >> "$LOG"
+      exit 0
+    fi
+    HOURS_ARGS=(--max-hours "$rem")
+  fi
+  echo "[sup] attempt $((n+1)) $(date -u +%H:%M:%S) budget_h=${rem:-inf}" >> "$LOG"
   python recipes/train.py recipes/LibriSpeech/branchformer_summarymixing.yaml \
     --train-manifest corpora/hard27h/manifest_train.csv \
     --valid-manifest corpora/hard27h/manifest_dev.csv \
     --test-manifest corpora/hard27h/manifest_test.csv \
-    --output runs/flagship_r3 --num-buckets 8 \
-    --set training.number_of_epochs=25 \
+    --output runs/flagship_r3 --num-buckets "$NUM_BUCKETS" \
+    "${HOURS_ARGS[@]}" \
+    --set training.number_of_epochs="$EPOCHS" \
     >> "$LOG" 2>&1
   rc=$?
   echo "[sup] train.py exited rc=$rc $(date -u +%H:%M:%S)" >> "$LOG"
