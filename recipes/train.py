@@ -746,14 +746,35 @@ def _init_or_restore(trainer, ckpt, cfg, tokenizer, train_set, mesh, fbank):
             "one bucket batch (drop_last). Lower "
             "training.max_batch_length or num_buckets."
         )
+    if ckpt.latest_step() is not None:
+        # Resume fast path: orbax only needs the state's STRUCTURE as a
+        # restore template, so trace init_state abstractly instead of
+        # executing it — the throwaway device init + fetch_to_host
+        # template staging measured ~6-7 min of tunnel round trips per
+        # resume attempt on the 89M flagship (RESULTS.md round 3);
+        # eval_shape costs zero device work.
+        template = jax.eval_shape(
+            trainer.init_state, jax.random.PRNGKey(cfg.seed), first[0])
+        template = jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), template)
+        try:
+            restored = ckpt.restore(template)
+            print(f"[restore] resumed from step {int(restored['step'])} "
+                  "(template restore, no device init)")
+        except Exception as e:  # noqa: BLE001 — template/checkpoint
+            # structure mismatch (e.g. rng saved under a different PRNG
+            # implementation): fall back to the concrete-init path,
+            # which restores against the exact live representation
+            print(f"[restore] template restore failed ({type(e).__name__}:"
+                  f" {e}); falling back to device-init restore")
+            state = trainer.init_state(jax.random.PRNGKey(cfg.seed),
+                                       first[0])
+            restored = ckpt.restore(fetch_to_host(state))
+        if restored is not None:
+            state = _fix_restored_rng(restored)
+            return state, int(state["step"]), int(state["epoch"])
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed), first[0])
-    step, start_epoch = 0, 0
-    restored = ckpt.restore(fetch_to_host(state))
-    if restored is not None:
-        state = _fix_restored_rng(restored)
-        step = int(state["step"])
-        start_epoch = int(state["epoch"])
-    return state, step, start_epoch
+    return state, 0, 0
 
 
 def parse_overrides(pairs):

@@ -108,10 +108,14 @@ augment:
     assert "[preempt] checkpoint saved at step 1 (WALLCLOCK)" in res.stdout
     assert (out / "save").exists()
 
-    # resume: restores step 1, runs one more step
+    # resume: restores step 1 WITHOUT re-running the device init (the
+    # eval_shape template fast path — 6-7 min/attempt on the flagship
+    # through the tunnel), runs one more step
     res = subprocess.run(base + ["--steps", "2"], capture_output=True,
                          text=True, timeout=560, env=env, cwd=REPO)
     assert res.returncode == 0, res.stderr[-3000:]
+    assert "[restore] resumed from step 1 (template restore, " \
+           "no device init)" in res.stdout, res.stdout[-3000:]
     assert "training done: 2 steps" in res.stdout
 
     # a finished run resumed with the same command trains ZERO further
