@@ -348,8 +348,10 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
             train_losses.append(metrics["loss"])  # device scalar, no sync
             if ckpt.should_save():
                 # force: the interval decision was already made (and in
-                # multi-process runs broadcast) by should_save above
-                ckpt.save(step, fetch_to_host(state), force=True)
+                # multi-process runs broadcast) by should_save above;
+                # async write (see the attention path)
+                ckpt.save(step, fetch_to_host(state), force=True,
+                          blocking=False)
             if stopper.should_stop(step):
                 ckpt.save(step, fetch_to_host(state), force=True)
                 print(f"[preempt] checkpoint saved at step {step} "
@@ -385,7 +387,11 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
              cfg.error_rate.upper(): summary["WER"]},
         )
         state = trainer.next_epoch(state)  # gates normalizer freezing
-        ckpt.save(step, fetch_to_host(state), force=True)
+        last_epoch = (epoch >= cfg.training.number_of_epochs
+                      or (args.steps and step >= args.steps))
+        if last_epoch or epoch == 1 or ckpt.should_save():
+            ckpt.save(step, fetch_to_host(state), force=True,
+                      blocking=bool(last_epoch))
         if args.steps and step >= args.steps:
             break
     print("training done:", step, "steps")
@@ -761,10 +767,16 @@ def _init_or_restore(trainer, ckpt, cfg, tokenizer, train_set, mesh, fbank):
             restored = ckpt.restore(template)
             print(f"[restore] resumed from step {int(restored['step'])} "
                   "(template restore, no device init)")
-        except Exception as e:  # noqa: BLE001 — template/checkpoint
-            # structure mismatch (e.g. rng saved under a different PRNG
-            # implementation): fall back to the concrete-init path,
-            # which restores against the exact live representation
+        except (ValueError, TypeError, KeyError) as e:
+            # template/checkpoint STRUCTURE mismatch only (e.g. rng saved
+            # under a different PRNG implementation — shape/dtype/tree
+            # errors orbax raises as ValueError/TypeError/KeyError): fall
+            # back to the concrete-init path, which restores against the
+            # exact live representation. Anything else (corrupt or
+            # partially written checkpoint, IO errors) propagates —
+            # re-attempting the same restore after a 6-7 min device init
+            # would only double the cost and bury the real error
+            # (ADVICE r3).
             print(f"[restore] template restore failed ({type(e).__name__}:"
                   f" {e}); falling back to device-init restore")
             state = trainer.init_state(jax.random.PRNGKey(cfg.seed),
@@ -917,13 +929,17 @@ def main():
                 hb_t = now
             if ckpt.should_save():
                 # force: the interval decision was already made (and in
-                # multi-process runs broadcast) by should_save above
+                # multi-process runs broadcast) by should_save above.
+                # blocking=False: only the device->host fetch stays on
+                # the step path; orbax writes on its background thread
+                # (round-3 flagship: 60 s fetch + 39 s write per save)
                 t_fetch = time.time()
                 host_state = fetch_to_host(state)
                 t_save = time.time()
-                ckpt.save(step, host_state, force=True)
+                ckpt.save(step, host_state, force=True, blocking=False)
                 print(f"[hb] ckpt step {step}: fetch {t_save - t_fetch:.1f}s"
-                      f" save {time.time() - t_save:.1f}s", flush=True)
+                      f" dispatch {time.time() - t_save:.1f}s (async write)",
+                      flush=True)
                 hb_t = time.time()
             if stopper.should_stop(step):
                 ckpt.save(step, fetch_to_host(state), force=True)
@@ -940,8 +956,17 @@ def main():
         # first means a valid-stage crash costs only that epoch's
         # validation numbers, not the epoch's training. epoch is advanced
         # here (it is unused by the eval path: norm updates are off).
+        # Gated by ckpt_interval_minutes (+ always epoch 1, so the eval
+        # compile window is covered, and the final epoch): at small
+        # corpora an epoch is ~2 min of wall while a forced 89M save
+        # costs ~100 s — the interval gate is the reference's own
+        # ckpt_interval_minutes contract (transducer yaml:42).
         state = trainer.next_epoch(state)
-        ckpt.save(step, fetch_to_host(state), force=True)
+        last_epoch = (epoch >= cfg.training.number_of_epochs
+                      or (args.steps and step >= args.steps))
+        if last_epoch or epoch == 1 or ckpt.should_save():
+            ckpt.save(step, fetch_to_host(state), force=True,
+                      blocking=bool(last_epoch))
         # validation: greedy CTC WER every epoch
         stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
                                remove_spaces=cfg.remove_spaces)

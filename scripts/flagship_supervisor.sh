@@ -13,23 +13,42 @@
 #                session still ends with a clean checkpoint + eval).
 #   EPOCHS       training.number_of_epochs override   (default 25)
 #   NUM_BUCKETS  --num-buckets                        (default 8)
+#   CORPUS       corpus dir with manifest_{train,dev,test}.csv
+#                                                     (default corpora/hard26h)
+#   OUT          run dir                              (default runs/flagship_r4)
+#   LOG          supervisor log                       (default $OUT_sup.log)
+#   EXTRA_SET    extra --set overrides, space-separated KEY=VALUE pairs
+#                (e.g. "training.n_warmup_steps=2500")
 #   SKIP_WARMUP  1 = skip the phase-0 AOT warmup; train.py compiles
 #                lazily through the same persistent cache, so warming
 #                only front-loads (it never saves) compile time.
 set -u
 cd /root/repo
-LOG=runs/flagship_r3_sup.log
 MAX_RETRIES=${MAX_RETRIES:-6}
 EPOCHS=${EPOCHS:-25}
 NUM_BUCKETS=${NUM_BUCKETS:-8}
+CORPUS=${CORPUS:-corpora/hard26h}
+OUT=${OUT:-runs/flagship_r4}
+LOG=${LOG:-${OUT}_sup.log}
 DEADLINE_TS=${DEADLINE_TS:-}
 SKIP_WARMUP=${SKIP_WARMUP:-0}
+EXTRA_SET=${EXTRA_SET:-}
+
+SET_ARGS=(--set training.number_of_epochs="$EPOCHS")
+for kv in $EXTRA_SET; do
+  SET_ARGS+=(--set "$kv")
+done
 
 remaining_hours() {
   # prints remaining budget in hours (blank = unbounded)
   if [ -n "$DEADLINE_TS" ]; then
     python3 -c "import time; print(max(0.0, ($DEADLINE_TS - time.time()) / 3600))"
   fi
+}
+
+have_checkpoint() {
+  # any orbax step dir under $OUT/save?
+  ls -d "$OUT"/save/*/ >/dev/null 2>&1
 }
 
 # Phase 0: warm the compile cache (recipes/warmup_cache.py). Warming is
@@ -41,11 +60,11 @@ if [ "$SKIP_WARMUP" != "1" ]; then
     echo "[sup] warmup attempt $((n+1)) $(date -u +%H:%M:%S)" >> "$LOG"
     python recipes/warmup_cache.py \
       recipes/LibriSpeech/branchformer_summarymixing.yaml \
-      --train-manifest corpora/hard27h/manifest_train.csv \
-      --valid-manifest corpora/hard27h/manifest_dev.csv \
-      --test-manifest corpora/hard27h/manifest_test.csv \
-      --output runs/flagship_r3 --num-buckets "$NUM_BUCKETS" --beam \
-      --set training.number_of_epochs="$EPOCHS" \
+      --train-manifest "$CORPUS"/manifest_train.csv \
+      --valid-manifest "$CORPUS"/manifest_dev.csv \
+      --test-manifest "$CORPUS"/manifest_test.csv \
+      --output "$OUT" --num-buckets "$NUM_BUCKETS" --beam \
+      "${SET_ARGS[@]}" \
       >> "$LOG" 2>&1
     rc=$?
     echo "[sup] warmup exited rc=$rc $(date -u +%H:%M:%S)" >> "$LOG"
@@ -59,25 +78,31 @@ if [ "$SKIP_WARMUP" != "1" ]; then
   done
 fi
 
-n=0
+n=0        # crash-retry budget (bounded)
+attempt=0  # total launches, incl. preemption resumes (log labels only)
 while [ "$n" -le "$MAX_RETRIES" ]; do
   HOURS_ARGS=()
   rem=$(remaining_hours)
   if [ -n "$rem" ]; then
     if python3 -c "import sys; sys.exit(0 if $rem < 0.034 else 1)"; then
-      echo "[sup] deadline reached; stopping with last checkpoint" >> "$LOG"
+      if have_checkpoint; then
+        echo "[sup] deadline reached; stopping with last checkpoint" >> "$LOG"
+      else
+        echo "[sup] deadline reached; NO checkpoint was written" >> "$LOG"
+      fi
       exit 0
     fi
     HOURS_ARGS=(--max-hours "$rem")
   fi
-  echo "[sup] attempt $((n+1)) $(date -u +%H:%M:%S) budget_h=${rem:-inf}" >> "$LOG"
+  attempt=$((attempt+1))
+  echo "[sup] attempt $attempt (crash-retries used: $n) $(date -u +%H:%M:%S) budget_h=${rem:-inf}" >> "$LOG"
   python recipes/train.py recipes/LibriSpeech/branchformer_summarymixing.yaml \
-    --train-manifest corpora/hard27h/manifest_train.csv \
-    --valid-manifest corpora/hard27h/manifest_dev.csv \
-    --test-manifest corpora/hard27h/manifest_test.csv \
-    --output runs/flagship_r3 --num-buckets "$NUM_BUCKETS" \
+    --train-manifest "$CORPUS"/manifest_train.csv \
+    --valid-manifest "$CORPUS"/manifest_dev.csv \
+    --test-manifest "$CORPUS"/manifest_test.csv \
+    --output "$OUT" --num-buckets "$NUM_BUCKETS" \
     "${HOURS_ARGS[@]}" \
-    --set training.number_of_epochs="$EPOCHS" \
+    "${SET_ARGS[@]}" \
     >> "$LOG" 2>&1
   rc=$?
   echo "[sup] train.py exited rc=$rc $(date -u +%H:%M:%S)" >> "$LOG"

