@@ -58,10 +58,42 @@ from summarymixing_tpu.config import build_model, load_recipe
 from summarymixing_tpu.frontend.features import NormStats
 from summarymixing_tpu.training.checkpoint import CheckpointManager
 from summarymixing_tpu.utils.convert import (
+    TrackedStateDict,
+    consumption_report,
     convert_full_model,
     convert_transducer_model,
     load_torch_checkpoint,
 )
+
+
+def _check_consumption(sd: TrackedStateDict, what: str, show_report: bool,
+                       allow_unconsumed: bool) -> None:
+    """Key-consumption strictness (reference Pretrainer contract,
+    yaml:349-360): every non-buffer key of the real checkpoint must have
+    been read by the converter, else the converted model silently
+    diverges from the original — fail loud instead."""
+    rep = consumption_report(sd)
+    if show_report:
+        print(f"--- {what} key-consumption report ---")
+        for kind in ("consumed", "ignored", "unconsumed"):
+            print(f"{kind} ({len(rep[kind])}):")
+            for k in rep[kind]:
+                print(f"  {k}")
+    summary = (f"{what}: consumed {len(rep['consumed'])} keys, ignored "
+               f"{len(rep['ignored'])} buffers, "
+               f"{len(rep['unconsumed'])} unconsumed")
+    if rep["unconsumed"]:
+        msg = (summary + " — the state dict contains parameters the "
+               "converter did not map: "
+               + ", ".join(rep["unconsumed"][:20])
+               + (" ..." if len(rep["unconsumed"]) > 20 else ""))
+        if not allow_unconsumed:
+            raise SystemExit(
+                "ERROR: " + msg + "\n(re-run with --allow-unconsumed to "
+                "convert anyway, --report for the full key lists)")
+        print("WARNING:", msg)
+    else:
+        print(summary)
 
 
 def norm_stats_from_reference(path: str, n_mels: int) -> dict:
@@ -85,7 +117,9 @@ def norm_stats_from_reference(path: str, n_mels: int) -> dict:
     }
 
 
-def convert_lm_ckpt(cfg, lm_path: str, out_dir: str, is_transducer: bool):
+def convert_lm_ckpt(cfg, lm_path: str, out_dir: str, is_transducer: bool,
+                    show_report: bool = False,
+                    allow_unconsumed: bool = False):
     """Convert a published lm.ckpt into <out_dir>/lm: an orbax checkpoint
     ({"params": ...}) plus lm_config.json with the architecture inferred
     from the weights, i.e. exactly what train.py::_restore_lm loads for
@@ -104,7 +138,7 @@ def convert_lm_ckpt(cfg, lm_path: str, out_dir: str, is_transducer: bool):
         convert_transformer_lm,
     )
 
-    sd = load_torch_checkpoint(lm_path)
+    sd = TrackedStateDict(load_torch_checkpoint(lm_path))
     base = dataclasses.asdict(cfg.lm) if cfg.lm else dataclasses.asdict(
         LMConfig(model_type="rnn" if is_transducer else "transformer"))
     if is_transducer:
@@ -128,6 +162,7 @@ def convert_lm_ckpt(cfg, lm_path: str, out_dir: str, is_transducer: bool):
             d_ffn=int(params["encoder"]["layer_0"]["pos_ffn"]["ffn_in"]
                       ["kernel"].shape[1]),
         )
+    _check_consumption(sd, "lm.ckpt", show_report, allow_unconsumed)
     lm_dir = os.path.join(out_dir, "lm")
     os.makedirs(lm_dir, exist_ok=True)
     CheckpointManager(os.path.join(lm_dir, "save")).save(
@@ -171,6 +206,13 @@ def main():
                          "sentencepiece tokenizer.model/.ckpt, or a "
                          "tokenizer_vocab.json char map)")
     ap.add_argument("--output", required=True, help="run directory to write")
+    ap.add_argument("--report", action="store_true",
+                    help="print the full consumed/ignored/unconsumed "
+                         "state-dict key lists")
+    ap.add_argument("--allow-unconsumed", action="store_true",
+                    help="downgrade unconsumed-key failures to warnings "
+                         "(by default any non-buffer key the converter "
+                         "did not read aborts the conversion)")
     args = ap.parse_args()
 
     if args.ref_dir:
@@ -187,7 +229,7 @@ def main():
 
     cfg = load_recipe(args.recipe)
     model, fbank, td_model = build_model(cfg)
-    sd = load_torch_checkpoint(args.torch_ckpt)
+    sd = TrackedStateDict(load_torch_checkpoint(args.torch_ckpt))
 
     m = cfg.model
     if td_model is not None:
@@ -201,6 +243,7 @@ def main():
             num_encoder_layers=m.num_encoder_layers,
             num_decoder_layers=m.num_decoder_layers,
         )
+    _check_consumption(sd, "model.ckpt", args.report, args.allow_unconsumed)
 
     if args.norm_ckpt:
         norm_stats = norm_stats_from_reference(args.norm_ckpt,
@@ -252,7 +295,9 @@ def main():
 
     if args.lm_ckpt:
         convert_lm_ckpt(cfg, args.lm_ckpt, args.output,
-                        is_transducer=td_model is not None)
+                        is_transducer=td_model is not None,
+                        show_report=args.report,
+                        allow_unconsumed=args.allow_unconsumed)
 
     n_params = sum(int(np.asarray(p).size) for p in jax.tree.leaves(params))
     print(f"converted {n_params:,} parameters -> {save_dir} "

@@ -31,6 +31,78 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     return {k: v.numpy() for k, v in sd.items()}
 
 
+# Deterministic (non-learnable) buffers a real state dict carries that no
+# converter should consume: the reference overlay registers exactly one
+# buffer — PositionalEncoding.pe (reference Transformer.py:322) — which
+# the flax models compute analytically; num_batches_tracked is torch
+# BatchNorm bookkeeping (not used by the reference frontend, listed for
+# robustness against fork variants).
+_IGNORABLE_KEY_SUFFIXES = (".pe", ".num_batches_tracked")
+
+
+def _is_ignorable_key(key: str) -> bool:
+    return key.endswith(_IGNORABLE_KEY_SUFFIXES)
+
+
+class TrackedStateDict(dict):
+    """A state dict that records every key a converter actually READS
+    (``sd[k]`` or a successful ``sd.get(k)``). Membership tests (``in``)
+    and iteration do NOT count as consumption — converters probe with
+    ``in`` to pick layouts.
+
+    This is the mechanism behind converter key-consumption strictness
+    (reference Pretrainer contract, branchformer_summarymixing.yaml:349-360):
+    a key-naming or module-nesting mismatch between a real SpeechBrain
+    checkpoint and the converter's expectations surfaces as unconsumed
+    keys in :func:`consumption_report` — a loud pre-decode error instead
+    of silently-wrong numerics."""
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        super().__init__(sd)
+        self.consumed: set = set()
+
+    def __getitem__(self, key):
+        value = super().__getitem__(key)
+        self.consumed.add(key)
+        return value
+
+    def get(self, key, default=None):
+        if dict.__contains__(self, key):
+            return self[key]
+        return default
+
+
+def consumption_report(sd: TrackedStateDict) -> Dict[str, list]:
+    """Classify every state-dict key after a converter ran over a
+    :class:`TrackedStateDict`: ``consumed`` (read and mapped),
+    ``ignored`` (deterministic buffers, see ``_IGNORABLE_KEY_SUFFIXES``),
+    ``unconsumed`` (present but never read — a layout mismatch or an
+    unmodelled block)."""
+    consumed, ignored, unconsumed = [], [], []
+    for k in sd:
+        if k in sd.consumed:
+            consumed.append(k)
+        elif _is_ignorable_key(k):
+            ignored.append(k)
+        else:
+            unconsumed.append(k)
+    return {"consumed": sorted(consumed), "ignored": sorted(ignored),
+            "unconsumed": sorted(unconsumed)}
+
+
+def assert_fully_consumed(sd: TrackedStateDict, what: str = "checkpoint"):
+    """Raise if the converter left any non-buffer key unread."""
+    rep = consumption_report(sd)
+    if rep["unconsumed"]:
+        raise KeyError(
+            f"{len(rep['unconsumed'])} unconsumed {what} keys — the state "
+            "dict contains parameters the converter did not map, so the "
+            "converted model would silently diverge from the original: "
+            + ", ".join(rep["unconsumed"][:20])
+            + (" ..." if len(rep["unconsumed"]) > 20 else ""))
+    return rep
+
+
 def convert_linear(weight: np.ndarray, bias: np.ndarray | None = None) -> dict:
     out = {"kernel": np.ascontiguousarray(weight.T)}
     if bias is not None:
@@ -280,19 +352,30 @@ def _convert_frontend(sd: Dict[str, np.ndarray], prefix: str = "0.") -> dict:
     i = 0
     while i < len(keys):
         k = keys[i]
+        if not k.endswith(".weight"):
+            # .bias keys are consumed alongside their .weight; anything
+            # else (a buffer) is left for the consumption report
+            i += 1
+            continue
         w = sd[k]
-        if k.endswith(".weight") and w.ndim == 4:
+        if w.ndim == 4:
             bias_k = k[: -len(".weight")] + ".bias"
             cnn[f"conv_{conv_i}"] = convert_conv2d(w, sd.get(bias_k))
             conv_i += 1
             i += 2 if bias_k in sd else 1
-        elif k.endswith(".weight") and w.ndim == 1:
+        elif w.ndim == 1:
             bias_k = k[: -len(".weight")] + ".bias"
             cnn[f"norm_{norm_i}"] = convert_layernorm(w, sd[bias_k])
             norm_i += 1
             i += 2
         else:
-            i += 1
+            # a weight shape this extractor does not model (the reference
+            # ConvolutionFrontEnd is strictly conv2d + layernorm blocks,
+            # ContainerCNN.py) — dropping it silently would convert to
+            # different numerics
+            raise KeyError(
+                f"unrecognised frontend weight {k} (ndim={w.ndim}): the "
+                "frontend extractor models conv2d + layernorm blocks only")
     if not cnn:
         raise KeyError(f"no frontend convs under {prefix!r}")
     return cnn

@@ -38,12 +38,50 @@ def build_flax_model():
 
 @pytest.fixture(scope="module")
 def converted():
+    from summarymixing_tpu.utils.convert import (
+        TrackedStateDict,
+        assert_fully_consumed,
+    )
+
     torch_model = build_oracle(nhead=1, seed=3)
-    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    sd = TrackedStateDict(
+        {k: v.numpy() for k, v in torch_model.state_dict().items()})
     params = convert_full_model(sd, nhead=1, mode="SummaryMixing",
                                 num_encoder_layers=NENC,
                                 num_decoder_layers=NDEC)
+    # key-consumption strictness (VERDICT r3 missing #2): every oracle
+    # state-dict key must have been read — an unconsumed key means the
+    # converter and the reference module layout disagree
+    assert_fully_consumed(sd, "oracle model.ckpt")
     return torch_model, params
+
+
+def test_unconsumed_keys_fail_loud():
+    """An unmodelled parameter block in the state dict must abort the
+    conversion (key-consumption strictness), not silently convert."""
+    from summarymixing_tpu.utils.convert import (
+        TrackedStateDict,
+        assert_fully_consumed,
+    )
+
+    torch_model = build_oracle(nhead=1, seed=3)
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    sd["1.encoder.layers.0.extra_adapter.weight"] = np.zeros((4, 4),
+                                                             np.float32)
+    tracked = TrackedStateDict(sd)
+    convert_full_model(tracked, nhead=1, mode="SummaryMixing",
+                       num_encoder_layers=NENC, num_decoder_layers=NDEC)
+    with pytest.raises(KeyError, match="extra_adapter"):
+        assert_fully_consumed(tracked, "oracle model.ckpt")
+    # deterministic buffers (PositionalEncoding.pe, Transformer.py:322)
+    # are ignorable, not unconsumed
+    sd2 = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    sd2["1.positional_encoding.pe"] = np.zeros((1, 8, D), np.float32)
+    tracked2 = TrackedStateDict(sd2)
+    convert_full_model(tracked2, nhead=1, mode="SummaryMixing",
+                       num_encoder_layers=NENC, num_decoder_layers=NDEC)
+    rep = assert_fully_consumed(tracked2, "oracle model.ckpt")
+    assert rep["ignored"] == ["1.positional_encoding.pe"]
 
 
 def test_full_model_conversion_parity(converted, rng):
@@ -204,12 +242,19 @@ def test_transducer_model_conversion_parity(rng):
         transducer_oracle_forward,
     )
 
+    from summarymixing_tpu.utils.convert import (
+        TrackedStateDict,
+        assert_fully_consumed,
+    )
+
     VOC, DM, NL = 10, 16, 2
     torch_model = build_transducer_oracle(vocab=VOC, d_model=DM,
                                           n_layers=NL, seed=11)
-    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    sd = TrackedStateDict(
+        {k: v.numpy() for k, v in torch_model.state_dict().items()})
     params = convert_transducer_model(sd, nhead=4, mode="SummaryMixing-fast",
                                       num_encoder_layers=NL)
+    assert_fully_consumed(sd, "oracle transducer model.ckpt")
 
     asr = TransformerASR(
         tgt_vocab=VOC, input_size=40, d_model=DM, nhead=4,

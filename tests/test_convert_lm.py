@@ -28,10 +28,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.fixture(scope="module")
 def tlm_pair():
+    from summarymixing_tpu.utils.convert import (
+        TrackedStateDict,
+        assert_fully_consumed,
+    )
+
     torch.manual_seed(5)
     oracle = TransformerLMTorch(V, d_model=16, nhead=2, n_layers=2, d_ffn=24)
-    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    sd = TrackedStateDict(
+        {k: v.numpy() for k, v in oracle.state_dict().items()})
     params = convert_transformer_lm(sd)
+    assert_fully_consumed(sd, "oracle lm.ckpt")
     assert params.pop("__output_proj__") == "sb"
     lm = TransformerLM(vocab=V, d_model=16, nhead=2, num_layers=2, d_ffn=24,
                        output_proj="sb")
@@ -64,10 +71,17 @@ def test_transformer_lm_converted_cached_step(tlm_pair, rng):
 
 def test_rnnlm_conversion_parity(rng):
     torch.manual_seed(7)
+    from summarymixing_tpu.utils.convert import (
+        TrackedStateDict,
+        assert_fully_consumed,
+    )
+
     oracle = RNNLMTorch(V, embedding_dim=8, rnn_neurons=16, rnn_layers=2,
                         dnn_neurons=12)
-    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    sd = TrackedStateDict(
+        {k: v.numpy() for k, v in oracle.state_dict().items()})
     params = convert_rnnlm(sd)
+    assert_fully_consumed(sd, "oracle rnnlm lm.ckpt")
     lm = RNNLM(vocab=V, embedding_dim=8, rnn_layers=2, rnn_neurons=16,
                dnn_neurons=12)
     tokens = rng.integers(0, V, (3, 9)).astype(np.int64)
