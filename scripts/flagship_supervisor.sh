@@ -96,6 +96,8 @@ while [ "$n" -le "$MAX_RETRIES" ]; do
   fi
   attempt=$((attempt+1))
   echo "[sup] attempt $attempt (crash-retries used: $n) $(date -u +%H:%M:%S) budget_h=${rem:-inf}" >> "$LOG"
+  # pidfile so a preemption drill can SIGTERM the exact train.py process
+  # (never kill-by-pattern: CLAUDE.md)
   python recipes/train.py recipes/LibriSpeech/branchformer_summarymixing.yaml \
     --train-manifest "$CORPUS"/manifest_train.csv \
     --valid-manifest "$CORPUS"/manifest_dev.csv \
@@ -103,8 +105,11 @@ while [ "$n" -le "$MAX_RETRIES" ]; do
     --output "$OUT" --num-buckets "$NUM_BUCKETS" \
     "${HOURS_ARGS[@]}" \
     "${SET_ARGS[@]}" \
-    >> "$LOG" 2>&1
+    >> "$LOG" 2>&1 &
+  echo $! > "$OUT/train.pid"
+  wait $!
   rc=$?
+  rm -f "$OUT/train.pid"
   echo "[sup] train.py exited rc=$rc $(date -u +%H:%M:%S)" >> "$LOG"
   if [ "$rc" -eq 0 ]; then
     # a preemption-stop (SIGTERM / --max-hours) also exits 0 after
