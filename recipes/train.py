@@ -562,10 +562,18 @@ def maybe_compact_ctc(cfg, ctc_lp, enc_lens):
 
 
 def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
-                  fbank, lm_ckpt=None, beam_size=None, temperature=1.0):
+                  fbank, lm_ckpt=None, beam_size=None, temperature=1.0,
+                  warm_shapes_only=False):
     """Joint CTC/attention beam search (the reference's valid_search stage,
     yaml:248-263; with beam_size=test_beam_size it is the test_search
-    stage, yaml:258-269), KV-cached, with optional TransformerLM fusion."""
+    stage, yaml:258-269), KV-cached, with optional TransformerLM fusion.
+
+    warm_shapes_only: compile-cache warming mode (recipes/warmup_cache.py)
+    — decode only the FIRST batch of each distinct wav shape, first beam
+    slice only (all slices of a batch are the same compiled program).
+    A full pass with random init weights decodes every utterance to
+    max_length (no early eos exit), which cost ~35 min per beam size on
+    the r4 flagship warmup for zero extra cache coverage."""
     from summarymixing_tpu.decoding.s2s_beam import (
         S2SBeamConfig,
         s2s_beam_search,
@@ -579,8 +587,14 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
     lm_step, lm_make_cache = make_lm_fusion(cfg, lm_ckpt)
     lmax = static_decode_length(cfg, valid_set, mesh, fbank)
     seen = set()
+    warmed = set()
     for batch, idx in batches(valid_set, tokenizer, cfg, mesh, False, 0,
                               fbank):
+        if warm_shapes_only:
+            shape_key = tuple(batch["wav"].shape)
+            if shape_key in warmed:
+                continue
+            warmed.add(shape_key)
         feats = fbank(batch["wav"])
         feat_lens = fbank.frame_lengths(batch["wav_lens"])
         feats, _ = trainer.normalize(feats, state["norm_stats"])
@@ -613,6 +627,8 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
             score_batch(stats, tokenizer,
                         {"tokens": s_tok, "token_lens": s_tl},
                         s_idx, seen, toks, lens)
+            if warm_shapes_only:
+                break  # later slices reuse this slice's compiled program
     return stats.summarize()
 
 

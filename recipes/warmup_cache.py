@@ -137,7 +137,7 @@ def main():
     if args.beam and model.asr.num_decoder_layers > 0:
         t0 = time.time()
         beam_validate(cfg, model, trainer, state, valid_set, tokenizer,
-                      mesh, fbank)
+                      mesh, fbank, warm_shapes_only=True)
         print(f"[warm beam] valid_search beam={cfg.decoding.valid_beam_size}"
               f" ({time.time() - t0:.1f}s)", flush=True)
         if (cfg.decoding.test_beam_size
@@ -148,7 +148,8 @@ def main():
                           read_manifest_csv(args.test_manifest), tokenizer,
                           mesh, fbank,
                           beam_size=cfg.decoding.test_beam_size,
-                          temperature=cfg.decoding.test_temperature)
+                          temperature=cfg.decoding.test_temperature,
+                          warm_shapes_only=True)
             print(f"[warm beam] test_search beam="
                   f"{cfg.decoding.test_beam_size} "
                   f"({time.time() - t0:.1f}s)", flush=True)
