@@ -27,11 +27,7 @@ import numpy as np
 from summarymixing_tpu.config import build_model, load_recipe
 from summarymixing_tpu.data.dataio import read_manifest_csv
 from summarymixing_tpu.data.tokenizer import CharTokenizer
-from summarymixing_tpu.decoding.s2s_beam import (
-    S2SBeamConfig,
-    s2s_beam_search,
-    tile_for_beam,
-)
+from summarymixing_tpu.decoding.s2s_beam import S2SBeamConfig
 from summarymixing_tpu.frontend.features import NormStats
 from summarymixing_tpu.parallel.mesh import make_mesh
 from summarymixing_tpu.training.checkpoint import (
@@ -461,15 +457,6 @@ def main():
     nbest_rows = {}  # utt idx -> top-N [{text, score}] (--nbest > 1)
     for batch, idx in batches(test_set, tokenizer, cfg, mesh, False, 0, fbank):
         if args.beam:
-            feats = fbank(batch["wav"])
-            feat_lens = fbank.frame_lengths(batch["wav_lens"])
-            feats, _ = trainer.normalize(feats, state["norm_stats"])
-            enc_out, enc_lens = model.apply(params, feats, feat_lens,
-                                            method=model.encode)
-            ctc_lp = model.apply(params, enc_out, method=model.ctc_head)
-            from train import maybe_compact_ctc  # noqa: E402
-
-            ctc_lp, scorer_lens = maybe_compact_ctc(cfg, ctc_lp, enc_lens)
             beam = cfg.decoding.test_beam_size
             # nothing encoder-sized is beam-tiled (the O(beam) tiles and
             # their per-step gathers OOM'd v5e HBM at beam 66): the CTC
@@ -485,22 +472,26 @@ def main():
                 max_length=lmax,
                 temperature=cfg.decoding.test_temperature,
             )
-            from train import beam_slices, make_beam_step  # noqa: E402
+            from train import beam_programs, beam_slices  # noqa: E402
 
+            # persistent jit pair (cached by bc VALUE across batches):
+            # eager encode + per-slice step closures re-traced the whole
+            # decode graph per batch (train.py::beam_programs)
+            encode_fn, search_fn = beam_programs(
+                cfg, model, fbank, trainer, bc, lm_step, lm_make_cache,
+                nbest=args.nbest)
+            enc_out, enc_lens, ctc_lp, scorer_lens = encode_fn(
+                params, state["norm_stats"], batch["wav"],
+                batch["wav_lens"])
             row_map = []   # hyp row -> position in this batch's idx
             toks_l, lens_l = [], []
             for s_idx, s_pos, eo, el, cl, sl in beam_slices(
                     cfg.decoding.max_beam_rows, beam, idx,
                     np.arange(len(idx)), enc_out, enc_lens, ctc_lp,
                     scorer_lens):
-                step, cache, lm_cache = make_beam_step(
-                    cfg, model, params, eo, el, beam, bc, lm_step,
-                    lm_make_cache)
                 if args.nbest > 1:
-                    tn, ln, sn = (np.asarray(a) for a in s2s_beam_search(
-                        step, eo, tile_for_beam(sl, beam), cl, bc,
-                        cache=cache, lm_step_fn=lm_step, lm_cache=lm_cache,
-                        nbest=args.nbest))
+                    tn, ln, sn = (np.asarray(a) for a in search_fn(
+                        params, eo, el, cl, sl))
                     tk, ll = tn[:, 0], ln[:, 0]
                     for i, u in enumerate(s_idx):
                         if int(u) not in nbest_rows:
@@ -510,9 +501,7 @@ def main():
                                  "score": float(sn[i, r])}
                                 for r in range(tn.shape[1])]
                 else:
-                    tk, ll, _ = s2s_beam_search(
-                        step, eo, tile_for_beam(sl, beam), cl, bc,
-                        cache=cache, lm_step_fn=lm_step, lm_cache=lm_cache)
+                    tk, ll, _ = search_fn(params, eo, el, cl, sl)
                     tk, ll = np.asarray(tk), np.asarray(ll)
                 toks_l.append(tk)
                 lens_l.append(ll)

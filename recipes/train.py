@@ -524,6 +524,67 @@ def make_beam_step(cfg, model, params, enc_out, enc_lens, beam, bc,
     return step_plain, None, lm_cache
 
 
+_BEAM_PROGRAM_CACHE = {}
+
+
+def beam_programs(cfg, model, fbank, trainer, bc, lm_step, lm_make_cache,
+                  nbest=1):
+    """One persistent (encode_fn, search_fn) jit pair per beam
+    configuration, cached for the process lifetime.
+
+    Why this exists: the old path ran the encoder via eager `model.apply`
+    and built the beam step as a fresh per-slice closure, which re-traced
+    and re-lowered the whole decode graph for EVERY eval batch even when
+    every XLA executable was a cache hit — measured at ~10 s host time
+    per batch on the r4 flagship beam validation (~15 min for a
+    112-batch dev pass whose device work is seconds;
+    benchmarks/RESULTS.md round 4). A persistent jit object re-traces
+    only per new input shape, so a full-dev beam pass costs one trace
+    per bucket shape and then streams.
+
+    `params`/`norm_stats` are arguments (weights change between
+    validations); cfg/model/bc/LM hooks are static via the cache key.
+    The key hashes `bc` BY VALUE (frozen dataclass), so valid_search
+    (beam 10) and test_search (beam 66, temperature 1.15) get distinct
+    programs while repeated calls with an equal config share one.
+    `nbest` changes the returned tree shape, so it is part of the key.
+
+    Reference surface covered: S2STransformerBeamSearcher valid/test
+    stages (branchformer yaml:248-269)."""
+    key = (id(cfg), id(model), id(fbank), id(trainer), bc, id(lm_step),
+           nbest)
+    hit = _BEAM_PROGRAM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from summarymixing_tpu.decoding.s2s_beam import (
+        s2s_beam_search,
+        tile_for_beam,
+    )
+
+    @jax.jit
+    def encode_fn(params, norm_stats, wav, wav_lens):
+        feats = fbank(wav)
+        feat_lens = fbank.frame_lengths(wav_lens)
+        feats, _ = trainer.normalize(feats, norm_stats)
+        enc_out, enc_lens = model.apply(params, feats, feat_lens,
+                                        method=model.encode)
+        ctc_lp = model.apply(params, enc_out, method=model.ctc_head)
+        return (enc_out, enc_lens) + maybe_compact_ctc(cfg, ctc_lp,
+                                                       enc_lens)
+
+    @jax.jit
+    def search_fn(params, eo, el, cl, sl):
+        step, cache, lm_cache = make_beam_step(
+            cfg, model, params, eo, el, bc.beam_size, bc, lm_step,
+            lm_make_cache)
+        return s2s_beam_search(step, eo, tile_for_beam(sl, bc.beam_size),
+                               cl, bc, cache=cache, lm_step_fn=lm_step,
+                               lm_cache=lm_cache, nbest=nbest)
+
+    _BEAM_PROGRAM_CACHE[key] = (encode_fn, search_fn)
+    return encode_fn, search_fn
+
+
 def beam_slices(max_rows, beam, idx, *arrays):
     """Row-capped slicing of one eval batch for beam decode
     (decoding.max_beam_rows): yields (sub_idx, *sliced_arrays) with at
@@ -574,11 +635,7 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
     A full pass with random init weights decodes every utterance to
     max_length (no early eos exit), which cost ~35 min per beam size on
     the r4 flagship warmup for zero extra cache coverage."""
-    from summarymixing_tpu.decoding.s2s_beam import (
-        S2SBeamConfig,
-        s2s_beam_search,
-        tile_for_beam,
-    )
+    from summarymixing_tpu.decoding.s2s_beam import S2SBeamConfig
 
     params = {"params": state["params"]}
     stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
@@ -586,6 +643,19 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
     beam = beam_size or cfg.decoding.valid_beam_size
     lm_step, lm_make_cache = make_lm_fusion(cfg, lm_ckpt)
     lmax = static_decode_length(cfg, valid_set, mesh, fbank)
+    # nothing encoder-sized is beam-tiled: the CTC lattice stays
+    # [B, T, V] (scorer maps rows by n // beam) and make_beam_step
+    # keeps the cross-attention K/V per-utterance — the O(beam)
+    # tiles OOM'd v5e HBM at the reference test config (beam 66)
+    bc = S2SBeamConfig(
+        beam_size=beam, ctc_weight=cfg.decoding.ctc_weight_decode,
+        lm_weight=cfg.decoding.lm_weight if lm_step else 0.0,
+        bos_id=cfg.model.bos_index, eos_id=cfg.model.eos_index,
+        blank_id=cfg.model.blank_index,
+        max_length=lmax, temperature=temperature,
+    )
+    encode_fn, search_fn = beam_programs(cfg, model, fbank, trainer, bc,
+                                         lm_step, lm_make_cache)
     seen = set()
     warmed = set()
     for batch, idx in batches(valid_set, tokenizer, cfg, mesh, False, 0,
@@ -595,35 +665,14 @@ def beam_validate(cfg, model, trainer, state, valid_set, tokenizer, mesh,
             if shape_key in warmed:
                 continue
             warmed.add(shape_key)
-        feats = fbank(batch["wav"])
-        feat_lens = fbank.frame_lengths(batch["wav_lens"])
-        feats, _ = trainer.normalize(feats, state["norm_stats"])
-        enc_out, enc_lens = model.apply(params, feats, feat_lens,
-                                        method=model.encode)
-        ctc_lp = model.apply(params, enc_out, method=model.ctc_head)
-        ctc_lp, scorer_lens = maybe_compact_ctc(cfg, ctc_lp, enc_lens)
-        # nothing encoder-sized is beam-tiled: the CTC lattice stays
-        # [B, T, V] (scorer maps rows by n // beam) and make_beam_step
-        # keeps the cross-attention K/V per-utterance — the O(beam)
-        # tiles OOM'd v5e HBM at the reference test config (beam 66)
-        bc = S2SBeamConfig(
-            beam_size=beam, ctc_weight=cfg.decoding.ctc_weight_decode,
-            lm_weight=cfg.decoding.lm_weight if lm_step else 0.0,
-            bos_id=cfg.model.bos_index, eos_id=cfg.model.eos_index,
-            blank_id=cfg.model.blank_index,
-            max_length=lmax, temperature=temperature,
-        )
+        enc_out, enc_lens, ctc_lp, scorer_lens = encode_fn(
+            params, state["norm_stats"], batch["wav"], batch["wav_lens"])
         tok_np = launch.fetch_global(batch["tokens"])
         tl_np = launch.fetch_global(batch["token_lens"])
         for s_idx, eo, el, cl, sl, s_tok, s_tl in beam_slices(
                 cfg.decoding.max_beam_rows, beam, idx, enc_out, enc_lens,
                 ctc_lp, scorer_lens, tok_np, tl_np):
-            step, cache, lm_cache = make_beam_step(
-                cfg, model, params, eo, el, beam, bc, lm_step,
-                lm_make_cache)
-            toks, lens, _ = s2s_beam_search(
-                step, eo, tile_for_beam(sl, beam), cl, bc, cache=cache,
-                lm_step_fn=lm_step, lm_cache=lm_cache)
+            toks, lens, _ = search_fn(params, eo, el, cl, sl)
             score_batch(stats, tokenizer,
                         {"tokens": s_tok, "token_lens": s_tl},
                         s_idx, seen, toks, lens)
