@@ -451,35 +451,37 @@ def main():
                               if args.beam else (None, None))
     lmax = static_decode_length(cfg, test_set, mesh, fbank) if args.beam \
         else 0
+    encode_fn = search_fn = bc = None
+    if args.beam:
+        beam = cfg.decoding.test_beam_size
+        # nothing encoder-sized is beam-tiled (the O(beam) tiles and
+        # their per-step gathers OOM'd v5e HBM at beam 66): the CTC
+        # lattice stays [B, T, V], make_beam_step keeps the
+        # cross-attention K/V per-utterance, and wide buckets decode
+        # in row-capped slices (decoding.max_beam_rows). bc and the
+        # program pair are built ONCE, above the batch loop (advisor
+        # round 4): bc must stay per-RUN — a per-batch field added here
+        # would silently compile a new program pair per batch.
+        bc = S2SBeamConfig(
+            beam_size=beam,
+            ctc_weight=cfg.decoding.ctc_weight_decode,
+            lm_weight=cfg.decoding.lm_weight if lm_step else 0.0,
+            bos_id=cfg.model.bos_index, eos_id=cfg.model.eos_index,
+            blank_id=cfg.model.blank_index,
+            max_length=lmax,
+            temperature=cfg.decoding.test_temperature,
+        )
+        from train import beam_programs, beam_slices  # noqa: E402
+
+        encode_fn, search_fn = beam_programs(
+            cfg, model, fbank, trainer, bc, lm_step, lm_make_cache,
+            nbest=args.nbest)
     t0 = time.time()
     n_utts = 0
     seen = set()
     nbest_rows = {}  # utt idx -> top-N [{text, score}] (--nbest > 1)
     for batch, idx in batches(test_set, tokenizer, cfg, mesh, False, 0, fbank):
         if args.beam:
-            beam = cfg.decoding.test_beam_size
-            # nothing encoder-sized is beam-tiled (the O(beam) tiles and
-            # their per-step gathers OOM'd v5e HBM at beam 66): the CTC
-            # lattice stays [B, T, V], make_beam_step keeps the
-            # cross-attention K/V per-utterance, and wide buckets decode
-            # in row-capped slices (decoding.max_beam_rows)
-            bc = S2SBeamConfig(
-                beam_size=beam,
-                ctc_weight=cfg.decoding.ctc_weight_decode,
-                lm_weight=cfg.decoding.lm_weight if lm_step else 0.0,
-                bos_id=cfg.model.bos_index, eos_id=cfg.model.eos_index,
-                blank_id=cfg.model.blank_index,
-                max_length=lmax,
-                temperature=cfg.decoding.test_temperature,
-            )
-            from train import beam_programs, beam_slices  # noqa: E402
-
-            # persistent jit pair (cached by bc VALUE across batches):
-            # eager encode + per-slice step closures re-traced the whole
-            # decode graph per batch (train.py::beam_programs)
-            encode_fn, search_fn = beam_programs(
-                cfg, model, fbank, trainer, bc, lm_step, lm_make_cache,
-                nbest=args.nbest)
             enc_out, enc_lens, ctc_lp, scorer_lens = encode_fn(
                 params, state["norm_stats"], batch["wav"],
                 batch["wav_lens"])

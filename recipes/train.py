@@ -328,9 +328,11 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
     profiler = StepProfiler(args.profile, args.profile_steps)
     stopper = TrainStopper(max_hours=getattr(args, "max_hours", None),
                            install=True)
+    hb_every = int(os.environ.get("SMT_HEARTBEAT_STEPS", "10"))
     for epoch in EpochCounter(cfg.training.number_of_epochs,
                               start=start_epoch):
         t0 = time.time()
+        hb_t = time.time()
         train_losses = []
         rng_np = np.random.default_rng(cfg.seed + epoch)
         for batch, _ in prefetch(batches(train_set, tokenizer, cfg, mesh,
@@ -346,6 +348,16 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
             step += 1
             profiler.step(step, metrics["loss"])
             train_losses.append(metrics["loss"])  # device scalar, no sync
+            if hb_every and step % hb_every == 0:
+                # one host fetch per window (same contract as the
+                # attention path: truthful mean step time under async
+                # dispatch)
+                loss_now = float(np.asarray(metrics["loss"]))
+                now = time.time()
+                print(f"[hb] step {step} mean_step_s "
+                      f"{(now - hb_t) / hb_every:.2f} loss {loss_now:.3f}",
+                      flush=True)
+                hb_t = now
             if ckpt.should_save():
                 # force: the interval decision was already made (and in
                 # multi-process runs broadcast) by should_save above;
@@ -525,6 +537,7 @@ def make_beam_step(cfg, model, params, enc_out, enc_lens, beam, bc,
 
 
 _BEAM_PROGRAM_CACHE = {}
+_ENCODE_PROGRAM_CACHE = {}
 
 
 def beam_programs(cfg, model, fbank, trainer, bc, lm_step, lm_make_cache,
@@ -548,40 +561,60 @@ def beam_programs(cfg, model, fbank, trainer, bc, lm_step, lm_make_cache,
     (beam 10) and test_search (beam 66, temperature 1.15) get distinct
     programs while repeated calls with an equal config share one.
     `nbest` changes the returned tree shape, so it is part of the key.
+    The encoder program depends on neither bc nor nbest, so it is
+    cached SEPARATELY — one encoder serves every beam width (a process
+    that runs valid beam 10 then test beam 66 compiles the 18L encoder
+    once, not twice; compiles here run 90 s – 12 min).
+
+    Cache-key invariant (advisor round 4): keys use `id()` of
+    cfg/model/fbank/trainer/lm_step. This is safe ONLY because the
+    cached closures pin those exact objects, so their ids cannot be
+    reused while the entry lives. Callers must treat these objects as
+    process-lifetime singletons — in particular `make_lm_fusion`
+    returns a FRESH `lm_step` per call, so call it once per run and
+    reuse the hooks; calling it per batch would defeat the cache and
+    re-trace every time (evaluate.py hoists it above the batch loop).
 
     Reference surface covered: S2STransformerBeamSearcher valid/test
     stages (branchformer yaml:248-269)."""
-    key = (id(cfg), id(model), id(fbank), id(trainer), bc, id(lm_step),
-           nbest)
-    hit = _BEAM_PROGRAM_CACHE.get(key)
-    if hit is not None:
-        return hit
     from summarymixing_tpu.decoding.s2s_beam import (
         s2s_beam_search,
         tile_for_beam,
     )
 
-    @jax.jit
-    def encode_fn(params, norm_stats, wav, wav_lens):
-        feats = fbank(wav)
-        feat_lens = fbank.frame_lengths(wav_lens)
-        feats, _ = trainer.normalize(feats, norm_stats)
-        enc_out, enc_lens = model.apply(params, feats, feat_lens,
-                                        method=model.encode)
-        ctc_lp = model.apply(params, enc_out, method=model.ctc_head)
-        return (enc_out, enc_lens) + maybe_compact_ctc(cfg, ctc_lp,
-                                                       enc_lens)
+    enc_key = (id(cfg), id(model), id(fbank), id(trainer))
+    encode_fn = _ENCODE_PROGRAM_CACHE.get(enc_key)
+    if encode_fn is None:
 
-    @jax.jit
-    def search_fn(params, eo, el, cl, sl):
-        step, cache, lm_cache = make_beam_step(
-            cfg, model, params, eo, el, bc.beam_size, bc, lm_step,
-            lm_make_cache)
-        return s2s_beam_search(step, eo, tile_for_beam(sl, bc.beam_size),
-                               cl, bc, cache=cache, lm_step_fn=lm_step,
-                               lm_cache=lm_cache, nbest=nbest)
+        @jax.jit
+        def encode_fn(params, norm_stats, wav, wav_lens):
+            feats = fbank(wav)
+            feat_lens = fbank.frame_lengths(wav_lens)
+            feats, _ = trainer.normalize(feats, norm_stats)
+            enc_out, enc_lens = model.apply(params, feats, feat_lens,
+                                            method=model.encode)
+            ctc_lp = model.apply(params, enc_out, method=model.ctc_head)
+            return (enc_out, enc_lens) + maybe_compact_ctc(cfg, ctc_lp,
+                                                           enc_lens)
 
-    _BEAM_PROGRAM_CACHE[key] = (encode_fn, search_fn)
+        _ENCODE_PROGRAM_CACHE[enc_key] = encode_fn
+
+    key = (id(cfg), id(model), id(fbank), id(trainer), bc, id(lm_step),
+           nbest)
+    search_fn = _BEAM_PROGRAM_CACHE.get(key)
+    if search_fn is None:
+
+        @jax.jit
+        def search_fn(params, eo, el, cl, sl):
+            step, cache, lm_cache = make_beam_step(
+                cfg, model, params, eo, el, bc.beam_size, bc, lm_step,
+                lm_make_cache)
+            return s2s_beam_search(step, eo,
+                                   tile_for_beam(sl, bc.beam_size),
+                                   cl, bc, cache=cache, lm_step_fn=lm_step,
+                                   lm_cache=lm_cache, nbest=nbest)
+
+        _BEAM_PROGRAM_CACHE[key] = search_fn
     return encode_fn, search_fn
 
 

@@ -11,6 +11,9 @@
 #                --max-hours of the remaining budget and the loop stops
 #                resuming once < 120 s remain (a deliberately bounded
 #                session still ends with a clean checkpoint + eval).
+#   RECIPE       recipe yaml (default the branchformer flagship; set to
+#                recipes/LibriSpeech/conformer_summarymixing_transducer.yaml
+#                for the streaming-transducer flagship)
 #   EPOCHS       training.number_of_epochs override   (default 25)
 #   NUM_BUCKETS  --num-buckets                        (default 8)
 #   CORPUS       corpus dir with manifest_{train,dev,test}.csv
@@ -25,6 +28,7 @@
 set -u
 cd /root/repo
 MAX_RETRIES=${MAX_RETRIES:-6}
+RECIPE=${RECIPE:-recipes/LibriSpeech/branchformer_summarymixing.yaml}
 EPOCHS=${EPOCHS:-25}
 NUM_BUCKETS=${NUM_BUCKETS:-8}
 CORPUS=${CORPUS:-corpora/hard26h}
@@ -33,6 +37,8 @@ LOG=${LOG:-${OUT}_sup.log}
 DEADLINE_TS=${DEADLINE_TS:-}
 SKIP_WARMUP=${SKIP_WARMUP:-0}
 EXTRA_SET=${EXTRA_SET:-}
+
+mkdir -p "$OUT"   # pidfile is written before train.py creates it
 
 SET_ARGS=(--set training.number_of_epochs="$EPOCHS")
 for kv in $EXTRA_SET; do
@@ -59,7 +65,7 @@ if [ "$SKIP_WARMUP" != "1" ]; then
   while [ "$n" -le "$MAX_RETRIES" ]; do
     echo "[sup] warmup attempt $((n+1)) $(date -u +%H:%M:%S)" >> "$LOG"
     python recipes/warmup_cache.py \
-      recipes/LibriSpeech/branchformer_summarymixing.yaml \
+      "$RECIPE" \
       --train-manifest "$CORPUS"/manifest_train.csv \
       --valid-manifest "$CORPUS"/manifest_dev.csv \
       --test-manifest "$CORPUS"/manifest_test.csv \
@@ -98,7 +104,7 @@ while [ "$n" -le "$MAX_RETRIES" ]; do
   echo "[sup] attempt $attempt (crash-retries used: $n) $(date -u +%H:%M:%S) budget_h=${rem:-inf}" >> "$LOG"
   # pidfile so a preemption drill can SIGTERM the exact train.py process
   # (never kill-by-pattern: CLAUDE.md)
-  python recipes/train.py recipes/LibriSpeech/branchformer_summarymixing.yaml \
+  python recipes/train.py "$RECIPE" \
     --train-manifest "$CORPUS"/manifest_train.csv \
     --valid-manifest "$CORPUS"/manifest_dev.csv \
     --test-manifest "$CORPUS"/manifest_test.csv \
