@@ -51,7 +51,7 @@ for pair in "hard_synthetic:runs/sd4k" \
       [ -f "$evout/eval.json" ] && continue
       ARGS=(recipes/Synthetic/${cfg}.yaml
             --test-manifest corpora/hard4k/manifest_${split}.csv
-            --ckpt "$out" --avg 10 --output "$evout")
+            --ckpt "$out/save" --avg 10 --output "$evout")
       case $decode in
         beam)   ARGS+=(--beam) ;;
         beamlm) ARGS+=(--beam --lm-ckpt runs/sd4k_lm
