@@ -18,6 +18,10 @@
 #   NUM_BUCKETS  --num-buckets                        (default 8)
 #   CORPUS       corpus dir with manifest_{train,dev,test}.csv
 #                                                     (default corpora/hard26h)
+#   TRAIN_MANIFEST / VALID_MANIFEST  override the per-split manifest
+#                paths (default $CORPUS/manifest_{train,dev}.csv) — e.g.
+#                a subset manifest so epochs (and hence per-epoch valid
+#                WER points) fit a degraded co-tenancy window
 #   OUT          run dir                              (default runs/flagship_r4)
 #   LOG          supervisor log                       (default $OUT_sup.log)
 #   EXTRA_SET    extra --set overrides, space-separated KEY=VALUE pairs
@@ -37,6 +41,8 @@ LOG=${LOG:-${OUT}_sup.log}
 DEADLINE_TS=${DEADLINE_TS:-}
 SKIP_WARMUP=${SKIP_WARMUP:-0}
 EXTRA_SET=${EXTRA_SET:-}
+TRAIN_MANIFEST=${TRAIN_MANIFEST:-$CORPUS/manifest_train.csv}
+VALID_MANIFEST=${VALID_MANIFEST:-$CORPUS/manifest_dev.csv}
 
 mkdir -p "$OUT"   # pidfile is written before train.py creates it
 
@@ -66,8 +72,8 @@ if [ "$SKIP_WARMUP" != "1" ]; then
     echo "[sup] warmup attempt $((n+1)) $(date -u +%H:%M:%S)" >> "$LOG"
     python recipes/warmup_cache.py \
       "$RECIPE" \
-      --train-manifest "$CORPUS"/manifest_train.csv \
-      --valid-manifest "$CORPUS"/manifest_dev.csv \
+      --train-manifest "$TRAIN_MANIFEST" \
+      --valid-manifest "$VALID_MANIFEST" \
       --test-manifest "$CORPUS"/manifest_test.csv \
       --output "$OUT" --num-buckets "$NUM_BUCKETS" --beam \
       "${SET_ARGS[@]}" \
@@ -105,8 +111,8 @@ while [ "$n" -le "$MAX_RETRIES" ]; do
   # pidfile so a preemption drill can SIGTERM the exact train.py process
   # (never kill-by-pattern: CLAUDE.md)
   python recipes/train.py "$RECIPE" \
-    --train-manifest "$CORPUS"/manifest_train.csv \
-    --valid-manifest "$CORPUS"/manifest_dev.csv \
+    --train-manifest "$TRAIN_MANIFEST" \
+    --valid-manifest "$VALID_MANIFEST" \
     --test-manifest "$CORPUS"/manifest_test.csv \
     --output "$OUT" --num-buckets "$NUM_BUCKETS" \
     "${HOURS_ARGS[@]}" \
