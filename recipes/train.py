@@ -109,6 +109,7 @@ def _build_buckets(manifest, cfg, mesh, valid=False):
         max_len=max(lengths),
         max_batch_size=cfg.training.max_batch_ex,
         batch_multiple=int(mesh.devices.size),
+        quantize=cfg.training.bucket_shape_grid,
     )
     global _warned_bucket_compiles
     if not valid and len(buckets) > 60 and not _warned_bucket_compiles:

@@ -163,6 +163,12 @@ class TrainingConfig:
     max_batch_length_val: Optional[float] = None
     num_buckets: int = 200
     max_batch_ex: int = 128
+    # snap bucket boundaries to a fixed geometric grid (batching.py::
+    # quantize_len) so bucket SHAPES are manifest-independent: a subset
+    # manifest / new split reuses the persistent compile cache instead
+    # of paying fresh multi-minute XLA:TPU compiles for shifted
+    # boundaries (costs <=10% extra padding)
+    bucket_shape_grid: bool = False
     # Eval batches pad the token axis up to a multiple of this, so the
     # valid/test loops present ONE compiled shape per wav bucket instead
     # of one per distinct batch-max token length (measured: the flagship

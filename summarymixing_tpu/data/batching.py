@@ -25,6 +25,27 @@ class BucketSpec:
     batch_size: int    # fixed examples per batch
 
 
+def quantize_len(n: int, grid_ratio: float = 1.1, base: int = 4000) -> int:
+    """Round a length UP to a corpus-independent geometric grid
+    (base * grid_ratio^k). Bucket boundaries derived from a manifest's own
+    min/max lengths shift whenever the manifest changes (a subset, a new
+    split, next week's crawl) — and every shifted boundary is a fresh
+    train-step shape, i.e. a fresh 90 s – 12 min XLA compile. Snapping
+    boundaries to this fixed grid makes bucket shapes a function of the
+    grid alone, so any two manifests drawn from the same corpus family
+    reuse each other's compiled programs (persistent compile cache)."""
+    if n <= base:
+        return base
+    import math
+
+    k = math.ceil(math.log(n / base) / math.log(grid_ratio))
+    # float log can land one notch high when n sits exactly on a grid
+    # point (grid points are the CEIL of base*ratio^k, so compare ceils)
+    while k > 0 and math.ceil(base * grid_ratio ** (k - 1)) >= n:
+        k -= 1
+    return int(math.ceil(base * grid_ratio**k))
+
+
 def make_buckets(
     max_batch_length: float,
     num_buckets: int,
@@ -33,18 +54,27 @@ def make_buckets(
     max_batch_size: int = 128,
     batch_multiple: int = 1,
     growth: str = "exp",
+    quantize: bool = False,
 ) -> List[BucketSpec]:
     """Build bucket boundaries. max_batch_length is the per-batch length
     budget in the same unit as len (the reference's seconds-of-audio budget);
     batch_size = clamp(budget / bucket_len, 1, max_batch_size), rounded down
-    to a multiple of `batch_multiple` (e.g. the data-parallel mesh size)."""
+    to a multiple of `batch_multiple` (e.g. the data-parallel mesh size).
+    quantize=True snaps every boundary (and min/max) to the fixed
+    geometric grid of `quantize_len`, trading ≤10% extra padding for
+    manifest-independent compile shapes."""
     specs = []
+    if quantize:
+        min_len = quantize_len(min_len)
+        max_len = max(quantize_len(max_len), min_len)
     if growth == "exp":
         ratio = (max_len / min_len) ** (1.0 / num_buckets)
         bounds = [int(round(min_len * ratio ** i)) for i in range(1, num_buckets + 1)]
     else:
         step = (max_len - min_len) / num_buckets
         bounds = [int(round(min_len + step * i)) for i in range(1, num_buckets + 1)]
+    if quantize:
+        bounds = [quantize_len(b) for b in bounds]
     seen = set()
     for b in bounds:
         b = max(b, min_len)

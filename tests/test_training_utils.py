@@ -331,3 +331,50 @@ def test_interval_save_waits_from_construction(tmp_path):
     assert not mgr.should_save()
     mgr2 = CheckpointManager(str(tmp_path / "ck2"), interval_minutes=None)
     assert mgr2.should_save()
+
+
+def test_bucket_shape_grid_manifest_independent():
+    """quantize=True must yield IDENTICAL bucket shapes for a manifest and
+    a random subset of it (the whole point: subsets/new splits reuse the
+    persistent compile cache instead of recompiling shifted boundaries).
+    Motivated by the round-5 transducer flagship: a 8k-utterance subset of
+    hard26h shifted 3 of 4 boundaries -> 3 fresh multi-minute compiles."""
+    from summarymixing_tpu.data.batching import quantize_len
+
+    rng = np.random.default_rng(7)
+    full = rng.integers(12_000, 66_000, 5_000)
+    sub = rng.choice(full, 800, replace=False)
+
+    def specs(lengths):
+        return make_buckets(
+            max_batch_length=150.0 * 16_000, num_buckets=4,
+            min_len=int(min(lengths)), max_len=int(max(lengths)),
+            max_batch_size=256, quantize=True,
+        )
+
+    assert specs(full) == specs(sub)
+    # boundaries all sit on the fixed grid
+    for spec in specs(full):
+        assert spec.max_len == quantize_len(spec.max_len)
+    # un-quantized boundaries differ for the same pair (the failure mode)
+    def raw(lengths):
+        return make_buckets(
+            max_batch_length=150.0 * 16_000, num_buckets=4,
+            min_len=int(min(lengths)), max_len=int(max(lengths)),
+            max_batch_size=256,
+        )
+    assert raw(full) != raw(sub)
+
+
+def test_quantize_len_grid_properties():
+    from summarymixing_tpu.data.batching import quantize_len
+
+    # idempotent, monotone, >= n, and <= 10% padding overhead
+    prev = 0
+    for n in [1, 4000, 4001, 17_500, 65_849, 640_000]:
+        q = quantize_len(n)
+        assert q >= n
+        assert q == quantize_len(q), n
+        assert q <= max(4000, int(np.ceil(n * 1.1))), (n, q)
+        assert q >= prev
+        prev = q
