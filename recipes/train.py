@@ -330,6 +330,35 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
     stopper = TrainStopper(max_hours=getattr(args, "max_hours", None),
                            install=True)
     hb_every = int(os.environ.get("SMT_HEARTBEAT_STEPS", "10"))
+    valid_every = cfg.training.valid_every_steps
+
+    def run_valid(state):
+        """Greedy-decode the valid set: the per-epoch stage below and,
+        when training.valid_every_steps > 0, a mid-epoch trajectory
+        point — at flagship corpus scale an epoch is hours, so step-
+        interval WER points are how a bounded chip window still yields
+        a WER-vs-step trajectory."""
+        stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
+                               remove_spaces=cfg.remove_spaces)
+        val_losses = []
+        seen = set()
+        bound = td_model.bind({"params": state["params"]["transducer"]})
+        for batch, idx in batches(valid_set, tokenizer, cfg, mesh, False, 0,
+                                  fbank):
+            losses, (enc_out, enc_lens) = trainer.eval_step(state, batch)
+            val_losses.append(losses["loss"])
+            enc_proj = bound.encode_proj(enc_out)
+            toks, lens = transducer_greedy_decode(
+                enc_proj, enc_lens, bound.predictor_init,
+                bound.predictor_step, bound.joint_step,
+                blank_id=cfg.model.blank_index,
+            )
+            score_batch(stats, tokenizer, batch, idx, seen, toks, lens)
+        summary = stats.summarize()
+        vloss = (float(np.mean([float(x) for x in val_losses]))
+                 if val_losses else 0.0)
+        return vloss, summary["WER"]
+
     for epoch in EpochCounter(cfg.training.number_of_epochs,
                               start=start_epoch):
         t0 = time.time()
@@ -349,6 +378,20 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
             step += 1
             profiler.step(step, metrics["loss"])
             train_losses.append(metrics["loss"])  # device scalar, no sync
+            if valid_every and step % valid_every == 0:
+                # checkpoint FIRST (crash-safe order, same contract as
+                # the per-epoch stage), then a mid-epoch WER point
+                ckpt.save(step, fetch_to_host(state), force=True,
+                          blocking=False)
+                tv = time.time()
+                vloss, wer = run_valid(state)
+                logger.log_stats(
+                    {"valid_step": step, "epoch": epoch,
+                     "valid_s": round(time.time() - tv, 1)},
+                    valid_stats={"loss": vloss,
+                                 cfg.error_rate.upper(): wer},
+                )
+                hb_t = time.time()  # don't bill valid wall to step time
             if hb_every and step % hb_every == 0:
                 # one host fetch per window (same contract as the
                 # attention path: truthful mean step time under async
@@ -374,30 +417,12 @@ def run_transducer(cfg, args, enc_model, td_model, fbank, tx, mesh,
                 break
 
         profiler.close()
-        stats = ErrorRateStats(split_tokens=(cfg.error_rate == "cer"),
-                               remove_spaces=cfg.remove_spaces)
-        val_losses = []
-        seen = set()
-        bound = td_model.bind({"params": state["params"]["transducer"]})
-        for batch, idx in batches(valid_set, tokenizer, cfg, mesh, False, 0,
-                                  fbank):
-            losses, (enc_out, enc_lens) = trainer.eval_step(state, batch)
-            val_losses.append(losses["loss"])
-            enc_proj = bound.encode_proj(enc_out)
-            toks, lens = transducer_greedy_decode(
-                enc_proj, enc_lens, bound.predictor_init,
-                bound.predictor_step, bound.joint_step,
-                blank_id=cfg.model.blank_index,
-            )
-            score_batch(stats, tokenizer, batch, idx, seen, toks, lens)
-        summary = stats.summarize()
+        vloss, wer = run_valid(state)
         logger.log_stats(
             {"epoch": epoch, "steps": step,
              "epoch_s": round(time.time() - t0, 1)},
             _epoch_loss_stats(train_losses),
-            {"loss": float(np.mean([float(x) for x in val_losses]))
-             if val_losses else 0.0,
-             cfg.error_rate.upper(): summary["WER"]},
+            {"loss": vloss, cfg.error_rate.upper(): wer},
         )
         state = trainer.next_epoch(state)  # gates normalizer freezing
         last_epoch = (epoch >= cfg.training.number_of_epochs

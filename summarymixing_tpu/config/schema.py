@@ -163,6 +163,11 @@ class TrainingConfig:
     max_batch_length_val: Optional[float] = None
     num_buckets: int = 200
     max_batch_ex: int = 128
+    # transducer path: ALSO run the greedy valid stage every N optimizer
+    # steps (0 = per-epoch only, the reference cadence). At flagship
+    # corpus scale an epoch is hours; step-interval points give a
+    # WER-vs-step trajectory inside a bounded chip window.
+    valid_every_steps: int = 0
     # snap bucket boundaries to a fixed geometric grid (batching.py::
     # quantize_len) so bucket SHAPES are manifest-independent: a subset
     # manifest / new split reuses the persistent compile cache instead

@@ -401,11 +401,16 @@ augment:
         [sys.executable, os.path.join(REPO, "recipes/train.py"), str(recipe),
          "--train-manifest", manifest, "--valid-manifest", manifest,
          "--test-manifest", manifest, "--output", str(out), "--steps", "2",
+         "--set", "training.valid_every_steps=1",
          "--lm-ckpt", str(out / "lm")],
         capture_output=True, text=True, timeout=560, env=env, cwd=REPO,
     )
     assert res.returncode == 0, res.stderr[-3000:]
     assert "test" in res.stdout  # test-stage beam decode ran
+    # step-interval validation (training.valid_every_steps) logged
+    # mid-epoch WER points alongside the per-epoch stage
+    log_txt = (out / "train_log.txt").read_text()
+    assert "valid_step: 1" in log_txt, log_txt
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "recipes/evaluate.py"),
          str(recipe), "--test-manifest", manifest,
