@@ -70,7 +70,9 @@ run_stage rtf_sweep_r5 2400 \
 
 # --- task #2: the reference test protocol at dev200 scale -------------
 # TransformerLM (reference 768d/12L) trained on the corpus LM text with
-# the flagship run's tokenizer, then beam-66 + avg-8 + LM-fused decode
+# the flagship run's tokenizer, then beam-66 + avg-3 (the 8 retained generations span the whole warmup;
+# averaging step-178 weights with step-2110 would poison the average --
+# avg-3 covers steps 1101,1557,2110, the converged tail) + LM-fused decode
 # (reference yaml:61,141-142,258-269). dev200 keeps the wall bounded on
 # the shared chip; full-dev is the same program at more batches.
 run_stage train_lm 3000 \
@@ -78,15 +80,15 @@ run_stage train_lm 3000 \
     --tokenizer-dir runs/flagship_r4 --output runs/flagship_r4/lm \
     --steps 600
 
-run_stage bf_beam66_avg8_dev200 3000 \
+run_stage bf_beam66_avg3_dev200 3000 \
   python -u recipes/evaluate.py "$BF" --test-manifest runs/dev200.csv \
-    --ckpt runs/flagship_r4/save --beam --avg 8 \
-    --output runs/bf_beam66_avg8_dev200
+    --ckpt runs/flagship_r4/save --beam --avg 3 \
+    --output runs/bf_beam66_avg3_dev200
 
-run_stage bf_beam66_avg8_lm_dev200 3000 \
+run_stage bf_beam66_avg3_lm_dev200 3000 \
   python -u recipes/evaluate.py "$BF" --test-manifest runs/dev200.csv \
-    --ckpt runs/flagship_r4/save --beam --avg 8 \
+    --ckpt runs/flagship_r4/save --beam --avg 3 \
     --lm-ckpt runs/flagship_r4/lm \
-    --output runs/bf_beam66_avg8_lm_dev200
+    --output runs/bf_beam66_avg3_lm_dev200
 
 echo "[battery] all stages attempted $(date -u +%H:%M:%S)"
