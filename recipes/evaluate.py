@@ -222,8 +222,12 @@ def eval_transducer(cfg, args, enc_model, td_model, fbank, mesh, tokenizer,
             state["norm_stats"], chunk_frames=args.chunk_size,
             left_context_chunks=args.left_context,
             blank_id=cfg.model.blank_index)
+    n_batches = 0
     for batch, idx in batches(test_set, tokenizer, cfg, mesh, False, 0,
                               fbank):
+        n_batches += 1
+        print(f"[eval] batch {n_batches} ({n_utts} utts scored, "
+              f"{time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
         if stream_fns is not None:
             from summarymixing_tpu.streaming import run_stream
 
@@ -480,7 +484,14 @@ def main():
     n_utts = 0
     seen = set()
     nbest_rows = {}  # utt idx -> top-N [{text, score}] (--nbest > 1)
+    n_batches = 0
     for batch, idx in batches(test_set, tokenizer, cfg, mesh, False, 0, fbank):
+        n_batches += 1
+        # stderr progress heartbeat (stdout is the JSON contract and may be
+        # block-buffered under nohup; the shared chip's throughput varies 3x
+        # run to run, so long evals need visible progress)
+        print(f"[eval] batch {n_batches} ({n_utts} utts scored, "
+              f"{time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
         if args.beam:
             enc_out, enc_lens, ctc_lp, scorer_lens = encode_fn(
                 params, state["norm_stats"], batch["wav"],
