@@ -37,26 +37,26 @@ run_stage() {  # name timeout_s cmd...
 
 run_stage td_offline_dev800 3000 \
   python -u recipes/evaluate.py "$TD" --test-manifest "$DEV800" \
-    --ckpt runs/transducer_r5/save --output runs/td_offline_dev800
+    --ckpt runs/transducer_r5/save --set training.num_buckets=4 --output runs/td_offline_dev800
 
 run_stage td_streaming_dev800 3000 \
   python -u recipes/evaluate.py "$TD" --test-manifest "$DEV800" \
-    --ckpt runs/transducer_r5/save --streaming --chunk-size 16 \
+    --ckpt runs/transducer_r5/save --set training.num_buckets=4 --streaming --chunk-size 16 \
     --left-context 4 --output runs/td_streaming_dev800
 
 run_stage bf_beam10_dev800 3000 \
   python -u recipes/evaluate.py "$BF" --test-manifest "$DEV800" \
-    --ckpt runs/flagship_r4/save --beam \
+    --ckpt runs/flagship_r4/save --beam --set training.num_buckets=4 \
     --set decoding.test_beam_size=10 --set decoding.test_temperature=1.0 \
     --output runs/bf_beam10_dev800
 
 run_stage bf_greedy_dev800 1800 \
   python -u recipes/evaluate.py "$BF" --test-manifest "$DEV800" \
-    --ckpt runs/flagship_r4/save --output runs/bf_greedy_dev800
+    --ckpt runs/flagship_r4/save --set training.num_buckets=4 --output runs/bf_greedy_dev800
 
 run_stage bf_greedy_int8_dev800 1800 \
   python -u recipes/evaluate.py "$BF" --test-manifest "$DEV800" \
-    --ckpt runs/flagship_r4/save --set model.act_int8=true \
+    --ckpt runs/flagship_r4/save --set training.num_buckets=4 --set model.act_int8=true \
     --output runs/bf_greedy_int8_dev800
 
 run_stage int8_decode_bench 1200 \
@@ -82,12 +82,12 @@ run_stage train_lm 3000 \
 
 run_stage bf_beam66_avg3_dev200 3000 \
   python -u recipes/evaluate.py "$BF" --test-manifest runs/dev200.csv \
-    --ckpt runs/flagship_r4/save --beam --avg 3 \
+    --ckpt runs/flagship_r4/save --beam --avg 3 --set training.num_buckets=4 \
     --output runs/bf_beam66_avg3_dev200
 
 run_stage bf_beam66_avg3_lm_dev200 3000 \
   python -u recipes/evaluate.py "$BF" --test-manifest runs/dev200.csv \
-    --ckpt runs/flagship_r4/save --beam --avg 3 \
+    --ckpt runs/flagship_r4/save --beam --avg 3 --set training.num_buckets=4 \
     --lm-ckpt runs/flagship_r4/lm \
     --output runs/bf_beam66_avg3_lm_dev200
 
