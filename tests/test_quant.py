@@ -113,3 +113,42 @@ def test_asr_encode_int8_drift_small(rng):
     err = np.abs(np.asarray(enc_q8 - enc_fp)).mean()
     ref = np.abs(np.asarray(enc_fp)).mean()
     assert err / ref < 0.05, (err, ref)
+
+
+def test_act_int8_wer_parity_trained(rng):
+    """WER-level int8 validation (VERDICT r4 task #6, toy scale): train the
+    tiny e2e Branchformer CTC model in fp, then greedy-decode the SAME
+    trained params through an act_int8 twin trainer — the W8A8 inference
+    rewrite must not change what the model transcribes. Complements the
+    activation-drift bounds above with the metric that matters
+    (benchmarks/int8_decode_bench.py measures the speed half)."""
+    from dataclasses import replace
+
+    from summarymixing_tpu.training.metrics import ErrorRateStats
+    from summarymixing_tpu.training.trainer import ASRTrainer
+    from tests.test_train_e2e import make_trainer, synth_batch
+
+    trainer = make_trainer(num_decoder_layers=0)
+    batch = synth_batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    for _ in range(150):
+        state, metrics = trainer.train_step(state, batch)
+
+    q8_model = replace(trainer.model,
+                       asr=replace(trainer.model.asr, act_int8=True))
+    q8_trainer = ASRTrainer(q8_model, trainer.tx, trainer.fbank,
+                            trainer.config, mesh=trainer.mesh)
+
+    refs = [list(map(int, row)) for row in np.asarray(batch["tokens"])]
+
+    def wer_of(tr):
+        _, hyps = tr.eval_step(state, batch)
+        stats = ErrorRateStats()
+        stats.append(refs, hyps)
+        return stats.summarize()["WER"]
+
+    wer_fp = wer_of(trainer)
+    wer_q8 = wer_of(q8_trainer)
+    assert wer_fp < 15.0, wer_fp
+    # parity: int8 decode of fp-trained weights within 2 WER points
+    assert wer_q8 <= wer_fp + 2.0, (wer_fp, wer_q8)
